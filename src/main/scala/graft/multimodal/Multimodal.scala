@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * with batched decode/feature-extraction over partitions.
+  *
+  * The decode step itself is a STUB (this container has no image/audio
+  * codecs): `FakeDecoder` derives deterministic "features" from the raw
+  * bytes. Everything around it is the real production shape — binary
+  * column + metadata schema, partition-wise batched iteration (the
+  * Scala analog of `mapInPandas` batch inference), explicit feature
+  * schema on the way out, and a downstream plan that joins features back
+  * to relational metadata. Swapping `FakeDecoder` for a JNI/model decoder
+  * changes no plumbing.
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      id: Long, kind: String, n_bytes: Int, brightness: Double)
+
+  /** Decoder seam: bytes → fixed-width features. */
+  trait Decoder extends Serializable {
+    def decode(kind: String, payload: Array[Byte]): MediaFeatures2
+  }
+  final case class MediaFeatures2(nBytes: Int, brightness: Double)
+
+  /** Deterministic stand-in: "brightness" = mean unsigned byte value.
+    * For ASCII payloads this equals the mean codepoint, so the DuckDB
+    * oracle can mirror it without any codec.
+    */
+  object FakeDecoder extends Decoder {
+    def decode(kind: String, payload: Array[Byte]): MediaFeatures2 = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+      MediaFeatures2(payload.length, mean)
+    }
+  }
+
+  /** Synthesize a media table from `documents` (text bytes as payload,
+    * kind cycling image/audio/video) — deterministic and SQL-mirrorable.
+    */
+  def mediaFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** Batched partition-wise decode: groups rows into `batchSize` chunks
+    * (the shape a vectorized/model decoder wants), decodes, emits typed
+    * features. No shuffle — narrow transformation over the scan.
+    */
+  def decodeFeatures(media: DataFrame, decoder: Decoder = FakeDecoder,
+                     batchSize: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRow] = media.as[MediaRow]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val f = decoder.decode(row.kind, row.payload)
+          MediaFeatures(row.id, row.kind, f.nBytes, f.brightness)
+        }
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at pipeline scale. The corpus is `documents`
+  * plus deterministic corrupted copies (first 30 chars dropped, id +
+  * 100000) so true near-dups exist to find; the same corpus construction
+  * is mirrored in the oracle SQL, whose brute-force O(n²) verify is
+  * feasible at oracle scale (sf0.01) while Spark runs the LSH path that
+  * scales.
+  *
+  * LSH parameters (k=64, 32 bands × 2 rows): P[miss | J] = (1-J²)³²,
+  * ≈5e-8 at the J≈0.64 floor of this corpus's true-dup band — the
+  * banding cannot realistically drop an oracle pair.
+  */
+object DedupQueries {
+  import Helpers._
+
+  private def dupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("id"),
+          expr("substring(text, 31)").as("text")))
+
+  private val dupCorpusSql =
+    """SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS id, substr(text, 31) AS text
+      |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // MinHash + banded LSH candidates, exact shingle-Jaccard verify.
+    // Oracle: brute-force all-pairs Jaccard (same corpus, same metric).
+    Q("q17_minhash_dedup", (s, dir) => {
+      Dedup.minHashDupPairs(dupCorpus(Tables.documents(s, dir)), "id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }, Some(
+      s"""WITH corpus AS ($dupCorpusSql),
+         |t AS (SELECT id, ${tokensSql(cleanTextSql("text"))} AS toks FROM corpus),
+         |sh AS (SELECT id, $shinglesSql AS shingles FROM t)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         | round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.id < b.id
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin)),
+
+    // 64-bit SimHash fingerprints (bit-vote of seeded token hashes).
+    // xxhash64 has no DuckDB twin → rows-only check; semantics pinned by
+    // DedupSpec (near-dups → small Hamming distance).
+    Q("q18_simhash", (s, dir) => {
+      dupCorpus(Tables.documents(s, dir))
+        .select(col("id"),
+          array_join(transform(
+            Dedup.simHashBits(TextOps.tokens(TextOps.cleanText(col("text")))),
+            b => b.cast("string")), "").as("simhash"))
+        .orderBy("id")
+    }, None),
+
+    // Embedding near-dup: random-hyperplane LSH candidates, exact cosine
+    // verify ≥ 0.99. Corpus = embeddings + perturbed copies; margin
+    // analysis: original pairs max out at cosine 0.513, perturbed copies
+    // sit in [0.9983, 0.9986] — no boundary sensitivity, and LSH miss
+    // probability ≈1e-7 at that cosine with 8 tables × 8 bits.
+    Q("q19_embedding_neardup", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val orig = emb.select(col("vec_id").as("id"),
+        graft.vector.VectorOps.asDouble(col("embedding")).as("vec"))
+      val pert = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("id"),
+          transform(graft.vector.VectorOps.asDouble(col("embedding")),
+            (x, i) => x + lit(0.01) * sin(col("vec_id") + i)).as("vec"))
+      Dedup.cosineDupPairs(orig.unionAll(pert), "id", "vec", dim = 64,
+          threshold = 0.99, tables = 8, bitsPerTable = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }, Some {
+      val cos = cosineSql("a.vec", "b.vec")
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS id,
+         |    list_transform(list_zip(CAST(embedding AS DOUBLE[]), range(0, len(embedding))),
+         |      p -> p[1] + 0.01*sin(vec_id + p[2])) AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.id AS id_a, b.id AS id_b, round($cos, 6) AS cosine
+         |FROM e a JOIN e b ON a.id < b.id
+         |WHERE $cos >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin
+    }))
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form: JSON prop extraction + tumbling
+  * hourly aggregation (the batch twin of the Structured Streaming surface
+  * in graft.streaming), and per-user activity stats.
+  *
+  * The events parquet stores TIMESTAMP(NANOS), which Spark does not model;
+  * we read it via `spark.sql.legacy.parquet.nanosAsLong` (ts: bigint
+  * nanoseconds) and do all time bucketing as exact integer arithmetic —
+  * no doubles anywhere near an epoch, so the DuckDB mirror (which reads
+  * the same column as TIMESTAMP_NS) agrees bit-for-bit.
+  */
+object EventQueries {
+  import Helpers._
+
+  private val NanosPerSec = 1000000000L
+  private val NanosPerHour = 3600L * NanosPerSec
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, dir)
+  }
+
+  /** Truncate bigint-nanos to epoch seconds (matches date_trunc('second')). */
+  private def epochSec(c: org.apache.spark.sql.Column) =
+    (c - pmod(c, lit(NanosPerSec))) / NanosPerSec
+
+  val all: Seq[Q] = Seq(
+
+    // Hourly tumbling aggregate + JSON extraction pushed into the scan
+    // projection. Epoch seconds on the output keep the timestamp
+    // comparison engine-neutral.
+    Q("q30_events_hourly", (s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("hour_epoch",
+          ((col("ts") - pmod(col("ts"), lit(NanosPerHour))) / NanosPerHour).cast("long") * 3600)
+        .groupBy("hour_epoch", "event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("value_sum"),
+          sum(col("k")).as("k_sum"))
+        .orderBy("hour_epoch", "event_type")
+    }, Some(
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         | event_type, count(*) AS n,
+         | ${dsumSql("value")} AS value_sum,
+         | sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS k_sum
+         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
+
+    // Per-user activity stats: count, value sum, first/last event gap in
+    // whole seconds.
+    Q("q31_user_activity", (s, dir) => {
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("value_sum"),
+          (epochSec(max(col("ts"))) - epochSec(min(col("ts")))).cast("long").as("span_sec"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
+    }, Some(
+      s"""SELECT user_id, count(*) AS n_events,
+         | ${dsumSql("value")} AS value_sum,
+         | CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+         |   - CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS span_sec,
+         | count(DISTINCT event_type) AS n_types
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Top event per user by value: window ranking over the user_id
+    // shuffle partitioning.
+    Q("q32_top_event_per_user", (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("value"), asc("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id, event_id, event_type, round(value, 4) AS value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id ASC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)))
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import graft.pipeline.EmbedJob
+import graft.qa.Retriever
+import graft.similarity.Knn
+import graft.sources.Tables
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Pipeline extensions: ANN similarity search, multimodal decode
+  * plumbing, the offline embedding job (reference entry point A), and
+  * the RAG retrieval dataflow (reference entry point C).
+  */
+object PipelineQueries {
+  import Helpers._
+
+  val all: Seq[Q] = Seq(
+
+    // ANN top-k: hyperplane-LSH bucket pruning + exact rerank. Candidate
+    // set depends on seeded xxhash/Random planes → rows-only check;
+    // recall-vs-brute-force is asserted in SimilaritySpec.
+    Q("q25_ann_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+      Knn.annTopK(emb, "vec_id", "vec", dim = 64, query = qv, k = 20)
+    }, None),
+
+    // Multimodal decode: binary payload + metadata → batched partition-
+    // wise feature extraction (deterministic stub decoder). For ASCII
+    // payloads brightness == mean codepoint, which DuckDB can mirror —
+    // so even the stub is oracle-checked.
+    Q("q50_multimodal_features", (s, dir) => {
+      Multimodal.decodeFeatures(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .select(col("id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id")
+    }, Some(
+      """SELECT doc_id AS id,
+        | (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        | CAST(length(text) AS BIGINT) AS n_bytes,
+        | round(CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+        |   / greatest(length(text), 1), 6) AS brightness
+        |FROM documents ORDER BY id""".stripMargin)),
+
+    // Offline embedding build (embed.py end-to-end): clean → len-filter →
+    // hash-embed → mean-pool per source. Hash embedder → rows-only.
+    Q("q51_embed_job", (s, dir) => {
+      EmbedJob.groupEmbeddings(Tables.documents(s, dir), "text", "source")
+        .select(col("source"), VectorOps.roundVec(col("embedding"), 6).as("embedding"))
+        .orderBy("source")
+    }, None),
+
+    // RAG retrieval (rag.py dataflow): field-chunked meta of the focused
+    // doc, hash-embedded, cosine top-3 vs the question. Rows-only.
+    Q("q52_rag_retrieve", (s, dir) => {
+      val meta = metaAnalog(Tables.documents(s, dir))
+      val chunks = Retriever.chunksFromMeta(meta, "id",
+        Seq("title", "summary", "rating", "review_count", "price"))
+      Retriever.retrieve(chunks, focusId = 1L,
+        question = "what is the price and rating of this product")
+    }, None))
+}

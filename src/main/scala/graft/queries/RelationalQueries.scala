@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core over the TPC-H-ish tables: scan+filter+agg, multi-way
+  * joins with broadcast dims, windows, anti joins. These exercise the
+  * operator classes of SURVEY §2.1-2.7 on the driver testdata.
+  */
+object RelationalQueries {
+  import Helpers._
+
+  val all: Seq[Q] = Seq(
+
+    // Pricing summary (TPC-H Q1 shape): scan → filter (pushed to parquet)
+    // → hash agg with map-side combine → tiny sort.
+    Q("q01_pricing_summary", (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${dsumSql("l_quantity")} AS sum_qty,
+         | ${dsumSql("l_extendedprice")} AS sum_base_price,
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         | ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         | ${davgSql("l_quantity")} AS avg_qty,
+         | ${davgSql("l_discount")} AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Revenue by nation: lineitem ⋈ orders ⋈ customer shuffle joins on
+    // keys, nation broadcast (25 rows — broadcast at any scale).
+    Q("q02_revenue_by_nation", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }, Some(
+      s"""SELECT n_name,
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
+    // Top-3 orders per customer: ranking window (shuffle on o_custkey,
+    // in-partition sort — no global sort).
+    Q("q03_top_orders_per_customer", (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }, Some(
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Customers with no high-value order: left-anti join (NOT EXISTS)
+    // with a pushed-down predicate on the probe side.
+    Q("q04_customers_without_orders", (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Order priority by region: two broadcast dims chained below a
+    // shuffle join, count-only aggregate.
+    Q("q05_priority_by_region", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("r_name", "o_orderpriority")
+    }, Some(
+      s"""SELECT r_name, o_orderpriority, count(*) AS n,
+         | ${dsumSql("o_totalprice")} AS total
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, o_orderpriority
+         |ORDER BY r_name, o_orderpriority""".stripMargin)),
+
+    // Part-type market share: join to a mid-size dim + conditional agg.
+    Q("q06_brand_type_share", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          dsum(when(col("l_returnflag") === "R",
+            col("l_extendedprice")).otherwise(lit(0.0))).as("returned_value"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand", "p_type")
+    }, Some(
+      s"""SELECT p_brand, p_type,
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | ${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END")} AS returned_value,
+         | count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand, p_type
+         |ORDER BY p_brand, p_type""".stripMargin)))
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.rank.Features
+import graft.sources.Tables
+import graft.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Vector/feature operators over `embeddings` and the price columns:
+  * brute-force cosine top-k (the reference's retrieval scan,
+  * semantic.py:36-41), mean-pooling (embed.py:79), percentile-clipped
+  * min-max normalization, Gaussian price-fit, and the full feature blend.
+  */
+object VectorQueries {
+  import Helpers._
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k against a query vector: one scan, a
+    // per-partition heap for the top-k (TakeOrderedAndProject), no full
+    // sort. This is the ANN baseline; ties broken by id.
+    Q("q20_cosine_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec").as("qv"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorOps.cosine(col("vec"), col("qv")), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(20)
+    }, Some(
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         | round(${cosineSql("CAST(embedding AS DOUBLE[])", "qv")}, 6) AS sim
+         |FROM embeddings CROSS JOIN q
+         |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin)),
+
+    // Element-wise mean-pool per label via the typed Aggregator (single
+    // shuffle with map-side partial aggregation — embed.py:79 at scale).
+    Q("q21_meanpool_by_label", (s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy("label")
+        .agg(VectorOps.meanPool(VectorOps.asDouble(col("embedding"))).as("raw"))
+        .select(col("label"), VectorOps.roundVec(col("raw"), 6).as("centroid"))
+        .orderBy("label")
+    }, Some(
+      """SELECT label, list(v ORDER BY pos) AS centroid FROM (
+        |  SELECT label, pos, round(avg(val), 6) AS v FROM (
+        |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+        |           generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |  GROUP BY label, pos)
+        |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Percentile-clipped min-max normalization (rank.py:44-54) over part
+    // prices: scalar-aggregate bounds broadcast back over the scan.
+    Q("q22_minmax_price", (s, dir) => {
+      val df = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_retailprice").as("price"))
+      Features.minMaxNorm(df, "price", "norm_raw")
+        .select(col("p_partkey"), col("price"), round(col("norm_raw"), 6).as("norm"))
+        .orderBy("p_partkey")
+    }, Some(
+      s"""WITH b AS (SELECT quantile_cont(p_retailprice, 0.01) AS lo,
+         |                  quantile_cont(p_retailprice, 0.99) AS hi FROM part)
+         |SELECT p_partkey, p_retailprice AS price,
+         | round(${minMaxSql("p_retailprice", "lo", "hi")}, 6) AS norm
+         |FROM part CROSS JOIN b ORDER BY p_partkey""".stripMargin)),
+
+    // Gaussian price-fit (rank.py:163-179) with median anchor + pop-σ —
+    // every branch deterministic, anchor stats are one tiny aggregate.
+    Q("q23_price_fit", (s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          when(col("p_partkey") % 11 === 0, lit(null))
+            .otherwise(col("p_retailprice")).as("price"))
+      val stats = p.agg(median(col("price")).as("anchor"),
+        stddev_pop(col("price")).as("sigma"))
+      p.crossJoin(broadcast(stats))
+        .select(col("p_partkey"), col("price"),
+          round(Features.priceFit(col("price"), col("anchor"), col("sigma")), 6).as("fit"))
+        .orderBy("p_partkey")
+    }, Some(
+      s"""WITH p AS (SELECT p_partkey,
+         |  CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE p_retailprice END AS price FROM part),
+         |s AS (SELECT median(price) AS anchor, stddev_pop(price) AS sigma FROM p)
+         |SELECT p_partkey, price,
+         | round(${priceFitSql("price", "anchor", "sigma")}, 6) AS fit
+         |FROM p CROSS JOIN s ORDER BY p_partkey""".stripMargin)),
+
+    // Full feature computation on the meta-analog: Bayesian rating,
+    // log1p popularity + min-max norm, price-fit (rank.py:239-256).
+    Q("q24_feature_blend", (s, dir) => {
+      val meta = metaAnalog(Tables.documents(s, dir))
+      val stats = meta.agg(median(col("price")).as("anchor"),
+        stddev_pop(col("price")).as("sigma"))
+      val feat = meta.crossJoin(broadcast(stats))
+        .withColumn("bayes",
+          Features.bayesianRating(col("rating"), col("review_count")) / Features.MaxStarRating)
+        .withColumn("pop", Features.popularity(col("review_count")))
+        .withColumn("fit", Features.priceFit(col("price"), col("anchor"), col("sigma")))
+      Features.minMaxNorm(feat, "pop", "pop_norm")
+        .select(col("id"),
+          round(col("bayes"), 6).as("bayes"),
+          round(col("pop"), 6).as("pop"),
+          round(col("pop_norm"), 6).as("pop_norm"),
+          round(col("fit"), 6).as("fit"))
+        .orderBy("id")
+    }, Some(
+      s"""WITH meta AS ($metaAnalogSql),
+         |s AS (SELECT median(price) AS anchor, stddev_pop(price) AS sigma FROM meta),
+         |f AS (SELECT id, price,
+         |   ${bayesSql("rating", "review_count")}/5.0 AS bayes,
+         |   ${popularitySql("review_count")} AS pop,
+         |   ${priceFitSql("price", "anchor", "sigma")} AS fit
+         |  FROM meta CROSS JOIN s),
+         |b AS (SELECT quantile_cont(pop, 0.01) AS lo, quantile_cont(pop, 0.99) AS hi FROM f)
+         |SELECT id, round(bayes, 6) AS bayes, round(pop, 6) AS pop,
+         | round(${minMaxSql("pop", "lo", "hi")}, 6) AS pop_norm,
+         | round(fit, 6) AS fit
+         |FROM f CROSS JOIN b ORDER BY id""".stripMargin)))
+}

@@ -1,0 +1,74 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType` columns using Catalyst higher-order
+  * functions — no UDFs in the scalar path, so dot/cosine/normalize stay
+  * inside whole-stage codegen and scale linearly with a parquet scan.
+  *
+  * Semantics mirror the reference's numpy usage: cosine renormalizes both
+  * sides (reference: semantic.py:36-41 via sklearn), dot assumes
+  * pre-normalized inputs (rank.py:195-202), l2-normalize adds epsilon to
+  * the denominator (rank.py:282-289, EPSILON=1e-9 at rank.py:205).
+  * All math in double: callers should `cast("array<double>")` float inputs
+  * once at the boundary (float→double widening is exact).
+  */
+object VectorOps {
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def l2normalize(a: Column, epsilon: Double = 1e-9): Column = {
+    val n = norm(a) + lit(epsilon)
+    transform(a, x => x / n)
+  }
+
+  /** Element-wise rounding — pin float noise before oracle comparison. */
+  def roundVec(a: Column, scale: Int): Column = transform(a, x => round(x, scale))
+
+  /** Buffer for the mean-pool aggregate: running element-wise sum + count. */
+  case class VecBuf(sum: Array[Double], n: Long)
+
+  /** Element-wise mean of vectors — the reference's per-product embedding
+    * pooling (embed.py:79) as a typed Aggregator: one shuffle with map-side
+    * partial aggregation, versus two shuffles for the posexplode+avg plan.
+    */
+  object MeanPoolAgg extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
+    override def zero: VecBuf = VecBuf(Array.emptyDoubleArray, 0L)
+
+    private def add(sum: Array[Double], v: Seq[Double]): Array[Double] =
+      if (sum.isEmpty) v.toArray
+      else {
+        val out = sum.clone()
+        var i = 0
+        while (i < out.length && i < v.length) { out(i) += v(i); i += 1 }
+        out
+      }
+
+    override def reduce(b: VecBuf, a: Seq[Double]): VecBuf =
+      if (a == null) b else VecBuf(add(b.sum, a), b.n + 1)
+
+    override def merge(x: VecBuf, y: VecBuf): VecBuf =
+      if (x.n == 0) y
+      else if (y.n == 0) x
+      else VecBuf(add(x.sum, y.sum.toSeq), x.n + y.n)
+
+    override def finish(b: VecBuf): Seq[Double] =
+      if (b.n == 0) null else b.sum.map(_ / b.n).toSeq
+
+    override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** `meanPool(asDouble(col))` → array<double> centroid per group. */
+  val meanPool: UserDefinedFunction = udaf(MeanPoolAgg, ExpressionEncoder[Seq[Double]]())
+}

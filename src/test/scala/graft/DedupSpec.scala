@@ -1,0 +1,59 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Dedup operator semantics on constructed near-dups. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docB = "the quick brown fox jumps over the lazy dog near the river bank tonight" // 1-word change
+  private val docC = "completely different content about spark query engines and shuffles everywhere"
+
+  test("minHash LSH finds the near-dup pair and not the unrelated one") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("wordShingles: n-grams, short-doc collapse") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.wordShingles(TextOps.tokens(col("t")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("simhash: near-dups have smaller hamming distance than unrelated docs") {
+    val df = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("id", "text")
+      .select(col("id"), Dedup.simHashBits(TextOps.tokens(TextOps.cleanText(col("text")))).as("bits"))
+    val a = df.filter(col("id") === 1).select(col("bits").as("ba"))
+    val near = df.filter(col("id") === 2).crossJoin(a)
+      .select(Dedup.hamming(col("bits"), col("ba"))).head().getInt(0)
+    val far = df.filter(col("id") === 3).crossJoin(a)
+      .select(Dedup.hamming(col("bits"), col("ba"))).head().getInt(0)
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("cosineDupPairs finds identical-direction vectors only") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.5)),
+      (2L, Seq(2.0, 0.0, 0.0, 1.0)), // same direction as 1 → cosine 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    val pairs = Dedup.cosineDupPairs(vecs, "id", "vec", dim = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("signature is permutation-stable (set semantics)") {
+    val df = Seq("a b c d e f", "f e d c b a").toDF("t")
+      .select(Dedup.minHashSignature(
+        array_distinct(Dedup.wordShingles(TextOps.tokens(col("t")), 1))).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1)) // same token SET → same 1-gram signature
+  }
+}
