@@ -5,22 +5,148 @@ import graft.vector.VectorOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import scala.util.hashing.MurmurHash3
+
 /** Large-scale dedup operators (the LLM-training-pipeline extensions):
   * exact hash-dedup, MinHash+LSH banding, SimHash, and embedding-cosine
   * near-dup via random-hyperplane LSH.
   *
-  * Scale notes: every variant is shuffle-on-key — exact dedup shuffles on
-  * the content hash; MinHash shuffles on (band_idx, band_key); vector LSH
-  * shuffles on (table_idx, bucket-bits). Candidate verification (true
-  * Jaccard / true cosine) happens only inside buckets, so the O(n²)
-  * pair explosion never materializes. All hash functions are seeded,
-  * deterministic column expressions (xxhash64), so results are stable
-  * across runs and partitionings.
+  * Scale design:
+  *  - Sketches (signatures, bucket keys) are computed in tight JVM loops
+  *    inside typed map/flatMap — Spark's higher-order array functions are
+  *    interpreted (no codegen), so a 64-hash-per-shingle signature as a
+  *    column expression is 1-2 orders of magnitude slower.
+  *  - The band shuffle carries ONLY (id, band_idx, band_key) — never the
+  *    document payload. Candidate pairs are deduplicated skinny, and the
+  *    payload (shingle set / vector) is joined back just for the exact
+  *    verification of surviving candidates. At 100 TB the text never
+  *    rides the wide shuffle.
+  *  - Verification math (Jaccard ratio, cosine) uses the same
+  *    left-to-right double arithmetic as the DuckDB oracle, so emitted
+  *    values are bit-identical cross-engine.
   */
 object Dedup {
 
-  /** Word n-gram shingles of a token array; documents shorter than n
-    * collapse to a single whole-document shingle.
+  // ---------------------------------------------------------------- hashing
+
+  /** 64-bit base hash of a shingle — deterministic across JVMs
+    * (MurmurHash3 is pure Scala).
+    */
+  private[dedup] def baseHash(s: String): Long = {
+    val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+    h1.toLong << 32 | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Sorted distinct 64-bit hashes of a shingle set: the verification
+    * currency — Jaccard over these equals Jaccard over the string sets
+    * up to a ~1e-13 collision probability, at a fraction of the memory
+    * and compare cost.
+    */
+  def shingleHashes(shingles: Seq[String]): Array[Long] =
+    sortDedup(shingles.iterator.map(baseHash).toArray)
+
+  private def sortDedup(arr: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(arr)
+    var n = 0
+    var i = 0
+    while (i < arr.length) {
+      if (n == 0 || arr(n - 1) != arr(i)) { arr(n) = arr(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(arr, n)
+  }
+
+  /** Shingle + hash in one JVM pass over the token stream (the column-
+    * expression shingler allocates an array slice + concat per shingle in
+    * interpreted eval — ~100× slower). Produces exactly the hashes of
+    * `wordShingles` strings: n-gram space-joined, whole-doc fallback.
+    */
+  def shingleHashesFromTokens(toks: Seq[String], n: Int = 3): Array[Long] = {
+    val t = toks.toIndexedSeq
+    if (t.length < n) return Array(baseHash(t.mkString(" ")))
+    val out = new Array[Long](t.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= t.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(t(i + j))
+        j += 1
+      }
+      out(i) = baseHash(sb.toString)
+      i += 1
+    }
+    sortDedup(out)
+  }
+
+  /** Seeded hash family via the splitmix64 finalizer: full avalanche per
+    * component, so each i behaves as an independent permutation of the
+    * shingle space. (A linear family h + i·c is NOT min-wise independent
+    * — its component orderings collapse onto one permutation, which
+    * empirically cost ~9% recall on J≈0.7-0.9 pairs.)
+    */
+  @inline private def seeded(h: Long, i: Int): Long = {
+    var z = h + i.toLong * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** k-component MinHash signature from hashed shingles. */
+  def signatureFromHashes(hs: Array[Long], k: Int = 144): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < k) { val v = seeded(h, i); if (v < sig(i)) sig(i) = v; i += 1 }
+      j += 1
+    }
+    sig
+  }
+
+  /** k-component MinHash signature of a shingle string set. */
+  def signature(shingles: Seq[String], k: Int = 144): Array[Long] =
+    signatureFromHashes(shingleHashes(shingles), k)
+
+  /** Exact Jaccard of two sorted distinct long arrays (merge count). */
+  private[dedup] def jaccardSorted(a: Seq[Long], b: Seq[Long]): Double = {
+    val (xa, xb) = (a.toArray, b.toArray)
+    var i = 0; var j = 0; var inter = 0
+    while (i < xa.length && j < xb.length) {
+      if (xa(i) == xb(j)) { inter += 1; i += 1; j += 1 }
+      else if (xa(i) < xb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (xa.length + xb.length - inter)
+  }
+
+  private[dedup] val jaccardSortedUdf =
+    udf((a: Seq[Long], b: Seq[Long]) => jaccardSorted(a, b))
+
+  /** Banded LSH keys: signature → `bands` fold-hashed keys; a pair
+    * colliding on ANY band becomes a candidate.
+    */
+  def bandKeysJvm(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L + b
+      var r = 0
+      while (r < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + r); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  // ----------------------------------------------------------- shingling
+
+  /** Word n-gram shingles of a token array (column form); documents
+    * shorter than n collapse to a single whole-document shingle.
     */
   def wordShingles(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -28,69 +154,67 @@ object Dedup {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** k-component MinHash signature: one aggregate pass over the shingles,
-    * maintaining the element-wise min of k seeded hashes (seed mixed in
-    * as an extra xxhash64 argument).
-    */
-  def minHashSignature(shingles: Column, k: Int = 64): Column =
-    aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s)),
-        (a, b) => least(a, b)))
-
-  /** LSH band keys: signature → `bands` keys of `rowsPerBand` components
-    * each (banded so a pair colliding on ANY band becomes a candidate).
-    */
-  def bandKeys(sig: Column, bands: Int = 32, rowsPerBand: Int = 2): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws("_", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
-
-  /** Exact token-set Jaccard between two pre-distinct token arrays. */
+  /** Exact token/shingle-set Jaccard between two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** MinHash-LSH near-dup pairs over (id, text): candidates from band
-    * collisions, verified with exact Jaccard over the distinct SHINGLE
-    * sets — the same metric the signatures estimate, so LSH recall
-    * guarantees apply (verifying on a different metric than you hashed
-    * silently loses pairs). Returns (id_a, id_b, jaccard) with
-    * id_a < id_b, deduplicated.
+  // ------------------------------------------------------------- MinHash
+
+  /** MinHash-LSH near-dup pairs over (id, text): banded candidates from a
+    * skinny (id, band_idx, band_key) shuffle, exact Jaccard over the
+    * hashed shingle sets for verification — the same metric the
+    * signatures estimate, so the (1-J^r)^b recall bound applies to the
+    * final result. Defaults (48 bands × 3 rows): a J=0.64 pair is missed
+    * w.p. (1-0.64³)⁴⁸ ≈ 5e-7, while J≤0.1 background pairs become
+    * candidates w.p. ≤0.6% — band width is the precision/recall lever,
+    * and candidate volume (not signature cost) is what explodes when r is
+    * too small. Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5,
-                      k: Int = 64, bands: Int = 32): DataFrame = {
+                      k: Int = 144, bands: Int = 48): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val rowsPerBand = k / bands
-    val base = docs.select(
-      col(idCol).as("id"),
-      array_distinct(
-        wordShingles(TextOps.tokens(TextOps.cleanText(col(textCol))))).as("shingles"))
-    val sigs = base
-      .withColumn("sig", minHashSignature(col("shingles"), k))
-      .select(col("id"), col("shingles"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band")
-    val a = sigs.select(col("band_idx"), col("band"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = sigs.select(col("band_idx"), col("band"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band_idx", "band"))
-      .filter(col("id_a") < col("id_b"))
+    // Persisted: feeds the band generation AND both verify joins — the
+    // plan would otherwise re-run clean+shingle+hash three times. Tiny
+    // relative to the corpus (~n_shingles longs per doc).
+    val hashed = docs.select(
+        col(idCol).as("id"),
+        TextOps.tokens(TextOps.cleanText(col(textCol))).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, shingleHashesFromTokens(toks).toSeq) }
+      .toDF("id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bandRows = hashed.as[(Long, Seq[Long])]
+      .flatMap { case (id, hs) =>
+        bandKeysJvm(signatureFromHashes(hs.toArray, k), bands, rowsPerBand)
+          .zipWithIndex.map { case (bk, bi) => (id, bi, bk) }
+      }
+      .toDF("id", "band_idx", "band")
+
+    val cands = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardSortedUdf(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------- SimHash
+
   /** 64-bit SimHash from token stream: per-bit vote of seeded token
-    * hashes; emitted as the lower 32 bits (non-negative long) plus the
-    * full bit array for Hamming comparisons.
+    * hashes, as a bit array (column form, used by q18 + Hamming checks).
     */
   def simHashBits(toks: Column, bits: Int = 64): Column = {
     val votes = aggregate(
@@ -109,40 +233,86 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
 
-  /** Random-hyperplane LSH bucket bits for one table: sign pattern of the
-    * vector against `bitsPerTable` deterministic pseudo-random planes.
-    * Planes are generated driver-side from a seeded java.util.Random —
-    * stable across JVMs — and folded into the plan as literals.
+  // -------------------------------------------------- hyperplane LSH
+
+  /** Deterministic pseudo-random hyperplanes (seeded java.util.Random —
+    * stable across JVMs), shared by bucket computation and ANN search.
     */
-  def hyperplaneBuckets(vec: Column, dim: Int, tables: Int = 8,
-                        bitsPerTable: Int = 4, seed: Long = 42L): Column = {
+  def planes(dim: Int, tables: Int, bitsPerTable: Int,
+             seed: Long = 42L): Array[Array[Array[Double]]] = {
     val rnd = new java.util.Random(seed)
-    val planes = Array.fill(tables, bitsPerTable, dim)(rnd.nextGaussian())
-    val tableKeys = (0 until tables).map { t =>
-      val bits = (0 until bitsPerTable).map { j =>
-        val plane = typedLit(planes(t)(j).toSeq)
-        when(VectorOps.dot(vec, plane) >= 0, lit(1)).otherwise(lit(0))
-      }
-      concat_ws("", lit(t.toString) +: lit("_") +: bits: _*)
-    }
-    array(tableKeys: _*)
+    Array.fill(tables, bitsPerTable, dim)(rnd.nextGaussian())
   }
 
-  /** Embedding near-dup pairs: multi-table hyperplane LSH candidates,
-    * verified with exact cosine ≥ threshold. (id_a < id_b, deduplicated.)
+  /** One bucket key per table: table index + sign pattern of the vector
+    * against that table's planes, packed into a long.
+    */
+  def bucketKeys(vec: Seq[Double], pl: Array[Array[Array[Double]]]): Array[Long] = {
+    val out = new Array[Long](pl.length)
+    var t = 0
+    while (t < pl.length) {
+      var key = t.toLong << 32
+      var j = 0
+      while (j < pl(t).length) {
+        var d = 0.0
+        val p = pl(t)(j)
+        var i = 0
+        val n = math.min(p.length, vec.length)
+        while (i < n) { d += vec(i) * p(i); i += 1 }
+        key = (key << 1) | (if (d >= 0) 1L else 0L)
+        j += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    out
+  }
+
+  /** Exact cosine with left-to-right double accumulation — bit-identical
+    * to the HOF/DuckDB formulation used by the oracles.
+    */
+  private[graft] def cosineJvm(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private[graft] val cosineUdf =
+    udf((a: Seq[Double], b: Seq[Double]) => cosineJvm(a, b))
+
+  /** Embedding near-dup pairs: multi-table hyperplane-LSH candidates from
+    * a skinny (id, bucket) shuffle, exact cosine ≥ threshold on the
+    * joined-back vectors. (id_a < id_b, deduplicated.)
     */
   def cosineDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                      dim: Int, threshold: Double = 0.99,
                      tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val pl = planes(dim, tables, bitsPerTable)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", explode(hyperplaneBuckets(col("vec"), dim, tables, bitsPerTable)))
-    val a = base.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = base.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+
+    val bucketRows = base.as[(Long, Seq[Double])]
+      .flatMap { case (id, v) => bucketKeys(v, pl).map(bk => (id, bk)) }
+      .toDF("id", "bucket")
+
+    val cands = bucketRows.as("a")
+      .join(bucketRows.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    cands
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        VectorOps.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        cosineUdf(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

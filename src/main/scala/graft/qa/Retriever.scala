@@ -30,9 +30,9 @@ object Retriever {
                embedder: Embedder = HashTfEmbedder(64)): DataFrame = {
     val qToks = question.toLowerCase.split("\\s+").toSeq
     val emb = embedder.embedTokens(TextOps.tokens(TextOps.cleanText(col("chunk"))))
-    val qEmbOf = embedder.embedTokens(typedLit(qToks))
+    val qEmb = typedLit(embedder.embed(qToks).toSeq)
     chunks.filter(col("id") === focusId)
-      .withColumn("sim", round(VectorOps.cosine(emb, qEmbOf), 6))
+      .withColumn("sim", round(VectorOps.cosine(emb, qEmb), 6))
       .select(col("field"), col("chunk"), col("sim"))
       .orderBy(desc("sim"), asc("field"))
       .limit(k)

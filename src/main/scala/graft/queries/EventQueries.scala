@@ -70,6 +70,47 @@ object EventQueries {
          | count(DISTINCT event_type) AS n_types
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // As-of / lag: each event joined to the user's previous event —
+    // value delta and whole-second gap, all in exact integer nanos.
+    Q("q33_prev_event_lag", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 4).as("value"),
+          round(col("prev_value"), 4).as("prev_value"),
+          (epochSec(col("ts")) - epochSec(col("prev_ts"))).cast("long").as("gap_sec"))
+        .orderBy("user_id", "event_id")
+    }, Some(
+      """SELECT user_id, event_id, round(value, 4) AS value,
+        | round(prev_value, 4) AS prev_value,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |   - CAST(epoch(date_trunc('second', prev_ts)) AS BIGINT) AS gap_sec
+        |FROM (SELECT user_id, event_id, ts, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events)
+        |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Structured Streaming surface registered in the driver contract: the
+    // watermarked tumbling-window aggregation run to completion over the
+    // static directory (memory sink), counts only (exact cross-engine).
+    Q("q34_streaming_hourly", (s, dir) => {
+      // file-source needs a directory; stage the single parquet into one
+      val tmp = java.nio.file.Files.createTempDirectory("events-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"))
+      val name = s"events_hourly_${System.nanoTime()}"
+      graft.streaming.EventsStream.runOnce(s, tmp.toString, name)
+        .select(col("hour_epoch"), col("event_type"), col("n"))
+        .orderBy("hour_epoch", "event_type")
+    }, Some(
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
+
     // Top event per user by value: window ranking over the user_id
     // shuffle partitioning.
     Q("q32_top_event_per_user", (s, dir) => {

@@ -61,5 +61,46 @@ object PipelineQueries {
         Seq("title", "summary", "rating", "review_count", "price"))
       Retriever.retrieve(chunks, focusId = 1L,
         question = "what is the price and rating of this product")
-    }, None))
+    }, None),
+
+    // Extractive blurb template — the deterministic substitute for the
+    // reference's LLaVA summarizer (summarize.py:44-57, SURVEY §2.9).
+    // Rating values are exact one-decimal doubles, so %.1f renders
+    // identically in Java and C printf.
+    Q("q53_blurbs", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          format_string("%s (%s) - rated %.1f/5",
+            substring(col("text"), 1, 40), col("source"),
+            coalesce(when(col("doc_id") % 5 === 0, lit(null))
+              .otherwise(lit(3.0) + (col("doc_id") % 21) / lit(10.0)), lit(4.3))).as("blurb"))
+        .orderBy("id")
+    }, Some(
+      """SELECT doc_id AS id,
+        | printf('%s (%s) - rated %.1f/5', substr(text, 1, 40), source,
+        |   coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            ELSE 3.0 + (doc_id % 21)/10.0 END, 4.3)) AS blurb
+        |FROM documents ORDER BY id""".stripMargin)),
+
+    // Model-output cleanup (summarize.py:11-25): strip outer quotes, keep
+    // text after the last ASSISTANT: marker, strip end markers.
+    Q("q54_extract_summary", (s, dir) => {
+      val raw = concat(lit("\"USER: "), substring(col("text"), 1, 20),
+        lit(" ASSISTANT: "), substring(col("text"), 21, 40), lit("</s>\""))
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          graft.text.TextOps.extractSummary(raw).as("summary"))
+        .orderBy("id")
+    }, Some(
+      """SELECT doc_id AS id,
+        | trim(regexp_replace(
+        |   CASE WHEN strpos(unq, 'ASSISTANT:') > 0
+        |        THEN string_split(unq, 'ASSISTANT:')[-1] ELSE unq END,
+        |   '(</s>|\[END\]|\[/ASSISTANT\])+$', '', 'g')) AS summary
+        |FROM (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    '"USER: ' || substr(text, 1, 20) || ' ASSISTANT: ' || substr(text, 21, 40) || '</s>"',
+        |    '^"', ''), '"$', '') AS unq
+        | FROM documents)
+        |ORDER BY id""".stripMargin)))
 }

@@ -122,6 +122,63 @@ object RelationalQueries {
          |GROUP BY r_name, o_orderpriority
          |ORDER BY r_name, o_orderpriority""".stripMargin)),
 
+    // Set operations: segments served in both nation halves, and the
+    // one-sided remainders (INTERSECT / EXCEPT distinct semantics).
+    Q("q07_segment_set_ops", (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val lo = c.filter(col("c_nationkey") < 12).select("c_mktsegment")
+      val hi = c.filter(col("c_nationkey") >= 12).select("c_mktsegment")
+      lo.intersect(hi).withColumn("side", lit("both"))
+        .unionAll(lo.except(hi).withColumn("side", lit("low_only")))
+        .unionAll(hi.except(lo).withColumn("side", lit("high_only")))
+        .orderBy("side", "c_mktsegment")
+    }, Some(
+      """SELECT c_mktsegment, side FROM (
+        |  SELECT c_mktsegment, 'both' AS side FROM (
+        |    SELECT c_mktsegment FROM customer WHERE c_nationkey < 12
+        |    INTERSECT SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12)
+        |  UNION ALL SELECT c_mktsegment, 'low_only' FROM (
+        |    SELECT c_mktsegment FROM customer WHERE c_nationkey < 12
+        |    EXCEPT SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12)
+        |  UNION ALL SELECT c_mktsegment, 'high_only' FROM (
+        |    SELECT c_mktsegment FROM customer WHERE c_nationkey >= 12
+        |    EXCEPT SELECT c_mktsegment FROM customer WHERE c_nationkey < 12))
+        |ORDER BY side, c_mktsegment""".stripMargin)),
+
+    // Rollup: region × priority counts with subtotals and grand total;
+    // grouping nulls coalesced to 'ALL' so null-ordering semantics never
+    // enter the comparison.
+    Q("q08_rollup_priority", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      // SQL ROLLUP: the Dataset rollup API false-positives Spark's
+      // ambiguous-self-join detector under this join shape (Expand
+      // re-tags the grouping attributes); GROUP BY ROLLUP does not.
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("q08_joined")
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region,
+          | coalesce(o_orderpriority, 'ALL') AS priority,
+          | count(*) AS n,
+          | round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 4) AS total
+          |FROM q08_joined GROUP BY ROLLUP (r_name, o_orderpriority)
+          |ORDER BY region, priority""".stripMargin)
+    }, Some(
+      s"""SELECT coalesce(r_name, 'ALL') AS region,
+         | coalesce(o_orderpriority, 'ALL') AS priority,
+         | count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, o_orderpriority)
+         |ORDER BY region, priority""".stripMargin)),
+
     // Part-type market share: join to a mid-size dim + conditional agg.
     Q("q06_brand_type_share", (s, dir) => {
       val li = Tables.lineitem(s, dir)

@@ -12,11 +12,10 @@ import org.apache.spark.sql.functions._
   * heap (TakeOrderedAndProject), no global sort — O(n·d) work, O(k)
   * driver result, scales to any corpus the scan scales to.
   *
-  * `annTopK` is the scale path: restrict the scan to candidates sharing a
-  * hyperplane-LSH bucket with the query (any of `tables` independent
-  * tables), then exact-rank the survivors. At 100 TB the bucketed join
-  * touches ~n/2^bits of the corpus per table instead of all of it; recall
-  * is tunable via (tables, bitsPerTable).
+  * `annTopK` is the scale path: hyperplane-LSH bucket keys (JVM-computed,
+  * skinny) restrict the exact rerank to candidates sharing any of the
+  * query's buckets — at cluster scale the scan prunes to ~n/2^bits per
+  * table; recall is tunable via (tables, bitsPerTable).
   */
 object Knn {
 
@@ -36,13 +35,21 @@ object Knn {
               query: Array[Double], k: Int,
               tables: Int = 8, bitsPerTable: Int = 4,
               roundScale: Int = 6): DataFrame = {
-    val q = typedLit(query)
-    val queryBuckets = Dedup.hyperplaneBuckets(q, dim, tables, bitsPerTable)
-    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        explode(Dedup.hyperplaneBuckets(col(vecCol), dim, tables, bitsPerTable)).as("bucket"))
-      .filter(array_contains(queryBuckets, col("bucket")))
-      .dropDuplicates("id")
-      .select(col("id"), round(VectorOps.cosine(col("vec"), q), roundScale).as("sim"))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val pl = Dedup.planes(dim, tables, bitsPerTable)
+    val queryBuckets = Dedup.bucketKeys(query.toSeq, pl).toSet
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    val candIds = base.as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        if (Dedup.bucketKeys(v, pl).exists(queryBuckets.contains)) Some(id) else None
+      }
+      .toDF("id")
+
+    base.join(candIds, "id")
+      .select(col("id"),
+        round(Dedup.cosineUdf(col("vec"), typedLit(query.toSeq)), roundScale).as("sim"))
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
   }

@@ -27,9 +27,14 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Normalizes via zip_with against an array_repeat of the norm: the
+    * norm child is evaluated ONCE per row. (A naive `transform(a, _ / norm)`
+    * re-evaluates the norm aggregate per ELEMENT — O(d²) per vector,
+    * because higher-order lambdas are interpreted with no CSE.)
+    */
   def l2normalize(a: Column, epsilon: Double = 1e-9): Column = {
     val n = norm(a) + lit(epsilon)
-    transform(a, x => x / n)
+    zip_with(a, array_repeat(n, size(a)), (x, nn) => x / nn)
   }
 
   /** Element-wise rounding — pin float noise before oracle comparison. */

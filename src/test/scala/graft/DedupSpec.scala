@@ -50,10 +50,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("signature is permutation-stable (set semantics)") {
-    val df = Seq("a b c d e f", "f e d c b a").toDF("t")
-      .select(Dedup.minHashSignature(
-        array_distinct(Dedup.wordShingles(TextOps.tokens(col("t")), 1))).as("sig"))
-    val sigs = df.collect().map(_.getSeq[Long](0))
-    assert(sigs(0) == sigs(1)) // same token SET → same 1-gram signature
+    val a = Dedup.signature(Seq("a", "b", "c", "d", "e", "f"))
+    val b = Dedup.signature(Seq("f", "e", "d", "c", "b", "a"))
+    assert(a.toSeq == b.toSeq) // same shingle SET → same signature
+    val c = Dedup.signature(Seq("a", "b", "c", "d", "e", "zzz"))
+    assert(a.toSeq != c.toSeq)
   }
 }
