@@ -113,7 +113,7 @@ object Dedup {
     signatureFromHashes(shingleHashes(shingles), k)
 
   /** Exact Jaccard of two sorted distinct long arrays (merge count). */
-  private[dedup] def jaccardSorted(a: Seq[Long], b: Seq[Long]): Double = {
+  private[graft] def jaccardSorted(a: Seq[Long], b: Seq[Long]): Double = {
     val (xa, xb) = (a.toArray, b.toArray)
     var i = 0; var j = 0; var inter = 0
     while (i < xa.length && j < xb.length) {

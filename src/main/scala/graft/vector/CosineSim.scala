@@ -1,0 +1,108 @@
+package graft.vector
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression for cosine similarity over two
+  * array<double> columns, with whole-stage codegen (`doGenCode`).
+  *
+  * This is the hot inner loop of the retrieval scan (reference:
+  * semantic.py:36-41 scans every product embedding per query): the
+  * higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * interpreted per element and allocates an intermediate array per row;
+  * this expression compiles to three primitive loops inside the stage.
+  * The accumulation order (dot, then each norm, left-to-right) is
+  * identical to the HOF version and the DuckDB oracle, so results are
+  * bit-identical and oracle parity is preserved.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def prettyName: String = CosineSim.fnName
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    i = 0
+    while (i < x.numElements()) { na += x.getDouble(i) * x.getDouble(i); i += 1 }
+    i = 0
+    while (i < y.numElements()) { nb += y.getDouble(i) * y.getDouble(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $na += $a.getDouble($i) * $a.getDouble($i);
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  $nb += $b.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  val fnName = "cosine_sim"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSim].getName, null, fnName,
+    "_FUNC_(a, b) - cosine similarity of two double arrays", "")
+
+  val builder: Seq[Expression] => Expression =
+    exprs => CosineSim(exprs.head, exprs(1))
+
+  /** Imperative registration on an existing session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnName, builder, "scala_udf")
+}
+
+/** Session extension wiring: `--conf spark.sql.extensions=graft.vector.
+  * GraftExtensions` (or `.withExtensions(new GraftExtensions)`) makes
+  * `cosine_sim` available to plain SQL on every session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((FunctionIdentifier(CosineSim.fnName), CosineSim.info, CosineSim.builder))
+}

@@ -25,7 +25,21 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd native expression (see CosineSim) — same accumulation
+    * order as `cosineHof`, bit-identical results, but compiled into the
+    * stage instead of interpreted per element. This is the retrieval
+    * scan's inner loop, so it must stay inside whole-stage codegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      CosineSim(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Higher-order-function formulation, kept as a cross-check oracle for
+    * the native expression (VectorOpsSpec asserts bit-equality).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Normalizes via zip_with against an array_repeat of the norm: the
     * norm child is evaluated ONCE per row. (A naive `transform(a, _ / norm)`

@@ -1,0 +1,104 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.rank.{Features, MMR}
+import graft.text.BudgetParser
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY §5.3). Pure-JVM operators are
+  * checked with ScalaCheck directly; column expressions are checked by
+  * pushing one seeded random batch through a single Spark action.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def holds(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("MMR output is a duplicate-free subset of input with length min(k,n)") {
+    val genCand = for {
+      id <- Gen.choose(0L, 50L)
+      score <- Gen.choose(0.0, 1.0)
+      vec <- Gen.listOfN(4, Gen.choose(-1.0, 1.0))
+    } yield MMR.Candidate(id, score, vec.toArray)
+    holds(Prop.forAll(Gen.listOf(genCand), Gen.choose(0, 10)) { (cands0, k) =>
+      val cands = cands0.distinctBy(_.id)
+      val out = MMR.select(cands, k)
+      val ids = out.map(_.id)
+      ids.length == math.min(k, cands.length) &&
+        ids.distinct.length == ids.length &&
+        ids.forall(cands.map(_.id).contains)
+    })
+  }
+
+  test("jaccardSorted is in [0,1], reflexive at 1, symmetric") {
+    val genSet = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+      .map(l => l.distinct.sorted)
+    holds(Prop.forAll(genSet, genSet) { (a, b) =>
+      val j = Dedup.jaccardSorted(a, b)
+      val sym = Dedup.jaccardSorted(b, a)
+      (a.isEmpty && b.isEmpty) || (j >= 0.0 && j <= 1.0 && j == sym &&
+        (a.isEmpty || Dedup.jaccardSorted(a, a) == 1.0))
+    })
+  }
+
+  test("cosineJvm bounded, reflexive, symmetric") {
+    val genVec = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
+      .suchThat(_.exists(_ != 0.0))
+    holds(Prop.forAll(genVec, genVec) { (a, b) =>
+      val c = Dedup.cosineJvm(a, b)
+      math.abs(c) <= 1.0 + 1e-9 &&
+        math.abs(Dedup.cosineJvm(a, a) - 1.0) <= 1e-9 &&
+        c == Dedup.cosineJvm(b, a)
+    })
+  }
+
+  test("minhash signature is permutation-invariant and component-wise monotone under union") {
+    val genShingles = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    holds(Prop.forAll(genShingles, Gen.long) { (sh, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(sh)
+      val s1 = Dedup.signature(sh, 16).toSeq
+      s1 == Dedup.signature(shuffled, 16).toSeq &&
+        Dedup.signature(sh ++ List("extra"), 16).toSeq.zip(s1).forall { case (u, o) => u <= o }
+    })
+  }
+
+  test("column features: priceFit in [0,1], minMaxNorm in [0,1]∪{0.5}, blend monotone in sim") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(500) { i =>
+      val price = if (i % 7 == 0) None else Some(rnd.nextDouble() * 1000 - 50)
+      val anchor = if (i % 5 == 0) None else Some(rnd.nextDouble() * 800)
+      val std = if (i % 3 == 0) None else Some(rnd.nextDouble() * 200)
+      (i.toLong, price, anchor, std, rnd.nextDouble() * 100)
+    }
+    val df = rows.toDF("id", "price", "anchor", "std", "x")
+    val fit = df.select(
+      Features.priceFit(col("price"), col("anchor"), col("std")).as("f")).collect()
+    assert(fit.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0))
+
+    val normed = Features.minMaxNorm(df, "x", "n").select("n").collect()
+    assert(normed.forall { r =>
+      val v = r.getDouble(0); (v >= 0.0 && v <= 1.0) || v == 0.5
+    })
+
+    val blends = df.select(
+      Features.blend(col("x") / 100, lit(0.5), lit(0.5), lit(0.5), lit(0.5)).as("b"),
+      (col("x") / 100).as("s")).collect().map(r => (r.getDouble(1), r.getDouble(0)))
+    val sorted = blends.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, b1), (_, b2)) => b1 <= b2 })
+  }
+
+  test("parseBudget is null or positive on arbitrary text") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("under", "between", "and", "around", "budget", "k", "$",
+      "100", "2.5", "1,250", "-", "~", "to", "washer", "quiet", "3kk", "", "≤")
+    val texts = Seq.tabulate(300)(_ =>
+      Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" "))
+    val got = texts.toDF("q")
+      .select(BudgetParser.parseBudget(col("q")).as("b")).collect()
+    assert(got.forall(r => r.isNullAt(0) || r.getDouble(0) > 0))
+  }
+}

@@ -21,6 +21,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - expected) < 1e-12)
   }
 
+  test("native CosineSim is bit-identical to the HOF formulation") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(VectorOps.asDouble(col("embedding")).as("v"))
+    val q = emb.limit(1).select(col("v").as("qv"))
+    val both = emb.crossJoin(q).select(
+      VectorOps.cosine(col("v"), col("qv")).as("native"),
+      VectorOps.cosineHof(col("v"), col("qv")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("cosine_sim registers as a SQL function") {
+    VectorOps // touch
+    graft.vector.CosineSim.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.5d, 0.0d)) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),
