@@ -111,6 +111,28 @@ object EventQueries {
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
 
+    // Stateful sessionization (flatMapGroupsWithState + event-time
+    // timeout): custom per-user state no windowed aggregate can express.
+    // Rows-only check; StreamingSpec proves emitted sessions equal the
+    // batch lag/cumsum sessionization on the same data.
+    Q("q35_sessionize", (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("events-sess")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"))
+      val name = s"sessions_${System.nanoTime()}"
+      val q = graft.streaming.EventsStream
+        .sessionize(graft.streaming.EventsStream.source(s, tmp.toString))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("duration_sec"), round(col("value_sum"), 4).as("value_sum"))
+        .orderBy("user_id", "session_start")
+    }, None),
+
     // Top event per user by value: window ranking over the user_id
     // shuffle partitioning.
     Q("q32_top_event_per_user", (s, dir) => {

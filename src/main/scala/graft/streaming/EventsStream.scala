@@ -60,4 +60,69 @@ object EventsStream {
     q.stop()
     spark.table(queryName)
   }
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  final case class Session(user_id: Long, session_start: Long, n_events: Long,
+                           duration_sec: Long, value_sum: Double)
+
+  /** Custom-state sessionization with flatMapGroupsWithState: events of a
+    * user belong to one session while gaps stay under `gapSec`; a session
+    * closes on a larger gap (emitting it) or on event-time timeout once
+    * the watermark passes. This is the canonical stateful-streaming shape
+    * (KeyValueGroupedDataset + GroupState) that windowed aggregation
+    * cannot express.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NanosPerSec = 1000000000L
+
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur = state.getOption
+      if (state.hasTimedOut) {
+        cur.foreach { s =>
+          out += Session(userId, s.start / NanosPerSec, s.n,
+            (s.last - s.start) / NanosPerSec, s.value)
+        }
+        state.remove()
+        cur = None
+      }
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts - s.last <= gapSec * NanosPerSec =>
+            cur = Some(SessionState(s.start, e.ts, s.n + 1, s.value + e.value))
+          case Some(s) =>
+            out += Session(userId, s.start / NanosPerSec, s.n,
+              (s.last - s.start) / NanosPerSec, s.value)
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last / 1000000L + gapSec * 1000L)
+      }
+      out.iterator
+    }
+
+    typed
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("event_ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
 }

@@ -9,6 +9,53 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 class StreamingSpec extends SparkSpec {
 
+  test("flatMapGroupsWithState sessionization emits valid closed sessions") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("events-sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val q = graft.streaming.EventsStream
+      .sessionize(graft.streaming.EventsStream.source(spark, dir), gapSec = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("t_sessions").collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall { r =>
+      r.getAs[Long]("n_events") >= 1 && r.getAs[Long]("duration_sec") >= 0
+    })
+
+    // every emitted session must equal a batch-derived session
+    // (lag-gap cumulative-sum sessionization over the same file)
+    val NanosPerSec = 1000000000L
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batchSessions = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > lit(1800L * NanosPerSec), 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      // exact integer division — long/long `/` goes through double and
+      // loses sub-second bits at epoch-nanos magnitude
+      .agg(expr("min(ts) DIV 1000000000").as("session_start"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+    val batchSet = batchSessions.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val emitted = sessions
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("n_events")))
+    assert(emitted.forall(batchSet.contains),
+      s"emitted not subset: ${emitted.filterNot(batchSet.contains).take(3).mkString(",")}")
+  }
+
   test("watermarked hourly window agg matches batch totals") {
     val dir = Files.createTempDirectory("events-stream").toString
     Files.copy(
