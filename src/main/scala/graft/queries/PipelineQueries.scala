@@ -27,6 +27,17 @@ object PipelineQueries {
       Knn.annTopK(emb, "vec_id", "vec", dim = 64, query = qv, k = 20)
     }, None),
 
+    // IVF ANN: deterministic coarse k-means cells + nprobe search.
+    // Centroid model depends on the training loop → rows-only; IvfSpec
+    // proves determinism and the nprobe=k ≡ brute-force degeneracy.
+    Q("q26_ivf_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+      val model = graft.similarity.Ivf.train(emb, "vec_id", "vec", k = 16, iters = 3)
+      graft.similarity.Ivf.topK(emb, "vec_id", "vec", model, qv, k = 20, nprobe = 4)
+    }, None),
+
     // Multimodal decode: binary payload + metadata → batched partition-
     // wise feature extraction (deterministic stub decoder). For ASCII
     // payloads brightness == mean codepoint, which DuckDB can mirror —

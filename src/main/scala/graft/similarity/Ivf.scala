@@ -1,0 +1,117 @@
+package graft.similarity
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: a deterministic coarse k-means
+  * quantizer partitions the corpus into cells; a query probes only the
+  * `nprobe` nearest cells and exact-ranks the survivors.
+  *
+  * Scale shape: centroids are always driver-sized (k × dim doubles);
+  * assignment is one narrow map over the corpus per Lloyd iteration with
+  * a map-side-combinable mean aggregation back — the classic
+  * "small model, big data" loop. The search scan prunes to
+  * ~nprobe/k of the corpus, trading recall for throughput in the same
+  * way as the hyperplane-LSH path (Knn.annTopK); IVF tends to win when
+  * the corpus clusters, LSH when it does not.
+  *
+  * Determinism: initial centroids are the vectors at evenly spaced
+  * positions in vec-id order; Lloyd updates are exact means — no RNG.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nearestCell(v: Seq[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    /** Cells sorted by distance to the query (for nprobe selection). */
+    def nearestCells(v: Seq[Double], nprobe: Int): Seq[Int] =
+      centroids.indices
+        .map { c =>
+          val ctr = centroids(c)
+          var d = 0.0
+          var i = 0
+          val n = math.min(ctr.length, v.length)
+          while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+          c -> d
+        }
+        .sortBy(_._2).take(nprobe).map(_._1)
+  }
+
+  /** Deterministic Lloyd training: evenly spaced seeds, `iters` exact
+    * mean updates. Empty cells keep their previous centroid.
+    */
+  def train(vecs: DataFrame, idCol: String, vecCol: String,
+            k: Int = 16, iters: Int = 3): Model = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Double])]
+
+    // deterministic seed sample: prefix in id order, evenly spaced picks
+    val sample = base.orderBy("id").take(math.max(k * 50, 1))
+    val kEff = math.min(k, sample.length)
+    val step = math.max(1, sample.length / kEff)
+    var centroids =
+      Array.tabulate(kEff)(i => sample((i * step) % sample.length)._2.toArray)
+
+    var it = 0
+    while (it < iters) {
+      val m = Model(centroids)
+      val bc = spark.sparkContext.broadcast(m)
+      val updated = base
+        .map { case (_, v) => (bc.value.nearestCell(v), (v.toArray, 1L)) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+          val s = a._1.clone()
+          var i = 0
+          while (i < s.length && i < b._1.length) { s(i) += b._1(i); i += 1 }
+          (s, a._2 + b._2)
+        }
+        .map { case (cell, (sum, cnt)) => (cell, sum.map(_ / cnt)) }
+        .collect()
+        .toMap
+      centroids = centroids.indices
+        .map(c => updated.getOrElse(c, centroids(c)))
+        .toArray
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** ANN top-k: probe the `nprobe` nearest cells, exact cosine rerank. */
+  def topK(vecs: DataFrame, idCol: String, vecCol: String, model: Model,
+           query: Array[Double], k: Int, nprobe: Int = 4,
+           roundScale: Int = 6): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val probed = model.nearestCells(query.toSeq, nprobe).toSet
+    val bc = spark.sparkContext.broadcast((model, probed))
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val candIds = base.as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        if (bc.value._2.contains(bc.value._1.nearestCell(v))) Some(id) else None
+      }
+      .toDF("id")
+    base.join(candIds, "id")
+      .select(col("id"),
+        round(Dedup.cosineUdf(col("vec"), typedLit(query.toSeq)), roundScale).as("sim"))
+      .orderBy(desc("sim"), asc("id"))
+      .limit(k)
+  }
+}
