@@ -122,6 +122,51 @@ object RelationalQueries {
          |GROUP BY r_name, o_orderpriority
          |ORDER BY r_name, o_orderpriority""".stripMargin)),
 
+    // Left-semi join (EXISTS): customers holding at least one
+    // high-value order — complement of q04's anti join.
+    Q("q09_customers_with_orders", (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }, Some(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // Scalar-subquery predicate: parts priced above the global mean
+    // (exact decimal mean broadcast over the scan).
+    Q("q27_parts_above_avg", (s, dir) => {
+      val p = Tables.part(s, dir)
+      val stats = p.agg(
+        (sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double") / count(lit(1))).as("avg_price"))
+      p.crossJoin(broadcast(stats))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), round(col("p_retailprice"), 4).as("price"))
+        .orderBy("p_partkey")
+    }, Some(
+      """SELECT p_partkey, round(p_retailprice, 4) AS price FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin)),
+
+    // Month-bucketed revenue trend: date_trunc + exact decimal sums.
+    Q("q28_monthly_revenue", (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(unix_timestamp(date_trunc("month", col("l_shipdate"))).as("month_epoch"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("month_epoch")
+    }, Some(
+      s"""SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
+         | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         | count(*) AS n_lines
+         |FROM lineitem GROUP BY 1 ORDER BY month_epoch""".stripMargin)),
+
     // Set operations: segments served in both nation halves, and the
     // one-sided remainders (INTERSECT / EXCEPT distinct semantics).
     Q("q07_segment_set_ops", (s, dir) => {
