@@ -21,10 +21,11 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted state so one query's cache cannot
-        // pressure the next (single-JVM bench hygiene)
+        // pressure the next (single-JVM bench hygiene; outside the timing)
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> elapsed
       }
     val p1 = onePass()
     val p2 = onePass()

@@ -49,7 +49,7 @@ object EventQueries {
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          | event_type, count(*) AS n,
          | ${dsumSql("value")} AS value_sum,
-         | sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS k_sum
+         | CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS k_sum
          |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin)),
 
     // Per-user activity stats: count, value sum, first/last event gap in

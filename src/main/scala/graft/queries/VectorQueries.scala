@@ -38,18 +38,21 @@ object VectorQueries {
     // Element-wise mean-pool per label via the typed Aggregator (single
     // shuffle with map-side partial aggregation — embed.py:79 at scale).
     Q("q21_meanpool_by_label", (s, dir) => {
+      // Scalar output shape (label, pos, value): the driver's comparator
+      // sorts/hashes column values, so array columns are off-limits for
+      // checked queries — the centroid is exploded to one row per element.
       Tables.embeddings(s, dir)
         .groupBy("label")
         .agg(VectorOps.meanPool(VectorOps.asDouble(col("embedding"))).as("raw"))
-        .select(col("label"), VectorOps.roundVec(col("raw"), 6).as("centroid"))
-        .orderBy("label")
+        .select(col("label"),
+          posexplode(VectorOps.roundVec(col("raw"), 6)).as(Seq("pos", "value")))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("value"))
+        .orderBy("label", "pos")
     }, Some(
-      """SELECT label, list(v ORDER BY pos) AS centroid FROM (
-        |  SELECT label, pos, round(avg(val), 6) AS v FROM (
-        |    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
-        |           generate_subscripts(embedding, 1) AS pos FROM embeddings)
-        |  GROUP BY label, pos)
-        |GROUP BY label ORDER BY label""".stripMargin)),
+      """SELECT label, pos1 - 1 AS pos, round(avg(val), 6) AS value FROM (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+        |         generate_subscripts(embedding, 1) AS pos1 FROM embeddings)
+        |GROUP BY label, pos1 ORDER BY label, pos""".stripMargin)),
 
     // Percentile-clipped min-max normalization (rank.py:44-54) over part
     // prices: scalar-aggregate bounds broadcast back over the scan.

@@ -31,7 +31,9 @@ object EventsStream {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // exact integer micros: long/long `/` routes through double and loses
+      // sub-256ns bits at epoch-nanos magnitude (see EventQueries)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermarked tumbling-window counts/sums per event_type. */
@@ -117,7 +119,7 @@ object EventsStream {
     }
 
     typed
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       .as[Event]
       .groupByKey(_.user_id)

@@ -38,19 +38,26 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null even for non-null inputs: unequal-length arrays yield null, the
+  // same result the HOF formulation produces (zip_with null-pads, the
+  // aggregate sum absorbs the null). Keeps the bit-identical-to-HOF claim
+  // total over ragged input instead of silently returning a number.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
     i = 0
-    while (i < x.numElements()) { na += x.getDouble(i) * x.getDouble(i); i += 1 }
+    while (i < n) { na += x.getDouble(i) * x.getDouble(i); i += 1 }
     i = 0
-    while (i < y.numElements()) { nb += y.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) { nb += y.getDouble(i) * y.getDouble(i); i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -62,18 +69,22 @@ case class CosineSim(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $na += $a.getDouble($i) * $a.getDouble($i);
+         |  }
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nb += $b.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  $na += $a.getDouble($i) * $a.getDouble($i);
-         |}
-         |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  $nb += $b.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -39,6 +39,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("unequal-length arrays yield null from both native and HOF cosine") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val row = df.select(
+      VectorOps.cosine(col("a"), col("b")).as("native"),
+      VectorOps.cosineHof(col("a"), col("b")).as("hof")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),
