@@ -213,20 +213,33 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash from token stream: per-bit vote of seeded token
-    * hashes, as a bit array (column form, used by q18 + Hamming checks).
+  /** 64-bit SimHash of a token stream: per-bit majority vote of the token
+    * hashes, MSB first. Hash = StableHash.hash64, whose DuckDB SQL mirror
+    * (StableHash.simHashSql) makes the fingerprints exactly
+    * oracle-checkable; the JVM voting loop replaces the old interpreted
+    * HOF aggregate (64 column ops per token).
     */
-  def simHashBits(toks: Column, bits: Int = 64): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), bits),
-      (acc, t) => {
-        val h = xxhash64(t)
-        transform(acc, (x, i) =>
-          x + when(call_function("getbit", h, i) === 1, 1).otherwise(-1))
-      })
-    transform(votes, v => when(v > 0, 1).otherwise(0))
+  def simHash64(toks: Seq[String]): Array[Int] = {
+    val votes = new Array[Int](64)
+    if (toks != null) toks.foreach { t =>
+      if (t != null) {
+        val h = graft.text.StableHash.hash64(t)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> (63 - b)) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+    }
+    votes.map(v => if (v > 0) 1 else 0)
   }
+
+  /** Column form of `simHash64` (array<int> of 0/1, used by q18 and the
+    * Hamming-distance checks).
+    */
+  def simHashBits(toks: Column): Column = simHashBitsUdf(toks)
+
+  private val simHashBitsUdf = udf((toks: Seq[String]) => simHash64(toks))
 
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =

@@ -1,9 +1,8 @@
 package graft.embed
 
+import graft.text.StableHash
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-
-import scala.util.hashing.MurmurHash3
 
 /** Pluggable embedding seam (SURVEY §2.9). The reference calls a
   * SentenceTransformer (embed.py:10,73-78); the engine's default is a
@@ -21,7 +20,8 @@ trait Embedder extends Serializable {
   def embed(tokens: Seq[String]): Array[Double]
 }
 
-/** Hashed TF embedding: token → bucket via MurmurHash3, counts
+/** Hashed TF embedding: token → bucket via StableHash (DuckDB-mirrorable,
+  * so hash-seeded queries keep the exact oracle check), counts
   * L2-normalized. Same family as Spark MLlib's HashingTF, implemented as
   * a tight JVM loop behind a Scala UDF — the column-expression
   * formulation (aggregate over tokens updating a dim-width array) is
@@ -32,7 +32,7 @@ final case class HashTfEmbedder(dim: Int = 64) extends Embedder {
   def embed(tokens: Seq[String]): Array[Double] = {
     val v = new Array[Double](dim)
     tokens.foreach { t =>
-      if (t != null) v(math.floorMod(MurmurHash3.stringHash(t), dim)) += 1.0
+      if (t != null) v(StableHash.bucket(t, dim)) += 1.0
     }
     var ss = 0.0
     var i = 0

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.sources.Tables
-import graft.text.TextOps
+import graft.text.{StableHash, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -57,9 +57,10 @@ object DedupQueries {
          |   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin)),
 
-    // 64-bit SimHash fingerprints (bit-vote of seeded token hashes).
-    // xxhash64 has no DuckDB twin → rows-only check; semantics pinned by
-    // DedupSpec (near-dups → small Hamming distance).
+    // 64-bit SimHash fingerprints (bit-vote of token hashes). StableHash
+    // has an exact DuckDB twin (HUGEINT mod-2^64 SQL), so the fingerprints
+    // are oracle-checked bit-for-bit; DedupSpec additionally pins the
+    // near-dup → small-Hamming-distance property.
     Q("q18_simhash", (s, dir) => {
       dupCorpus(Tables.documents(s, dir))
         .select(col("id"),
@@ -67,7 +68,11 @@ object DedupQueries {
             Dedup.simHashBits(TextOps.tokens(TextOps.cleanText(col("text")))),
             b => b.cast("string")), "").as("simhash"))
         .orderBy("id")
-    }, None),
+    }, Some(
+      s"""WITH corpus AS ($dupCorpusSql),
+         |t AS (SELECT id, ${tokensSql(cleanTextSql("text"))} AS toks FROM corpus)
+         |SELECT id, ${StableHash.simHashSql("toks")} AS simhash
+         |FROM t ORDER BY id""".stripMargin)),
 
     // Embedding near-dup: random-hyperplane LSH candidates, exact cosine
     // verify ≥ 0.99. Corpus = embeddings + perturbed copies; margin

@@ -5,6 +5,7 @@ import graft.pipeline.EmbedJob
 import graft.qa.Retriever
 import graft.similarity.Knn
 import graft.sources.Tables
+import graft.text.StableHash
 import graft.vector.VectorOps
 import org.apache.spark.sql.functions._
 
@@ -57,22 +58,51 @@ object PipelineQueries {
         |FROM documents ORDER BY id""".stripMargin)),
 
     // Offline embedding build (embed.py end-to-end): clean → len-filter →
-    // hash-embed → mean-pool per source. Hash embedder → rows-only.
+    // hash-embed → mean-pool per source. StableHash's DuckDB mirror makes
+    // the hashed-TF vectors exactly reproducible in SQL; output exploded
+    // to scalar rows (source, pos, value) for the driver's comparator.
     Q("q51_embed_job", (s, dir) => {
       EmbedJob.groupEmbeddings(Tables.documents(s, dir), "text", "source")
-        .select(col("source"), VectorOps.roundVec(col("embedding"), 6).as("embedding"))
-        .orderBy("source")
-    }, None),
+        .select(col("source"),
+          posexplode(VectorOps.roundVec(col("embedding"), 6)).as(Seq("pos", "value")))
+        .select(col("source"), col("pos").cast("long").as("pos"), col("value"))
+        .orderBy("source", "pos")
+    }, Some(
+      s"""WITH f AS (SELECT source, string_split(clean, ' ') AS toks FROM
+         |    (SELECT source, ${cleanTextSql("text")} AS clean FROM documents)
+         |  WHERE len(string_split(clean, ' ')) > 5),
+         |e AS (SELECT source, ${StableHash.hashEmbedSql("toks", 64)} AS vec FROM f)
+         |SELECT source, pos1 - 1 AS pos, round(avg(val), 6) AS value FROM (
+         |  SELECT source, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos1 FROM e)
+         |GROUP BY source, pos1 ORDER BY source, pos""".stripMargin)),
 
     // RAG retrieval (rag.py dataflow): field-chunked meta of the focused
-    // doc, hash-embedded, cosine top-3 vs the question. Rows-only.
+    // doc, hash-embedded, cosine top-3 vs the question — the whole
+    // retrieval dataflow (chunking, embedding, ranking) replayed in SQL.
     Q("q52_rag_retrieve", (s, dir) => {
       val meta = metaAnalog(Tables.documents(s, dir))
       val chunks = Retriever.chunksFromMeta(meta, "id",
         Seq("title", "summary", "rating", "review_count", "price"))
       Retriever.retrieve(chunks, focusId = 1L,
         question = "what is the price and rating of this product")
-    }, None),
+    }, Some {
+      val fields = Seq("title", "summary", "rating", "review_count", "price")
+      val chunkRows = fields.map { f =>
+        s"SELECT '$f' AS field, CASE WHEN $f IS NULL THEN '$f' " +
+          s"ELSE '$f: ' || CAST($f AS VARCHAR) END AS chunk FROM meta WHERE id = 1"
+      }.mkString("\n  UNION ALL ")
+      val qToks = "what is the price and rating of this product"
+        .split("\\s+").map(t => s"'$t'").mkString("[", ",", "]")
+      s"""WITH meta AS ($metaAnalogSql),
+         |chunks AS ($chunkRows),
+         |emb AS (SELECT field, chunk,
+         |  ${StableHash.hashEmbedSql(s"string_split(${cleanTextSql("chunk")}, ' ')", 64)} AS vec
+         |  FROM chunks),
+         |q AS (SELECT ${StableHash.hashEmbedSql(qToks, 64)} AS qv)
+         |SELECT field, chunk, round(${cosineSql("vec", "qv")}, 6) AS sim
+         |FROM emb CROSS JOIN q
+         |ORDER BY sim DESC, field ASC LIMIT 3""".stripMargin
+    }),
 
     // Extractive blurb template — the deterministic substitute for the
     // reference's LLaVA summarizer (summarize.py:44-57, SURVEY §2.9).
