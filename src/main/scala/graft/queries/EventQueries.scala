@@ -113,16 +113,18 @@ object EventQueries {
 
     // Stateful sessionization (flatMapGroupsWithState + event-time
     // timeout): custom per-user state no windowed aggregate can express.
-    // Rows-only check; StreamingSpec proves emitted sessions equal the
-    // batch lag/cumsum sessionization on the same data.
+    // A far-future sentinel file (strictly later microbatch) flushes every
+    // open session, so the emitted set equals the batch lag/cumsum
+    // sessionization — checked exactly against the DuckDB window-function
+    // twin. Session value sums accumulate as exact decimal micros, making
+    // them arrival-order-independent and bit-identical to the oracle's
+    // sum(CAST(value AS DECIMAL(20,6))).
     Q("q35_sessionize", (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("events-sess")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"))
+      val staged = graft.streaming.EventsStream
+        .stageWithSentinel(s, s"$dir/events.parquet")
       val name = s"sessions_${System.nanoTime()}"
       val q = graft.streaming.EventsStream
-        .sessionize(graft.streaming.EventsStream.source(s, tmp.toString))
+        .sessionize(graft.streaming.EventsStream.source(s, staged))
         .writeStream.outputMode("append").format("memory")
         .queryName(name).start()
       q.processAllAvailable()
@@ -131,7 +133,27 @@ object EventQueries {
         .select(col("user_id"), col("session_start"), col("n_events"),
           col("duration_sec"), round(col("value_sum"), 4).as("value_sum"))
         .orderBy("user_id", "session_start")
-    }, None),
+    }, Some(
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |),
+        |s AS (
+        |  SELECT user_id, tns, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS sess_id
+        |  FROM x
+        |)
+        |SELECT user_id,
+        |  min(tns) // 1000000000 AS session_start,
+        |  count(*) AS n_events,
+        |  (max(tns) - min(tns)) // 1000000000 AS duration_sec,
+        |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS value_sum
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin)),
 
     // Top event per user by value: window ranking over the user_id
     // shuffle partitioning.

@@ -63,9 +63,45 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stage `srcParquet` into a fresh stream directory followed by a
+    * sentinel file: one far-future event per user, in a strictly later
+    * microbatch (maxFilesPerTrigger=1 + later modification time). The
+    * sentinel's gap forcibly closes every open session, so the emitted
+    * session set equals the batch (lag/cumsum) sessionization of the real
+    * events — which is what makes q35 exactly oracle-checkable. The
+    * sentinel sessions themselves stay in state and are never emitted.
+    * This mirrors the standard production pattern of flushing stream
+    * state with an end-of-stream marker before decommissioning a job.
+    */
+  def stageWithSentinel(spark: SparkSession, srcParquet: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("events-sess")
+    val main = tmp.resolve("events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(srcParquet), main)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(srcParquet)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    val sentinel = ev.select(col("user_id")).distinct()
+      .select(lit(0L).as("event_id"),
+        lit(maxTs + 86400L * 1000000000L * 100L).as("ts"),
+        col("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val sentDir = java.nio.file.Files.createTempDirectory("events-sentinel")
+    sentinel.repartition(1).write.mode("overwrite").parquet(sentDir.toString)
+    val part = java.nio.file.Files.list(sentDir).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val dest = tmp.resolve("z_sentinel.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(part), dest)
+    // file source orders batches by modification time: sentinel strictly last
+    java.nio.file.Files.setLastModifiedTime(main,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    tmp.toString
+  }
+
   final case class Event(event_id: Long, ts: Long, user_id: Long,
-                         event_type: String, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Long, value: Double)
+                         event_type: String, value_micros: Long)
+  final case class SessionState(start: Long, last: Long, n: Long, valueMicros: Long)
   final case class Session(user_id: Long, session_start: Long, n_events: Long,
                            duration_sec: Long, value_sum: Double)
 
@@ -82,33 +118,38 @@ object EventsStream {
     import spark.implicits._
     val NanosPerSec = 1000000000L
 
+    // value is accumulated as exact decimal micro-units (Long): per-session
+    // sums are then independent of event arrival order and bit-identical
+    // to the oracle's sum(CAST(value AS DECIMAL(20,6))).
     val typed = events
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)) * 1000000)
+          .cast("long").as("value_micros"))
       .as[Event]
 
     def fn(userId: Long, it: Iterator[Event],
            state: GroupState[SessionState]): Iterator[Session] = {
       val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      def emit(s: SessionState): Unit =
+        out += Session(userId, s.start / NanosPerSec, s.n,
+          (s.last - s.start) / NanosPerSec, s.valueMicros.toDouble / 1e6)
       var cur = state.getOption
       if (state.hasTimedOut) {
-        cur.foreach { s =>
-          out += Session(userId, s.start / NanosPerSec, s.n,
-            (s.last - s.start) / NanosPerSec, s.value)
-        }
+        cur.foreach(emit)
         state.remove()
         cur = None
       }
       sorted.foreach { e =>
         cur match {
           case Some(s) if e.ts - s.last <= gapSec * NanosPerSec =>
-            cur = Some(SessionState(s.start, e.ts, s.n + 1, s.value + e.value))
+            cur = Some(SessionState(s.start, e.ts, s.n + 1,
+              s.valueMicros + e.value_micros))
           case Some(s) =>
-            out += Session(userId, s.start / NanosPerSec, s.n,
-              (s.last - s.start) / NanosPerSec, s.value)
-            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+            emit(s)
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value_micros))
           case None =>
-            cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+            cur = Some(SessionState(e.ts, e.ts, 1, e.value_micros))
         }
       }
       cur.foreach { s =>

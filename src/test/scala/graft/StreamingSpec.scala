@@ -9,6 +9,44 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 class StreamingSpec extends SparkSpec {
 
+  /** Batch lag/cumsum sessionization twin: (user_id, session_start,
+    * n_events) triples over the sf0.001 events file.
+    */
+  private def batchSessionSet: Set[(Long, Long, Long)] = {
+    val NanosPerSec = 1000000000L
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > lit(1800L * NanosPerSec), 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(expr("min(ts) DIV 1000000000").as("session_start"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("sentinel-flushed sessionization equals batch sessionization exactly") {
+    val staged = EventsStream.stageWithSentinel(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val q = EventsStream.sessionize(EventsStream.source(spark, staged))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_sessions_full").start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("t_sessions_full").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("n_events"))).toSet
+    val batch = batchSessionSet
+    assert(emitted == batch,
+      s"stream-batch= ${(emitted -- batch).take(3)} batch-stream= ${(batch -- emitted).take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionization emits valid closed sessions") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("events-sess").toString
@@ -30,25 +68,7 @@ class StreamingSpec extends SparkSpec {
 
     // every emitted session must equal a batch-derived session
     // (lag-gap cumulative-sum sessionization over the same file)
-    val NanosPerSec = 1000000000L
-    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val batchSessions = ev
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          col("ts") - col("prev_ts") > lit(1800L * NanosPerSec), 1).otherwise(0))
-      .withColumn("sess_id", sum(col("new_sess")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy("user_id", "sess_id")
-      // exact integer division — long/long `/` goes through double and
-      // loses sub-second bits at epoch-nanos magnitude
-      .agg(expr("min(ts) DIV 1000000000").as("session_start"),
-        count(lit(1)).as("n_events"))
-      .select("user_id", "session_start", "n_events")
-    val batchSet = batchSessions.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchSet = batchSessionSet
     val emitted = sessions
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
         r.getAs[Long]("n_events")))
