@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.streaming.EventsStream
+import graft.text.StableHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators beyond the reference's surface: the shapes a
+  * 100 TB training-data pipeline leans on daily — sliding windows,
+  * stream-static joins, streaming dedup, as-of joins, BPE-style token
+  * accounting, deterministic stratified sampling, and explicit skew-salted
+  * joins. Every query has an exact DuckDB twin: the scale machinery is
+  * physical, the semantics stay relational.
+  */
+object ScaleQueries {
+  import Helpers._
+
+  /** Copy the events parquet into a fresh stream-source directory
+    * (`copies` > 1 stages duplicate files — the streaming-dedup fixture).
+    */
+  private def stageEvents(dir: String, copies: Int = 1): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("events-scale")
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve(s"events_$i.parquet"))
+    }
+    tmp.toString
+  }
+
+  private def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+    val name = s"scale_${System.nanoTime()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Sliding-window streaming aggregation (1 h window, 30 min slide):
+    // each event lands in exactly two windows; the oracle unnests the two
+    // half-hour-aligned starts per event.
+    Q("q36_sliding_window", (s, dir) => {
+      val agg = EventsStream.source(s, stageEvents(dir))
+        .withWatermark("event_ts", "1 hour")
+        .groupBy(window(col("event_ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+      runToCompletion(agg, "complete")
+        .orderBy("win_start", "event_type")
+    }, Some(
+      """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS tsec, event_type FROM events),
+        |w AS (SELECT unnest([tsec//1800*1800, tsec//1800*1800 - 1800]) AS win_start,
+        |             event_type FROM e)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin)),
+
+    // Stream-static join: the event stream joins the static customer
+    // dimension (broadcast — the dimension is re-read per micro-batch, so
+    // small dims must broadcast at scale), then aggregates per segment.
+    Q("q37_stream_static_join", (s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = EventsStream.source(s, stageEvents(dir))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      runToCompletion(agg, "complete")
+        .orderBy("segment")
+    }, Some(
+      s"""SELECT c_mktsegment AS segment, count(*) AS n,
+         | ${dsumSql("value")} AS value_sum
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // Streaming exact dedup: the same file staged twice (every event
+    // arrives twice across micro-batches); dropDuplicates state collapses
+    // them, restoring exact batch counts. At scale this is
+    // dropDuplicatesWithinWatermark so state stays bounded.
+    Q("q38_stream_dedup", (s, dir) => {
+      val agg = EventsStream.source(s, stageEvents(dir, copies = 2))
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      runToCompletion(agg, "complete")
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // As-of join — an operator Spark lacks natively: each event picks up
+    // the user's latest purchase value at-or-before its timestamp. The
+    // scalable formulation is the tagged-union + running last_value window
+    // (one shuffle on user_id, no range-join explosion); purchase rows
+    // sort before same-timestamp probe rows so ties match DuckDB's
+    // `ON e.ts >= p.ts` ASOF semantics.
+    Q("q42_asof_join", (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probe = ev.select(col("user_id"), col("event_id"), col("ts"),
+        lit(1).as("src"), lit(null).cast("double").as("pval"))
+      val build = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lit(0).as("src"), col("value").as("pval"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      probe.unionAll(build)
+        .withColumn("asof", last(col("pval"), ignoreNulls = true).over(w))
+        .filter(col("src") === 1)
+        .select(col("user_id"), col("event_id"),
+          round(col("asof"), 4).as("last_purchase_value"))
+        .orderBy("user_id", "event_id")
+    }, Some(
+      """SELECT e.user_id AS user_id, e.event_id AS event_id,
+        |  round(p.value, 4) AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin)),
+
+    // BPE-style token accounting: greedy regex segmentation into letter
+    // runs / digit runs / single punctuation — the token-count primitive
+    // for corpus budgeting. Pure codegen'd regexp over one scan.
+    Q("q55_token_stats", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.text.TextOps.cleanText(col("text")).as("clean"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("clean"), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+          size(regexp_extract_all(col("clean"), lit("[0-9]+"), lit(0))).cast("long").as("n_num"),
+          size(regexp_extract_all(col("clean"), lit("[^a-z0-9\\s]"), lit(0))).cast("long").as("n_punct"),
+          size(regexp_extract_all(col("clean"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(clean, '[a-z]+')) AS BIGINT) AS n_alpha,
+         | CAST(len(regexp_extract_all(clean, '[0-9]+')) AS BIGINT) AS n_num,
+         | CAST(len(regexp_extract_all(clean, '[^a-z0-9\\s]')) AS BIGINT) AS n_punct,
+         | CAST(len(regexp_extract_all(clean, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_pieces
+         |FROM (SELECT doc_id, ${cleanTextSql("text")} AS clean FROM documents)
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling: per-language keep-rates applied
+    // via StableHash bucket of lang:doc_id — reproducible on any cluster
+    // size, no RNG state, exact DuckDB twin. The 100 TB downsampling
+    // primitive (a fixed hash slice of each stratum).
+    Q("q56_stratified_sample", (s, dir) => {
+      val rate = when(col("lang") === "en", lit(50))
+        .when(col("lang") === "zh", lit(10))
+        .otherwise(lit(20))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("bucket",
+          sampleBucketUdf(concat(col("lang"), lit(":"), col("doc_id").cast("string"))))
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${StableHash.hashes64Sql("[lang || ':' || CAST(doc_id AS VARCHAR)]")}[1] % 100 AS bucket
+         |  FROM documents)
+         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 10 ELSE 20 END
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Skew-salted join: the dimension is exploded across 8 salt replicas
+    // and the fact side hashes into them, splitting any hot key across 8
+    // reducers. Semantics stay a plain equi-join + aggregate (the oracle
+    // is the unsalted SQL); the salting is purely physical. At 100 TB:
+    // AQE skew-join handles moderate skew, explicit salting handles the
+    // pathological single-hot-key case.
+    Q("q58_salted_skew_join", (s, dir) => {
+      val salts = 8
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("salt", pmod(col("l_orderkey"), lit(salts)).cast("int"))
+      val dim = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      fact.join(dim,
+          fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_nationkey")
+    }, Some(
+      s"""SELECT s_nationkey, count(*) AS n_items,
+         | ${dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
+
+  private lazy val sampleBucketUdf =
+    udf((s: String) => java.lang.Long.remainderUnsigned(StableHash.hash64(s), 100L).toInt)
+}
