@@ -189,12 +189,15 @@ object Dedup {
       .toDF("id", "hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Persisted: self-joined below — without it the k-hash signature
+    // computation (the expensive sketch step) executes once per join side.
     val bandRows = hashed.as[(Long, Seq[Long])]
       .flatMap { case (id, hs) =>
         bandKeysJvm(signatureFromHashes(hs.toArray, k), bands, rowsPerBand)
           .zipWithIndex.map { case (bk, bi) => (id, bi, bk) }
       }
       .toDF("id", "band_idx", "band")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cands = bandRows.as("a")
       .join(bandRows.as("b"),
@@ -311,9 +314,12 @@ object Dedup {
     val pl = planes(dim, tables, bitsPerTable)
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
+    // Persisted for the same reason as the MinHash band rows: the bucket
+    // computation (tables × bits × dim dots per vector) is self-joined.
     val bucketRows = base.as[(Long, Seq[Double])]
       .flatMap { case (id, v) => bucketKeys(v, pl).map(bk => (id, bk)) }
       .toDF("id", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cands = bucketRows.as("a")
       .join(bucketRows.as("b"),

@@ -77,8 +77,11 @@ object DedupQueries {
     // Embedding near-dup: random-hyperplane LSH candidates, exact cosine
     // verify ≥ 0.99. Corpus = embeddings + perturbed copies; margin
     // analysis: original pairs max out at cosine 0.513, perturbed copies
-    // sit in [0.9983, 0.9986] — no boundary sensitivity, and LSH miss
-    // probability ≈1e-7 at that cosine with 8 tables × 8 bits.
+    // sit in [0.9983, 0.9986] — no boundary sensitivity. 8 tables × 12
+    // bits: true-pair (θ/π≈0.0175) per-table match 0.98255¹² ≈ 0.81 →
+    // miss (1-0.81)⁸ ≈ 2e-6; random pairs (cosine≈0, per-bit 0.5) collide
+    // per table at 0.5¹² ≈ 2.4e-4, ~16× fewer background candidates than
+    // 8 bits — candidate volume, not sketch cost, is what explodes.
     Q("q19_embedding_neardup", (s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val orig = emb.select(col("vec_id").as("id"),
@@ -88,7 +91,7 @@ object DedupQueries {
           transform(graft.vector.VectorOps.asDouble(col("embedding")),
             (x, i) => x + lit(0.01) * sin(col("vec_id") + i)).as("vec"))
       Dedup.cosineDupPairs(orig.unionAll(pert), "id", "vec", dim = 64,
-          threshold = 0.99, tables = 8, bitsPerTable = 8)
+          threshold = 0.99, tables = 8, bitsPerTable = 12)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }, Some {

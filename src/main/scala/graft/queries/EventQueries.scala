@@ -123,12 +123,14 @@ object EventQueries {
       val staged = graft.streaming.EventsStream
         .stageWithSentinel(s, s"$dir/events.parquet")
       val name = s"sessions_${System.nanoTime()}"
-      val q = graft.streaming.EventsStream
-        .sessionize(graft.streaming.EventsStream.source(s, staged))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
+      graft.streaming.EventsStream.withStreamShufflePartitions(s) {
+        val q = graft.streaming.EventsStream
+          .sessionize(graft.streaming.EventsStream.source(s, staged))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table(name)
         .select(col("user_id"), col("session_start"), col("n_events"),
           col("duration_sec"), round(col("value_sum"), 4).as("value_sum"))

@@ -73,7 +73,7 @@ object RelationalQueries {
       val w = Window.partitionBy("o_custkey")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       Tables.orders(s, dir)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 4).as("price"), col("rn"))

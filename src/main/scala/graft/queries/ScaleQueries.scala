@@ -32,10 +32,12 @@ object ScaleQueries {
 
   private def runToCompletion(df: DataFrame, mode: String): DataFrame = {
     val name = s"scale_${System.nanoTime()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    EventsStream.withStreamShufflePartitions(df.sparkSession) {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     df.sparkSession.table(name)
   }
 

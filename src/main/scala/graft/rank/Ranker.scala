@@ -58,8 +58,14 @@ object Ranker {
       .orderBy(desc("sim"), asc("id"))
       .limit(cfg.topK)
 
+    // Persisted: this ≤topK-row frame feeds the price-stats aggregate,
+    // the two min-max percentile aggregates, AND the main projection —
+    // four plan subtrees that would otherwise each replay the full
+    // similarity scan + top-K. At cluster scale this is the canonical
+    // "cache the candidate set" boundary; it is k rows, not corpus rows.
     val joined = top.join(broadcast(meta), Seq("id"), "left")
       .withColumn("rerank", lexicalRerank(qTokens, col("title"), col("summary")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate price stats (rank.py:225-232): median/σ over non-null prices
     // of exactly the top-K set; budget anchor wins when truthy.
@@ -106,7 +112,7 @@ object Ranker {
     val top = scored.orderBy(desc("score"), asc("id")).limit(cfg.finalK)
       .withColumn("pos",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(desc("score"), asc("id"))))
+          .orderBy(desc("score"), asc("id"))).cast("long"))
     top.select(col("id"), col("score"), col("pos"),
         col("price").isNotNull.as("has_price"))
       .orderBy(col("has_price").desc, col("pos").asc)
@@ -132,12 +138,12 @@ object Ranker {
     val hasPrice = rows.map(r => r.getLong(0) -> !r.isNullAt(3)).toMap
     val picked = MMR.select(cands.toSeq, cfg.finalK, cfg.lambda)
     val out = picked.zipWithIndex.map { case (c, i) =>
-      Row(c.id, c.score, i + 1, hasPrice(c.id))
+      Row(c.id, c.score, (i + 1).toLong, hasPrice(c.id))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("mmr_pos", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("mmr_pos", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("has_price", org.apache.spark.sql.types.BooleanType)))
     spark.createDataFrame(
         spark.sparkContext.parallelize(out.toList, 1), schema)

@@ -59,8 +59,11 @@ object Ivf {
             k: Int = 16, iters: Int = 3): Model = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // each Lloyd iteration re-reads the assignment input; persist so the
+    // parquet scan + projection run once, not iters+1 times
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .as[(Long, Seq[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // deterministic seed sample: prefix in id order, evenly spaced picks
     val sample = base.orderBy("id").take(math.max(k * 50, 1))
@@ -91,6 +94,7 @@ object Ivf {
         .toArray
       it += 1
     }
+    base.unpersist()
     Model(centroids)
   }
 
@@ -108,7 +112,9 @@ object Ivf {
         if (bc.value._2.contains(bc.value._1.nearestCell(v))) Some(id) else None
       }
       .toDF("id")
-    base.join(candIds, "id")
+    // nprobe/k of the corpus survives — broadcast the id sliver, keep the
+    // base scan shuffle-free
+    base.join(broadcast(candIds), "id")
       .select(col("id"),
         round(Dedup.cosineUdf(col("vec"), typedLit(query.toSeq)), roundScale).as("sim"))
       .orderBy(desc("sim"), asc("id"))

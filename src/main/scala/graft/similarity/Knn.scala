@@ -47,7 +47,10 @@ object Knn {
       }
       .toDF("id")
 
-    base.join(candIds, "id")
+    // candidate set is ~n/2^bits per table — broadcast it so the base
+    // scan stays shuffle-free (a shuffle join here would move the whole
+    // corpus to rerank a sliver of it)
+    base.join(broadcast(candIds), "id")
       .select(col("id"),
         round(Dedup.cosineUdf(col("vec"), typedLit(query.toSeq)), roundScale).as("sim"))
       .orderBy(desc("sim"), asc("id"))

@@ -24,6 +24,20 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Run `f` with a reduced shuffle-partition count: each stateful
+    * streaming operator materializes one state store per shuffle
+    * partition per micro-batch, so at local event volumes 32 partitions
+    * are pure commit overhead. The partition count is captured when the
+    * streaming query STARTS, so the override must wrap `start()`.
+    * (At cluster scale the right number is sized to state volume, not
+    * core count — this helper is where that policy lives.)
+    */
+  def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** readStream over a directory of events parquet. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,17 +65,18 @@ object EventsStream {
     * memory sink (local smoke path); returns the materialized result.
     */
   def runOnce(spark: SparkSession, dir: String,
-              queryName: String = "events_hourly"): DataFrame = {
-    val q = hourlyAgg(source(spark, dir))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName)
-  }
+              queryName: String = "events_hourly"): DataFrame =
+    withStreamShufflePartitions(spark) {
+      val q = hourlyAgg(source(spark, dir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(queryName)
+    }
 
   /** Stage `srcParquet` into a fresh stream directory followed by a
     * sentinel file: one far-future event per user, in a strictly later

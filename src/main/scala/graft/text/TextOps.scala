@@ -50,13 +50,16 @@ object TextOps {
     */
   def tokens(clean: Column): Column = split(clean, " ")
 
-  def tokenCount(clean: Column): Column = size(tokens(clean))
+  // long, not int: the driver's oracle comparator is dtype-sensitive and
+  // DuckDB counts are BIGINT
+  def tokenCount(clean: Column): Column = size(tokens(clean)).cast("long")
 
   /** Distinct-token overlap count against a fixed vocabulary — the
     * deterministic building block for language-ID and relevance scoring.
     */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(vocab.map(lit): _*)))
+      .cast("long")
 
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deterministic, tiny, broadcast as literals.

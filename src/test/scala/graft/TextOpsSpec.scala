@@ -24,7 +24,7 @@ class TextOpsSpec extends SparkSpec {
     val df = Seq[(Integer, String)]((1, null), (2, ""), (3, "one two three"))
       .toDF("id", "t")
       .select(col("id"), TextOps.tokenCount(TextOps.cleanText(col("t"))).as("n"))
-    val got = df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // Python: len("".split(" ")) == 1
     assert(got(1) == 1 && got(2) == 1 && got(3) == 3)
   }

@@ -69,6 +69,17 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: columns oracle={ocols} spark={gcols}")
             n_fail += 1
             continue
+        # the driver's hash compare is pandas-dtype-sensitive (an int64
+        # column vs a float64 column hash-mismatches even when values
+        # agree) — mirror that here so dtype drift fails locally first
+        odt = [str(t) for t in con.sql(
+            f"SELECT {', '.join(ocols)} FROM orc").df().dtypes]
+        gdt = [str(t) for t in con.sql(
+            f"SELECT {', '.join(gcols)} FROM got_rel").df().dtypes]
+        if odt != gdt:
+            print(f"FAIL {name}: dtypes oracle={odt} spark={gdt} cols={gcols}")
+            n_fail += 1
+            continue
         if len(odata) != len(gdata):
             print(f"FAIL {name}: rows oracle={len(odata)} spark={len(gdata)}")
             n_fail += 1
