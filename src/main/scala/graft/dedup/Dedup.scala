@@ -260,6 +260,17 @@ object Dedup {
     Array.fill(tables, bitsPerTable, dim)(rnd.nextGaussian())
   }
 
+  /** Rademacher (±1) hyperplanes derived from StableHash bits: the
+    * sign-projection LSH family with a bit-exact DuckDB twin (no RNG, no
+    * libm — the gaussian family's Box-Muller would hit cross-engine
+    * cos/log ulp differences). Sign(t,j,i) = parity of
+    * hash64("t:j:i"). Used by the oracle-checked ANN path (q25).
+    */
+  def radePlanes(dim: Int, tables: Int, bitsPerTable: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bitsPerTable, dim) { (t, j, i) =>
+      if ((graft.text.StableHash.hash64(s"$t:$j:$i") & 1L) == 1L) 1.0 else -1.0
+    }
+
   /** One bucket key per table: table index + sign pattern of the vector
     * against that table's planes, packed into a long.
     */

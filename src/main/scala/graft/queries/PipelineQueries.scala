@@ -18,26 +18,105 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
 
-    // ANN top-k: hyperplane-LSH bucket pruning + exact rerank. Candidate
-    // set depends on seeded xxhash/Random planes → rows-only check;
-    // recall-vs-brute-force is asserted in SimilaritySpec.
+    // ANN top-k: hyperplane-LSH bucket pruning + exact rerank. The
+    // Rademacher plane family (±1 signs from StableHash parity) replays
+    // bit-for-bit in SQL — candidate generation, bucket packing, and
+    // rerank are all exactly oracle-checked; SimilaritySpec additionally
+    // asserts recall vs brute force.
     Q("q25_ann_topk", (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
-      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
-      Knn.annTopK(emb, "vec_id", "vec", dim = 64, query = qv, k = 20)
-    }, None),
+        .select(col("vec_id").as("id"), VectorOps.asDouble(col("embedding")).as("vec"))
+      val qv = emb.filter(col("id") === 0).head().getSeq[Double](1).toArray
+      Knn.annTopK(emb, "id", "vec", dim = 64, query = qv, k = 20)
+    }, Some {
+      val (dim, tables, bits) = (64, 8, 4)
+      val dotZ = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2]))"
+      val planeKey = "[CAST(pt AS VARCHAR)||':'||CAST(pj AS VARCHAR)||':'||CAST(i AS VARCHAR)]"
+      s"""WITH vecs AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |pl AS MATERIALIZED (
+         |  SELECT pt, pj, list_transform(range(0, $dim), i ->
+         |    CASE WHEN ${StableHash.hashes64Sql(planeKey)}[1] % 2 = 1
+         |         THEN 1.0 ELSE -1.0 END) AS signs
+         |  FROM range(0,$tables) r1(pt), range(0,$bits) r2(pj)),
+         |vbits AS MATERIALIZED (
+         |  SELECT v.id, p.pt, p.pj,
+         |    CASE WHEN ${dotZ("v.vec", "p.signs")} >= 0
+         |         THEN 1::BIGINT ELSE 0::BIGINT END AS b
+         |  FROM vecs v, pl p),
+         |vkeys AS MATERIALIZED (
+         |  SELECT id, (pt::BIGINT << ${32 + bits})
+         |    + CAST(sum(b * (1::BIGINT << CAST(${bits - 1} - pj AS INT))) AS BIGINT) AS key
+         |  FROM vbits GROUP BY id, pt),
+         |qkeys AS MATERIALIZED (SELECT DISTINCT key FROM vkeys WHERE id = 0),
+         |cands AS MATERIALIZED (SELECT DISTINCT v.id FROM vkeys v JOIN qkeys q USING (key)),
+         |qv AS (SELECT vec AS q FROM vecs WHERE id = 0)
+         |SELECT c.id, round(${cosineSql("v.vec", "q")}, 6) AS sim
+         |FROM cands c JOIN vecs v USING (id) CROSS JOIN qv
+         |ORDER BY sim DESC, id ASC LIMIT 20""".stripMargin
+    }),
 
-    // IVF ANN: deterministic coarse k-means cells + nprobe search.
-    // Centroid model depends on the training loop → rows-only; IvfSpec
-    // proves determinism and the nprobe=k ≡ brute-force degeneracy.
+    // IVF ANN: deterministic coarse k-means cells + nprobe search. Inputs
+    // are 6dp-quantized and the Lloyd loop accumulates exact decimal
+    // micro-units, so seeding, assignment, centroid updates, probing and
+    // rerank all replay bit-for-bit as unrolled MATERIALIZED CTEs in the
+    // oracle; IvfSpec additionally proves the nprobe=k ≡ brute-force
+    // degeneracy.
     Q("q26_ivf_topk", (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
-      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
-      val model = graft.similarity.Ivf.train(emb, "vec_id", "vec", k = 16, iters = 3)
-      graft.similarity.Ivf.topK(emb, "vec_id", "vec", model, qv, k = 20, nprobe = 4)
-    }, None),
+        .select(col("vec_id").as("id"),
+          transform(VectorOps.asDouble(col("embedding")),
+            x => x.cast(org.apache.spark.sql.types.DecimalType(20, 6)).cast("double"))
+            .as("vec"))
+      val qv = emb.filter(col("id") === 0).head().getSeq[Double](1).toArray
+      val model = graft.similarity.Ivf.train(emb, "id", "vec", k = 16, iters = 3)
+      graft.similarity.Ivf.topK(emb, "id", "vec", model, qv, k = 20, nprobe = 4)
+    }, Some {
+      val (k, iters, nprobe, topK, sampleN) = (16, 3, 4, 20, 800)
+      val dz = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+      def iterCte(i: Int): String = {
+        val p = i - 1
+        s"""a$i AS MATERIALIZED (
+           |  SELECT id, cell FROM (
+           |    SELECT v.id, c.cell, row_number() OVER (PARTITION BY v.id ORDER BY ${dz("v.vec", "c.cvec")}, c.cell) AS rn
+           |    FROM vecs v, c$p c) t WHERE rn = 1),
+           |u$i AS MATERIALIZED (
+           |  SELECT a.cell, pos1, CAST(sum(CAST(val AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS m
+           |  FROM a$i a JOIN (SELECT id, unnest(vec) AS val, generate_subscripts(vec,1) AS pos1 FROM vecs) x USING (id)
+           |  GROUP BY a.cell, pos1),
+           |c$i AS MATERIALIZED (
+           |  SELECT c.cell, coalesce(u.cv, c.cvec) AS cvec
+           |  FROM c$p c LEFT JOIN (SELECT cell, list(m ORDER BY pos1) AS cv FROM u$i GROUP BY cell) u USING (cell))""".stripMargin
+      }
+      s"""WITH vecs AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x AS DECIMAL(20,6)) AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |params AS MATERIALIZED (
+         |  SELECT least($sampleN, count(*)) AS n, least($k, least($sampleN, count(*))) AS keff FROM vecs),
+         |smp AS MATERIALIZED (
+         |  SELECT vec, row_number() OVER (ORDER BY id) - 1 AS rn
+         |  FROM (SELECT id, vec FROM vecs ORDER BY id LIMIT $sampleN) s),
+         |c0 AS MATERIALIZED (
+         |  SELECT i.i AS cell, smp.vec AS cvec
+         |  FROM range(0,$k) i(i), params p, smp
+         |  WHERE i.i < p.keff AND smp.rn = (i.i * greatest(1, p.n // p.keff)) % p.n),
+         |${(1 to iters).map(iterCte).mkString(",\n")},
+         |qv AS MATERIALIZED (SELECT vec AS q FROM vecs WHERE id = 0),
+         |probe AS MATERIALIZED (
+         |  SELECT cell FROM c$iters, qv ORDER BY ${dz("q", "cvec")}, cell LIMIT $nprobe),
+         |a${iters + 1} AS MATERIALIZED (
+         |  SELECT id, cell FROM (
+         |    SELECT v.id, c.cell, row_number() OVER (PARTITION BY v.id ORDER BY ${dz("v.vec", "c.cvec")}, c.cell) AS rn
+         |    FROM vecs v, c$iters c) t WHERE rn = 1),
+         |cands AS MATERIALIZED (
+         |  SELECT id FROM a${iters + 1} WHERE cell IN (SELECT cell FROM probe))
+         |SELECT v.id, round(${cosineSql("v.vec", "q")}, 6) AS sim
+         |FROM cands JOIN vecs v USING (id) CROSS JOIN qv
+         |ORDER BY sim DESC, id ASC LIMIT $topK""".stripMargin
+    }),
 
     // Multimodal decode: binary payload + metadata → batched partition-
     // wise feature extraction (deterministic stub decoder). For ASCII

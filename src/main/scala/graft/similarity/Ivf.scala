@@ -76,17 +76,25 @@ object Ivf {
     while (it < iters) {
       val m = Model(centroids)
       val bc = spark.sparkContext.broadcast(m)
+      // Element sums accumulate as exact micro-units (Long): the result is
+      // independent of partition/merge order — double summation would make
+      // the centroids (and thus cell assignments) nondeterministic across
+      // runs and engines. With 6dp-quantized inputs (see q26) the whole
+      // Lloyd loop is bit-identical to the DuckDB DECIMAL(20,6) mirror.
       val updated = base
-        .map { case (_, v) => (bc.value.nearestCell(v), (v.toArray, 1L)) }
+        .map { case (_, v) =>
+          (bc.value.nearestCell(v),
+            (v.map(x => math.rint(x * 1e6).toLong).toArray, 1L))
+        }
         .groupByKey(_._1)
         .mapValues(_._2)
-        .reduceGroups { (a: (Array[Double], Long), b: (Array[Double], Long)) =>
+        .reduceGroups { (a: (Array[Long], Long), b: (Array[Long], Long)) =>
           val s = a._1.clone()
           var i = 0
           while (i < s.length && i < b._1.length) { s(i) += b._1(i); i += 1 }
           (s, a._2 + b._2)
         }
-        .map { case (cell, (sum, cnt)) => (cell, sum.map(_ / cnt)) }
+        .map { case (cell, (sum, cnt)) => (cell, sum.map(mu => mu.toDouble / 1e6 / cnt)) }
         .collect()
         .toMap
       centroids = centroids.indices

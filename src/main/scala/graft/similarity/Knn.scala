@@ -30,14 +30,17 @@ object Knn {
       .limit(k)
   }
 
-  /** ANN top-k: hyperplane-LSH candidate pruning + exact rerank. */
+  /** ANN top-k: hyperplane-LSH candidate pruning + exact rerank. Planes
+    * are the StableHash-derived Rademacher family (Dedup.radePlanes), so
+    * the whole candidate generation replays exactly in the DuckDB oracle.
+    */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
               query: Array[Double], k: Int,
               tables: Int = 8, bitsPerTable: Int = 4,
               roundScale: Int = 6): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val pl = Dedup.planes(dim, tables, bitsPerTable)
+    val pl = Dedup.radePlanes(dim, tables, bitsPerTable)
     val queryBuckets = Dedup.bucketKeys(query.toSeq, pl).toSet
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
