@@ -214,6 +214,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every vertex converges to the minimum id
+    * reachable from it (the canonical representative of its near-dup
+    * cluster). Runs until fixpoint — the fixpoint is unique, so the
+    * result is deterministic regardless of partitioning or iteration
+    * count. At cluster scale this is the standard alternating
+    * join/aggregate CC (each round is one shuffle on the label join);
+    * near-dup graphs have tiny diameter, so rounds stay in single digits.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // candidate label per vertex: min of own label and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token stream: per-bit majority vote of the token

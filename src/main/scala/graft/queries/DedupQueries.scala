@@ -74,6 +74,39 @@ object DedupQueries {
          |SELECT id, ${StableHash.simHashSql("toks")} AS simhash
          |FROM t ORDER BY id""".stripMargin)),
 
+    // Near-dup clusters: MinHash pairs → connected components → one
+    // canonical (minimum) id per cluster — the "keep one copy per
+    // near-dup group" primitive a dedup pipeline actually ships. Spark
+    // runs iterative min-label propagation to the unique fixpoint; the
+    // oracle computes the same fixpoint as a recursive-CTE transitive
+    // closure over the brute-force pair list. Docs in no pair are their
+    // own cluster.
+    Q("q43_dedup_clusters", (s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      val pairs = Dedup.minHashDupPairs(corpus, "id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val clustered = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      corpus.select(col("id"))
+        .join(clustered, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+        .orderBy("id")
+    }, Some(
+      s"""WITH RECURSIVE corpus AS ($dupCorpusSql),
+         |t AS (SELECT id, ${tokensSql(cleanTextSql("text"))} AS toks FROM corpus),
+         |sh AS (SELECT id, $shinglesSql AS shingles FROM t),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sh a JOIN sh b ON a.id < b.id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM corpus
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.id = e.a)
+         |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin)),
+
     // Embedding near-dup: random-hyperplane LSH candidates, exact cosine
     // verify ≥ 0.99. Corpus = embeddings + perturbed copies; margin
     // analysis: original pairs max out at cosine 0.513, perturbed copies

@@ -96,6 +96,41 @@ object ScaleQueries {
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Stream-stream inner join: views joined to the same user's purchases
+    // within the following hour, both sides watermarked (state on each
+    // side is bounded by watermark + the join's time range — the
+    // attribution-join shape). Append mode emits exactly the batch
+    // range-join result.
+    Q("q39_stream_stream_join", (s, dir) => {
+      val staged = stageEvents(dir)
+      val views = EventsStream.source(s, staged)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("event_ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = EventsStream.source(s, staged)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
+          col("event_ts").as("purch_ts"))
+        .withWatermark("purch_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("purch_ts") >= col("view_ts") &&
+          col("purch_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v_user").as("user_id"), col("view_id"), col("purch_id"),
+          expr("(unix_micros(purch_ts) - unix_micros(view_ts)) div 1000000").as("gap_sec"))
+      runToCompletion(joined, "append")
+        .orderBy("user_id", "view_id", "purch_id")
+    }, Some(
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |  p.event_id AS purch_id,
+        |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_sec
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, view_id, purch_id""".stripMargin)),
+
     // As-of join — an operator Spark lacks natively: each event picks up
     // the user's latest purchase value at-or-before its timestamp. The
     // scalable formulation is the tagged-union + running last_value window

@@ -150,6 +150,102 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS text_hash
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
 
+    // TF-IDF: explode tokens → per-(doc,term) counts → document
+    // frequencies → smoothed idf → top-3 terms per doc. Two shuffles
+    // (term counts, doc frequencies) + one window — the canonical
+    // vocabulary/relevance-feature shape. ln() agrees across engines at
+    // the 6dp rounding used everywhere.
+    Q("q57_tfidf", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(TextOps.cleanText(col("text"))).as("toks"))
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(desc("score_raw"), asc("term"))
+      tf.join(df, "term")
+        .withColumn("score_raw",
+          col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), round(col("score_raw"), 6).as("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokensSql(cleanTextSql("text"))}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE length(term) >= 3 GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score_raw
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, score_raw,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, round(score_raw, 6) AS score, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // PII scrubbing: deterministic contact lines appended to each doc,
+    // then email/phone/url redaction with counts — the redaction pass
+    // every released training corpus runs. Pure regexp chain, one scan.
+    Q("q59_pii_scrub", (s, dir) => {
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\+1-555-[0-9]{4}"
+      val withPii = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .withColumn("t", withPii)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).cast("long").as("n_phone"),
+          substring(regexp_replace(regexp_replace(col("t"), phonePat, "[PHONE]"),
+            emailPat, "[EMAIL]"), 1, 120).as("scrubbed_head"))
+        .orderBy("doc_id")
+    }, Some {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         | substr(regexp_replace(regexp_replace(t, '$phone', '[PHONE]', 'g'),
+         |   '$email', '[EMAIL]', 'g'), 1, 120) AS scrubbed_head
+         |FROM (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }),
+
+    // Sequence packing: docs in id order fill fixed token-budget training
+    // shards per source — exclusive running token sum // budget. The
+    // shard-assignment step before tokenized-example writing; one window
+    // over the (source, doc_id) ordering, no data movement beyond it.
+    Q("q60_pack_sequences", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(TextOps.cleanText(col("text"))).as("n_tokens"))
+        .withColumn("shard",
+          (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 4096).cast("long"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""SELECT doc_id, source, n_tokens,
+         | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard
+         |FROM (SELECT doc_id, source,
+         |  CAST(len(string_split(${cleanTextSql("text")}, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin)),
+
     // n-gram (token-set) Jaccard over a deterministic candidate windowing
     // (adjacent ids) — the verify-stage primitive of candidate-pair dedup.
     Q("q16_jaccard_adjacent", (s, dir) => {
