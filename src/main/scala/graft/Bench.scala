@@ -17,8 +17,12 @@ object Bench {
     // Two passes, min per query: a single shared-JVM pass occasionally
     // eats a multi-second GC/JIT storm on one arbitrary query; min-of-two
     // reports steady-state per-query cost (what a warmed executor does).
+    // optional comma-separated filter for targeted timing runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     def onePass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val elapsed = (System.nanoTime() - t0) / 1e9

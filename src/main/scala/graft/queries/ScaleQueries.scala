@@ -102,13 +102,15 @@ object ScaleQueries {
     // attribution-join shape). Append mode emits exactly the batch
     // range-join result.
     Q("q39_stream_stream_join", (s, dir) => {
-      val staged = stageEvents(dir)
-      val views = EventsStream.source(s, staged)
+      // both sides branch from ONE source stream (self-join): a second
+      // readStream would double the file listing and source state
+      val src = EventsStream.source(s, stageEvents(dir))
+      val views = src
         .filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
           col("event_ts").as("view_ts"))
         .withWatermark("view_ts", "1 hour")
-      val purchases = EventsStream.source(s, staged)
+      val purchases = src
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
           col("event_ts").as("purch_ts"))
@@ -203,6 +205,33 @@ object ScaleQueries {
          |  FROM documents)
          |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 10 ELSE 20 END
          |ORDER BY doc_id""".stripMargin)),
+
+    // Gzipped-JSONL round-trip (the reference's interchange format,
+    // embed.py:84-86): documents → .jsonl.gz sink → schema-explicit scan
+    // → aggregate. The oracle aggregates the original table directly, so
+    // the check proves the sink+source preserve every row and value.
+    Q("q61_jsonl_roundtrip", (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl-rt").toString + "/docs"
+      graft.sources.Jsonl.write(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("text")),
+        tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      graft.sources.Jsonl.read(s, schema, tmp)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          sum(length(col("text")).cast("long")).as("text_len"))
+        .orderBy("source", "lang")
+    }, Some(
+      """SELECT source, lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS chars,
+        | CAST(sum(length(text)) AS BIGINT) AS text_len
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
 
     // Skew-salted join: the dimension is exploded across 8 salt replicas
     // and the fact side hashes into them, splitting any hot key across 8

@@ -49,6 +49,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents labels every vertex with its cluster minimum") {
+    // chain 1-2-3, ring 10-11-12-10, isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("signature is permutation-stable (set semantics)") {
     val a = Dedup.signature(Seq("a", "b", "c", "d", "e", "f"))
     val b = Dedup.signature(Seq("f", "e", "d", "c", "b", "a"))
