@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical / reshaping operators done scale-safely: moments from
+  * exact integer sums (order-independent, so results are identical on
+  * any partitioning AND in the DuckDB oracle), pivot, time-series
+  * gap-fill, and a partitioned sink with a pruned scan back.
+  */
+object StatQueries {
+  import Helpers._
+
+  /** Exact micro-unit column: value → round-half-up 6dp → Long micros.
+    * Sums of these are exact integers — the moment computations below are
+    * then plain double arithmetic over identical inputs in both engines.
+    */
+  private def micros(c: Column): Column =
+    (c.cast(DecimalType(20, 6)) * 1000000).cast("long")
+
+  private def microsSql(e: String): String =
+    s"CAST(CAST(($e) AS DECIMAL(20,6)) * 1000000 AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // Pearson correlation + population covariance of price vs size via
+    // exact integer moments: built-in corr()/covar_pop() accumulate
+    // doubles in partition order (nondeterministic at scale and
+    // unmatchable cross-engine); n/Σx/Σy/Σxy/Σx²/Σy² as exact integers
+    // make the statistic bit-reproducible. One map-side-combinable
+    // aggregate, no second pass.
+    Q("q44_price_stats", (s, dir) => {
+      val p = Tables.part(s, dir).select(
+        micros(col("p_retailprice")).as("x"),
+        micros(col("p_size").cast("double")).as("y"))
+      val agg = p.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      val (n, sx, sy, sxy, sxx, syy) = (
+        col("n").cast("double"), col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      agg.select(col("n"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr"),
+        round((sxy / n - (sx / n) * (sy / n)) / 1e12, 4).as("covar_pop"),
+        round(sqrt(sxx / n - (sx / n) * (sx / n)) / 1e6, 6).as("stddev_pop_x"))
+    }, Some(
+      s"""WITH m AS (SELECT ${microsSql("p_retailprice")} AS x,
+         |  ${microsSql("CAST(p_size AS DOUBLE)")} AS y FROM part),
+         |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM m),
+         |d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+         |  CAST(syy AS DOUBLE) AS syy FROM a)
+         |SELECT n,
+         | round((nd*sxy - sx*sy) / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)), 6) AS corr,
+         | round((sxy/nd - (sx/nd)*(sy/nd)) / 1e12, 4) AS covar_pop,
+         | round(sqrt(sxx/nd - (sx/nd)*(sx/nd)) / 1e6, 6) AS stddev_pop_x
+         |FROM d""".stripMargin)),
+
+    // Pivot: per-user event-type counts reshaped to columns (the
+    // wide-feature shape). Spark pivot with an EXPLICIT value list — an
+    // unlisted pivot costs a distinct-scan pre-pass and nondeterministic
+    // column order at scale.
+    Q("q45_pivot_event_counts", (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p) { (df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L)))
+        }
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Time-series gap-fill: hourly counts per event type INCLUDING empty
+    // hours — sequence() over the global hour span, exploded and
+    // cross-joined with the type dimension, left-joined to the actual
+    // counts. The dense-grid primitive for downstream window models;
+    // the grid is generated, never shuffled wide.
+    Q("q47_gapfill_hourly", (s, dir) => {
+      val NanosPerHour = 3600L * 1000000000L
+      val ev = EventQueriesSupport.events(s, dir)
+        .withColumn("hour_epoch",
+          expr(s"(ts - pmod(ts, $NanosPerHour)) div $NanosPerHour") * 3600)
+      val span = ev.agg(min(col("hour_epoch")).as("lo"), max(col("hour_epoch")).as("hi"))
+      val hours = span.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy("hour_epoch", "event_type").agg(count(lit(1)).as("cnt"))
+      hours.crossJoin(types)
+        .join(counts, Seq("hour_epoch", "event_type"), "left")
+        .select(col("hour_epoch"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy("hour_epoch", "event_type")
+    }, Some(
+      """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  event_type FROM events),
+        |span AS (SELECT min(hour_epoch) AS lo, max(hour_epoch) AS hi FROM e),
+        |hours AS (SELECT unnest(range(lo, hi + 3600, 3600)) AS hour_epoch FROM span),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |counts AS (SELECT hour_epoch, event_type, count(*) AS cnt
+        |  FROM e GROUP BY hour_epoch, event_type)
+        |SELECT h.hour_epoch AS hour_epoch, t.event_type AS event_type,
+        |  coalesce(c.cnt, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hour_epoch = h.hour_epoch AND c.event_type = t.event_type
+        |ORDER BY h.hour_epoch, t.event_type""".stripMargin)),
+
+    // Partitioned parquet sink + pruned scan back: events written
+    // partitionBy(event_type), re-read with a partition filter — the
+    // layout that turns a full scan into a 1/5th scan at any size
+    // (PartitionFilters in explain, not PushedFilters). Oracle aggregates
+    // the original table under the same predicate.
+    Q("q62_partitioned_scan", (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("events-part").toString + "/events"
+      EventQueriesSupport.events(s, dir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy("user_id")
+    }, Some(
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS value_sum
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+}
+
+/** Shared nanos-events loader (mirrors EventQueries.events). */
+private[queries] object EventQueriesSupport {
+  def events(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, dir)
+  }
+}
