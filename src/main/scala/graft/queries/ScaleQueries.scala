@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.streaming.EventsStream
-import graft.text.StableHash
+import graft.text.{StableHash, StableHash64}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -191,10 +191,15 @@ object ScaleQueries {
       val rate = when(col("lang") === "en", lit(50))
         .when(col("lang") === "zh", lit(10))
         .otherwise(lit(20))
+      val h = StableHash64(concat(col("lang"), lit(":"), col("doc_id").cast("string")))
+      // unsigned remainder mod 100 in column form (stays in codegen):
+      // for negative signed h the unsigned value is 2^64 + h, and
+      // 2^64 ≡ 16 (mod 100)
+      val bucket = pmod(
+        pmod(h, lit(100L)) + when(h < 0, lit(16L)).otherwise(lit(0L)), lit(100L))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"))
-        .withColumn("bucket",
-          sampleBucketUdf(concat(col("lang"), lit(":"), col("doc_id").cast("string"))))
+        .withColumn("bucket", bucket)
         .filter(col("bucket") < rate)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
@@ -258,6 +263,4 @@ object ScaleQueries {
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 
-  private lazy val sampleBucketUdf =
-    udf((s: String) => java.lang.Long.remainderUnsigned(StableHash.hash64(s), 100L).toInt)
 }

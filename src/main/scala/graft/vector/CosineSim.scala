@@ -111,9 +111,13 @@ object CosineSim {
 
 /** Session extension wiring: `--conf spark.sql.extensions=graft.vector.
   * GraftExtensions` (or `.withExtensions(new GraftExtensions)`) makes
-  * `cosine_sim` available to plain SQL on every session.
+  * `cosine_sim` and `stable_hash64` available to plain SQL on every
+  * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier(CosineSim.fnName), CosineSim.info, CosineSim.builder))
+    e.injectFunction((FunctionIdentifier(graft.text.StableHash64.fnName),
+      graft.text.StableHash64.info, graft.text.StableHash64.builder))
+  }
 }

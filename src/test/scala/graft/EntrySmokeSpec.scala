@@ -22,6 +22,15 @@ class EntrySmokeSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length == 10)
   }
 
+  test("every registered query carries an exact DuckDB oracle") {
+    // 100% oracle coverage is a project invariant as of round 2 — a new
+    // query landing without its SQL twin should fail here, not at the
+    // driver's correctness gate
+    val missing = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
   test("every registered query yields a schema and rows on sf0.001") {
     SparkEntry.allQueries.foreach { q =>
       val df = q.fn(spark, sf)

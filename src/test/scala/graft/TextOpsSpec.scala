@@ -20,6 +20,21 @@ class TextOpsSpec extends SparkSpec {
     assert(clean("keep .,!?;:'\"- punct") == "keep .,!?;:'\"- punct")
   }
 
+  test("stable_hash64 expression matches the JVM hash and registers in SQL") {
+    import graft.text.{StableHash, StableHash64}
+    val df = Seq("hello", "world", "it's").toDF("s")
+    val got = df.select(StableHash64(col("s"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq("hello", "world", "it's").map(StableHash.hash64))
+    StableHash64.register(spark)
+    val r = spark.sql("SELECT stable_hash64('hello') AS h").head().getLong(0)
+    assert(r == StableHash.hash64("hello"))
+    // column-form unsigned remainder trick used by q56: 2^64 ≡ 16 (mod 100)
+    val h = StableHash.hash64("it's") // negative as signed long
+    assert(h < 0)
+    val viaTrick = math.floorMod(math.floorMod(h, 100L) + 16L, 100L)
+    assert(viaTrick == java.lang.Long.remainderUnsigned(h, 100L))
+  }
+
   test("null-safe and python token-count parity") {
     val df = Seq[(Integer, String)]((1, null), (2, ""), (3, "one two three"))
       .toDF("id", "t")
