@@ -18,7 +18,13 @@ object Bench {
     // eats a multi-second GC/JIT storm on one arbitrary query; min-of-two
     // reports steady-state per-query cost (what a warmed executor does).
     // optional comma-separated filter for targeted timing runs
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in registry: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def onePass(): Map[String, Double] =

@@ -246,8 +246,6 @@ object Dedup {
         // union by min keeps the canonical (minimum) id as the root
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       }
-      parent.getOrElseUpdate(a, find(a))
-      parent.getOrElseUpdate(b, find(b))
     }
     val labels = es.iterator.flatMap { case (a, b) => Iterator(a, b) }
       .toSet.toSeq.map((id: Long) => (id, find(id)))

@@ -76,11 +76,12 @@ object DedupQueries {
 
     // Near-dup clusters: MinHash pairs → connected components → one
     // canonical (minimum) id per cluster — the "keep one copy per
-    // near-dup group" primitive a dedup pipeline actually ships. Spark
-    // runs iterative min-label propagation to the unique fixpoint; the
-    // oracle computes the same fixpoint as a recursive-CTE transitive
-    // closure over the brute-force pair list. Docs in no pair are their
-    // own cluster.
+    // near-dup group" primitive a dedup pipeline actually ships. The pair
+    // list (tiny vs the corpus) is collected to the driver and labeled by
+    // a union-by-min union-find (see Dedup.connectedComponents for the
+    // scale boundary); the oracle computes the same fixpoint as a
+    // recursive-CTE transitive closure over the brute-force pair list.
+    // Docs in no pair are their own cluster.
     Q("q43_dedup_clusters", (s, dir) => {
       val corpus = dupCorpus(Tables.documents(s, dir))
       val pairs = Dedup.minHashDupPairs(corpus, "id", "text", threshold = 0.5)

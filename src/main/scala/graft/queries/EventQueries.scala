@@ -21,7 +21,7 @@ object EventQueries {
   private val NanosPerSec = 1000000000L
   private val NanosPerHour = 3600L * NanosPerSec
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.events(s, dir)
   }
@@ -98,7 +98,7 @@ object EventQueries {
     // static directory (memory sink), counts only (exact cross-engine).
     Q("q34_streaming_hourly", (s, dir) => {
       // file-source needs a directory; stage the single parquet into one
-      val tmp = java.nio.file.Files.createTempDirectory("events-stream")
+      val tmp = graft.sources.Staging.scratchDir("events-stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         tmp.resolve("events.parquet"))

@@ -151,7 +151,8 @@ object PipelineQueries {
          |    (SELECT source, ${cleanTextSql("text")} AS clean FROM documents)
          |  WHERE len(string_split(clean, ' ')) > 5),
          |e AS (SELECT source, ${StableHash.hashEmbedSql("toks", 64)} AS vec FROM f)
-         |SELECT source, pos1 - 1 AS pos, round(avg(val), 6) AS value FROM (
+         |SELECT source, pos1 - 1 AS pos,
+         |  round(CAST(sum(CAST(val AS DECIMAL(26,12))) AS DOUBLE) / count(*), 6) AS value FROM (
          |  SELECT source, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos1 FROM e)
          |GROUP BY source, pos1 ORDER BY source, pos""".stripMargin)),
 

@@ -21,7 +21,7 @@ object ScaleQueries {
     * (`copies` > 1 stages duplicate files — the streaming-dedup fixture).
     */
   private def stageEvents(dir: String, copies: Int = 1): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("events-scale")
+    val tmp = graft.sources.Staging.scratchDir("events-scale")
     (1 to copies).foreach { i =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -216,7 +216,7 @@ object ScaleQueries {
     // → aggregate. The oracle aggregates the original table directly, so
     // the check proves the sink+source preserve every row and value.
     Q("q61_jsonl_roundtrip", (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("jsonl-rt").toString + "/docs"
+      val tmp = graft.sources.Staging.scratchDir("jsonl-rt").toString + "/docs"
       graft.sources.Jsonl.write(
         Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"),
           col("n_chars"), col("text")),

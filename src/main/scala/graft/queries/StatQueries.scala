@@ -96,7 +96,7 @@ object StatQueries {
     // the grid is generated, never shuffled wide.
     Q("q47_gapfill_hourly", (s, dir) => {
       val NanosPerHour = 3600L * 1000000000L
-      val ev = EventQueriesSupport.events(s, dir)
+      val ev = EventQueries.events(s, dir)
         .withColumn("hour_epoch",
           expr(s"(ts - pmod(ts, $NanosPerHour)) div $NanosPerHour") * 3600)
       val span = ev.agg(min(col("hour_epoch")).as("lo"), max(col("hour_epoch")).as("hi"))
@@ -129,8 +129,8 @@ object StatQueries {
     // (PartitionFilters in explain, not PushedFilters). Oracle aggregates
     // the original table under the same predicate.
     Q("q62_partitioned_scan", (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("events-part").toString + "/events"
-      EventQueriesSupport.events(s, dir)
+      val out = graft.sources.Staging.scratchDir("events-part").toString + "/events"
+      EventQueries.events(s, dir)
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
       s.read.parquet(out)
         .filter(col("event_type") === "purchase")
@@ -143,10 +143,3 @@ object StatQueries {
          |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }
 
-/** Shared nanos-events loader (mirrors EventQueries.events). */
-private[queries] object EventQueriesSupport {
-  def events(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, dir)
-  }
-}

@@ -49,7 +49,10 @@ object VectorQueries {
         .select(col("label"), col("pos").cast("long").as("pos"), col("value"))
         .orderBy("label", "pos")
     }, Some(
-      """SELECT label, pos1 - 1 AS pos, round(avg(val), 6) AS value FROM (
+      // exact decimal pico-sums mirror MeanPoolAgg's Long accumulation —
+      // a plain avg(val) would be summation-order-sensitive
+      """SELECT label, pos1 - 1 AS pos,
+        | round(CAST(sum(CAST(val AS DECIMAL(26,12))) AS DOUBLE) / count(*), 6) AS value FROM (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
         |         generate_subscripts(embedding, 1) AS pos1 FROM embeddings)
         |GROUP BY label, pos1 ORDER BY label, pos""".stripMargin)),

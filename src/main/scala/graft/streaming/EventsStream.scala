@@ -89,7 +89,7 @@ object EventsStream {
     * state with an end-of-stream marker before decommissioning a job.
     */
   def stageWithSentinel(spark: SparkSession, srcParquet: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("events-sess")
+    val tmp = graft.sources.Staging.scratchDir("events-sess")
     val main = tmp.resolve("events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(srcParquet), main)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -100,7 +100,7 @@ object EventsStream {
         lit(maxTs + 86400L * 1000000000L * 100L).as("ts"),
         col("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    val sentDir = java.nio.file.Files.createTempDirectory("events-sentinel")
+    val sentDir = graft.sources.Staging.scratchDir("events-sentinel")
     sentinel.repartition(1).write.mode("overwrite").parquet(sentDir.toString)
     val part = java.nio.file.Files.list(sentDir).toArray.map(_.toString)
       .find(_.endsWith(".parquet")).get

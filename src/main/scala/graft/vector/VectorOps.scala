@@ -54,24 +54,37 @@ object VectorOps {
   /** Element-wise rounding — pin float noise before oracle comparison. */
   def roundVec(a: Column, scale: Int): Column = transform(a, x => round(x, scale))
 
-  /** Buffer for the mean-pool aggregate: running element-wise sum + count. */
-  case class VecBuf(sum: Array[Double], n: Long)
+  /** Buffer for the mean-pool aggregate: running element-wise exact sum
+    * (pico-units, 1e-12) + count.
+    */
+  case class VecBuf(sum: Array[Long], n: Long)
 
   /** Element-wise mean of vectors — the reference's per-product embedding
     * pooling (embed.py:79) as a typed Aggregator: one shuffle with map-side
     * partial aggregation, versus two shuffles for the posexplode+avg plan.
+    *
+    * Elements quantize to 12 decimal places (HALF_UP, matching SQL
+    * DECIMAL casts) and accumulate as exact Long pico-units, so the mean
+    * is independent of partition/merge order — a plain double sum makes
+    * the 6dp-rounded result flip near rounding boundaries depending on
+    * shuffle fetch order, which the exact-hash oracle gate would catch
+    * intermittently. Domain: |element| ≤ ~9e6 and Σ|element| ≤ ~9e6 per
+    * group (unit-normalized embeddings are far inside both bounds).
     */
   object MeanPoolAgg extends Aggregator[Seq[Double], VecBuf, Seq[Double]] {
-    override def zero: VecBuf = VecBuf(Array.emptyDoubleArray, 0L)
+    override def zero: VecBuf = VecBuf(Array.emptyLongArray, 0L)
 
-    private def add(sum: Array[Double], v: Seq[Double]): Array[Double] =
-      if (sum.isEmpty) v.toArray
-      else {
-        val out = sum.clone()
-        var i = 0
-        while (i < out.length && i < v.length) { out(i) += v(i); i += 1 }
-        out
-      }
+    private def picos(x: Double): Long =
+      new java.math.BigDecimal(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .movePointRight(12).longValueExact()
+
+    private def add(sum: Array[Long], v: Seq[Double]): Array[Long] = {
+      val out = if (sum.isEmpty) new Array[Long](v.length) else sum.clone()
+      var i = 0
+      while (i < out.length && i < v.length) { out(i) += picos(v(i)); i += 1 }
+      out
+    }
 
     override def reduce(b: VecBuf, a: Seq[Double]): VecBuf =
       if (a == null) b else VecBuf(add(b.sum, a), b.n + 1)
@@ -79,10 +92,15 @@ object VectorOps {
     override def merge(x: VecBuf, y: VecBuf): VecBuf =
       if (x.n == 0) y
       else if (y.n == 0) x
-      else VecBuf(add(x.sum, y.sum.toSeq), x.n + y.n)
+      else {
+        val out = x.sum.clone()
+        var i = 0
+        while (i < out.length && i < y.sum.length) { out(i) += y.sum(i); i += 1 }
+        VecBuf(out, x.n + y.n)
+      }
 
     override def finish(b: VecBuf): Seq[Double] =
-      if (b.n == 0) null else b.sum.map(_ / b.n).toSeq
+      if (b.n == 0) null else b.sum.map(p => p.toDouble / 1e12 / b.n).toSeq
 
     override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()

@@ -21,6 +21,26 @@ def canon(rows):
     return out
 
 
+def canon_df(df):
+    """Rows of a pandas frame as plain-Python tuples (numpy → native), so
+    one .df() materialization serves both the dtype check and the value
+    compare — expensive oracles must execute exactly once."""
+    import numpy as np
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        cells = []
+        for c in row:
+            if isinstance(c, np.ndarray):
+                cells.append([x.item() if isinstance(x, np.generic) else x
+                              for x in c.tolist()])
+            elif isinstance(c, np.generic):
+                cells.append(c.item())
+            else:
+                cells.append(c)
+        out.append(tuple(cells))
+    return out
+
+
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
@@ -54,8 +74,8 @@ def main(sfdir, outdir):
         try:
             orc = con.sql(sql)
             ocols = sorted(orc.columns)
-            odata = canon(con.sql(
-                f"SELECT {', '.join(ocols)} FROM orc").fetchall())
+            odf = con.sql(f"SELECT {', '.join(ocols)} FROM orc").df()
+            odata = canon_df(odf)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -63,8 +83,8 @@ def main(sfdir, outdir):
         got_rel = con.sql(
             f"SELECT * FROM read_parquet({files!r})")
         gcols = sorted(got_rel.columns)
-        gdata = canon(con.sql(
-            f"SELECT {', '.join(gcols)} FROM got_rel").fetchall())
+        gdf = con.sql(f"SELECT {', '.join(gcols)} FROM got_rel").df()
+        gdata = canon_df(gdf)
         if ocols != gcols:
             print(f"FAIL {name}: columns oracle={ocols} spark={gcols}")
             n_fail += 1
@@ -72,10 +92,8 @@ def main(sfdir, outdir):
         # the driver's hash compare is pandas-dtype-sensitive (an int64
         # column vs a float64 column hash-mismatches even when values
         # agree) — mirror that here so dtype drift fails locally first
-        odt = [str(t) for t in con.sql(
-            f"SELECT {', '.join(ocols)} FROM orc").df().dtypes]
-        gdt = [str(t) for t in con.sql(
-            f"SELECT {', '.join(gcols)} FROM got_rel").df().dtypes]
+        odt = [str(t) for t in odf.dtypes]
+        gdt = [str(t) for t in gdf.dtypes]
         if odt != gdt:
             print(f"FAIL {name}: dtypes oracle={odt} spark={gdt} cols={gcols}")
             n_fail += 1
