@@ -13,7 +13,8 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       VectorQueries.all ++ PipelineQueries.all ++ EventQueries.all ++
-      RankQueries.all ++ ScaleQueries.all ++ StatQueries.all
+      RankQueries.all ++ ScaleQueries.all ++ StatQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

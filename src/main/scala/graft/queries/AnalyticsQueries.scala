@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.sketch.KmvAgg
+import graft.sources.Tables
+import graft.text.{StableHash, StableHash64, TextOps}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product-analytics and corpus-hygiene operators a training-data
+  * pipeline runs at fleet scale: ordered funnels, cohort retention,
+  * rolling revenue, KMV cardinality sketching, and benchmark
+  * decontamination. All exactly oracle-checked.
+  */
+object AnalyticsQueries {
+  import Helpers._
+
+  private val NanosPerDay = 86400L * 1000000000L
+
+  val all: Seq[Q] = Seq(
+
+    // Ordered three-stage funnel (view → click → purchase, strictly
+    // increasing timestamps): each stage is a keyed min-aggregate joined
+    // to the previous stage's users — three narrow shuffles on user_id
+    // that AQE co-partitions, no window over the raw event stream.
+    Q("q63_funnel", (s, dir) => {
+      val ev = EventQueries.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+        .unionAll(c.agg(count(lit(1)).as("users"))
+          .select(lit("2_click").as("stage"), col("users")))
+        .unionAll(p.agg(count(lit(1)).as("users"))
+          .select(lit("3_purchase").as("stage"), col("users")))
+        .orderBy("stage")
+    }, Some(
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT stage, users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin)),
+
+    // Cohort retention: first-activity day per user × day offset →
+    // distinct active users. Day bucketing is exact integer division of
+    // bigint nanos; the user-day grid aggregates map-side before the
+    // (cohort_day, offset) shuffle.
+    Q("q64_cohort_retention", (s, dir) => {
+      val ev = EventQueries.events(s, dir)
+        .select(col("user_id"), expr(s"ts div $NanosPerDay").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    }, Some(
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts)//$NanosPerDay AS day FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+         |SELECT f.cohort_day AS cohort_day, e.day - f.cohort_day AS day_offset,
+         |  count(DISTINCT e.user_id) AS active_users
+         |FROM e JOIN f ON e.user_id = f.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Benchmark decontamination: flag training docs sharing 5-gram word
+    // shingles with a held-out "benchmark" slice (doc_id % 20 = 0). Docs
+    // join on the 64-bit StableHash of each shingle, not the string —
+    // the shuffle carries 8-byte keys instead of ~40-byte text, and the
+    // benchmark side (5% of shingles) broadcasts. The contamination-
+    // screen primitive run before any eval-set release.
+    Q("q65_decontaminate", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = docs
+        .select(col("doc_id"),
+          split(TextOps.cleanText(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+          .as("shingle"))
+        .select(col("doc_id"), StableHash64(col("shingle")).as("sh"))
+        .distinct()
+      val bench = sh.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+      val shared = sh.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, string_split(${cleanTextSql("text")}, ' ') AS toks
+         |           FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(${StableHash.hashes64Sql(
+             "list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' '))")}) AS sh
+         |       FROM t WHERE len(toks) >= 5),
+         |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+         |j AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN b USING (sh)
+         |      WHERE s.doc_id % 20 <> 0 GROUP BY s.doc_id)
+         |SELECT d.doc_id AS doc_id, coalesce(j.n_shared, 0) AS n_shared
+         |FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+         |WHERE d.doc_id % 20 <> 0 ORDER BY doc_id""".stripMargin)),
+
+    // 7-day rolling revenue: exact daily decimal sums, then a RANGE
+    // window frame over the day series. The window is a single tiny
+    // partition BY DESIGN — the frame runs over per-day aggregates
+    // (≤ 365 rows/year at any input scale), not raw events.
+    Q("q66_rolling_revenue", (s, dir) => {
+      val daily = EventQueries.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div $NanosPerDay").as("day"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))).as("rev_d"))
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("day"),
+        round(col("rev_d").cast("double"), 4).as("rev"),
+        round(sum(col("rev_d")).over(w).cast("double") / count(lit(1)).over(w), 4)
+          .as("rev_7d_avg"))
+        .orderBy("day")
+    }, Some(
+      s"""WITH d AS (SELECT epoch_ns(ts)//$NanosPerDay AS day,
+         |  sum(CAST(value AS DECIMAL(20,6))) AS rev_d
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT day, round(CAST(rev_d AS DOUBLE), 4) AS rev,
+         |  round(CAST(sum(rev_d) OVER w AS DOUBLE) / count(*) OVER w, 4) AS rev_7d_avg
+         |FROM d WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY day""".stripMargin)),
+
+    // KMV distinct-user sketch per event type (k = 32): the bounded-state
+    // cardinality estimator — only ≤ k hashes per partition cross the
+    // shuffle (vs distinct(), which shuffles every value). The estimate
+    // is a deterministic function of the hash set, so DuckDB replays it
+    // exactly from the kth smallest distinct hash; both engines run the
+    // identical IEEE double sequence (long→double, +2^63, /2^64, divide).
+    Q("q67_kmv_distinct", (s, dir) => {
+      val k = 32
+      val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+      val hashed = EventQueries.events(s, dir)
+        .select(col("event_type"),
+          StableHash64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      hashed.groupBy("event_type").agg(kmv(col("h")).as("r"))
+        .select(col("event_type"), col("r.kEff").as("k_eff"),
+          round((col("r.kEff") - 1).cast("double") /
+            ((col("r.kth").cast("double") + lit(9.223372036854775808e18)) /
+              lit(1.8446744073709551616e19)), 4).as("est_distinct"))
+        .orderBy("event_type")
+    }, Some {
+      val uh = StableHash.hashes64Sql("['u:' || CAST(user_id AS VARCHAR)]") + "[1]"
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    CAST(CASE WHEN $uh >= 9223372036854775808 THEN $uh - 18446744073709551616
+         |         ELSE $uh END AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n
+         |      FROM h)
+         |SELECT event_type, least(32, n) AS k_eff,
+         |  round((least(32, n) - 1)::DOUBLE /
+         |    ((CAST(h AS DOUBLE) + 9.223372036854775808e18) / 1.8446744073709551616e19),
+         |    4) AS est_distinct
+         |FROM r WHERE rn = least(32, n) ORDER BY event_type""".stripMargin
+    }))
+}
