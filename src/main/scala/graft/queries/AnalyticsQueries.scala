@@ -171,5 +171,106 @@ object AnalyticsQueries {
          |    ((CAST(h AS DOUBLE) + 9.223372036854775808e18) / 1.8446744073709551616e19),
          |    4) AS est_distinct
          |FROM r WHERE rn = least(32, n) ORDER BY event_type""".stripMargin
-    }))
+    }),
+
+    // Weighted domain mixing: resample sources to target proportions
+    // (weights 5/3/2 by source index mod 3). The keep-rate per source is
+    // w·C/n with C = min(n/w) — the largest corpus hitting the target mix
+    // exactly — applied as a deterministic StableHash bucket threshold:
+    // reproducible on any cluster size, no RNG state. Per-source stats
+    // broadcast to the row-level filter; one scan, no wide shuffle.
+    Q("q68_domain_mix", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wExpr = expr(
+        "CASE CAST(substring(source, 4) AS INT) % 3 WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END")
+        .cast("double")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", wExpr)
+      val cMin = counts.select(min(col("n") / col("w")).as("cmin"))
+      val rates = counts.crossJoin(cMin)
+        .select(col("source"),
+          floor(least(lit(1.0), col("w") * col("cmin") / col("n")) * lit(1000000.0))
+            .cast("long").as("thr"))
+      val h = StableHash64(concat(lit("mix:"), col("doc_id").cast("string")))
+      // unsigned mod 1e6 in column form: 2^64 ≡ 551616 (mod 1e6)
+      val bucket = pmod(
+        pmod(h, lit(1000000L)) + when(h < 0, lit(551616L)).otherwise(lit(0L)),
+        lit(1000000L))
+      docs.select(col("doc_id"), col("source")).withColumn("bucket", bucket)
+        .join(broadcast(rates), "source")
+        .filter(col("bucket") < col("thr"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH c AS (SELECT source, count(*) AS n,
+         |    CAST(CASE CAST(substring(source, 4) AS INT) % 3
+         |         WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END AS DOUBLE) AS w
+         |  FROM documents GROUP BY source),
+         |m AS (SELECT min(n / w) AS cmin FROM c),
+         |r AS (SELECT source,
+         |    CAST(floor(least(1.0, w * cmin / n) * 1000000.0) AS BIGINT) AS thr
+         |  FROM c, m)
+         |SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ${StableHash.hashes64Sql("['mix:' || CAST(doc_id AS VARCHAR)]")}[1]
+         |      % 1000000 AS bucket
+         |  FROM documents) d
+         |JOIN r USING (source) WHERE bucket < thr ORDER BY doc_id""".stripMargin)),
+
+    // Hard-negative mining: for every embedding, the most-similar vector
+    // with a DIFFERENT label — the contrastive-training pair generator.
+    // Exact n² baseline with the codegen'd cosine expression and a
+    // broadcast of the (small) vector table; the top-1 reduces via
+    // max(struct) with map-side partial aggregation, so the n² scored
+    // pairs never cross the shuffle (vs a row_number window, which ships
+    // them all). The ANN paths (q25/q26) are the scale route when n²
+    // stops being affordable.
+    Q("q69_hard_negatives", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          graft.vector.VectorOps.asDouble(col("embedding")).as("vec"))
+      val nb = emb.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
+        col("vec").as("nb_vec"))
+      emb.crossJoin(broadcast(nb))
+        .filter(col("nb_label") =!= col("label"))
+        .select(col("vec_id"), col("nb_id"),
+          round(graft.vector.VectorOps.cosine(col("vec"), col("nb_vec")), 6).as("sim"))
+        // max of (sim, -nb_id) = highest sim, ties to the LOWEST nb_id
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("nb_id")).as("neg_nb"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg_nb")).as("hard_negative"),
+          col("m.sim").as("sim"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+         |        round(${cosineSql("a.vec", "b.vec")}, 6) AS sim
+         |      FROM e a JOIN e b ON a.label <> b.label),
+         |r AS (SELECT vec_id, nb_id, sim,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nb_id) AS rn
+         |      FROM p)
+         |SELECT vec_id, nb_id AS hard_negative, sim FROM r
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // CUBE over order priority × status (all four grouping sets in one
+    // Expand pass — 4 aggregate streams off a single scan, vs four
+    // separate scans+shuffles). Nulls coalesce to 'ALL' so row identity
+    // is engine-neutral.
+    Q("q70_cube_orders", (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("q70_orders")
+      s.sql(
+        s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           | coalesce(o_orderstatus, 'ALL') AS status,
+           | count(*) AS n, ${dsumSql("o_totalprice")} AS total
+           |FROM q70_orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+           |ORDER BY priority, status""".stripMargin)
+    }, Some(
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+         | coalesce(o_orderstatus, 'ALL') AS status,
+         | count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         |ORDER BY priority, status""".stripMargin)))
 }
