@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.sources.{Staging, Tables}
+import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-distribution and layout operators: quantile bucketing, telemetry
+  * debounce, CDC-style latest-state compaction, bounded edit-distance
+  * screening, and bucketed-table co-located joins. All exactly
+  * oracle-checked.
+  */
+object LayoutQueries {
+  import Helpers._
+
+  val all: Seq[Q] = Seq(
+
+    // Price deciles WITHOUT a global sort: exact percentile boundaries
+    // (one aggregate), broadcast to a row-level bucket assignment. An
+    // ntile() window would coalesce every row into one partition — this
+    // form scans once and shuffles only the 10-row aggregate, the shape
+    // that survives 100 TB.
+    Q("q71_price_deciles", (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.agg(percentile(col("o_totalprice"),
+        lit((1 to 9).map(_ / 10.0).toArray)).as("bs"))
+      o.crossJoin(broadcast(b))
+        .select(col("o_totalprice"),
+          (size(filter(col("bs"), x => col("o_totalprice") > x)) + 1)
+            .cast("long").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("decile")
+    }, Some(
+      """WITH b AS (SELECT quantile_cont(o_totalprice,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders)
+        |SELECT CAST(len(list_filter(bs, x -> o_totalprice > x)) + 1 AS BIGINT) AS decile,
+        |  count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Telemetry debounce: drop events within 500 ms of the previous raw
+    // event of the same (user, type). Keyed lag window — partitions by
+    // the natural key, no global state. Gaps are measured in MICROS on
+    // both sides (DuckDB truncates parquet TIMESTAMP(NANOS) to micros on
+    // read, so a nano-resolution gap test cannot be mirrored).
+    Q("q72_debounce", (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+      EventQueries.events(s, dir)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("keep",
+          col("prev").isNull || col("us") - col("prev") >= lit(500000L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN prev IS NULL OR us - prev >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM (SELECT event_type, epoch_us(ts) AS us,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY epoch_us(ts), event_id) AS prev
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Latest-state compaction (CDC/upsert primitive): one row per user —
+    // the most recent event, ties broken by event_id. max(struct(...))
+    // aggregates with a map-side partial phase: no window, no shuffle of
+    // the full history, only per-partition winners cross the wire.
+    // Recency is compared in MICROS on both sides: DuckDB truncates
+    // parquet TIMESTAMP(NANOS) to micros on read, so sub-microsecond
+    // ordering cannot be mirrored — the micro+event_id key is the finest
+    // engine-neutral ordering.
+    Q("q73_latest_state", (s, dir) => {
+      EventQueries.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(struct(expr("ts div 1000").as("us"), col("event_id"),
+          col("event_type"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.us").as("last_ts_us"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_type"),
+          round(col("m.value"), 4).as("last_value"))
+        .orderBy("user_id")
+    }, Some(
+      """SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+        |  event_type AS last_type, round(value, 4) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Bounded edit-distance screen over adjacent doc ids (the blocked
+    // form of fuzzy near-dup): Levenshtein on a fixed 60-char prefix of
+    // cleaned text keeps per-pair cost constant regardless of doc size.
+    Q("q74_editdist_pairs", (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(TextOps.cleanText(col("text")), 1, 60).as("t"))
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"), col("t").as("t2"))
+      d.join(nxt, "doc_id")
+        .select(col("doc_id"), levenshtein(col("t"), col("t2")).cast("long").as("dist"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, substr(${cleanTextSql("text")}, 1, 60) AS t
+         |           FROM documents)
+         |SELECT a.doc_id AS doc_id,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Bucketed-table co-located join: both sides written bucketBy(8) +
+    // sortBy on the join key, so the sort-merge join consumes bucket
+    // files directly — NO Exchange on either input (asserted in
+    // LayoutSpec). The pre-shuffled-layout pattern that amortizes one
+    // write-time shuffle across every later join at 100 TB.
+    Q("q75_bucketed_join", (s, dir) => {
+      val base = Staging.scratchDir("buckets").toString
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS customer_b")
+      Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$base/orders_b")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").option("path", s"$base/customer_b")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+      s.table("orders_b")
+        .join(s.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      s"""SELECT c_mktsegment, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
+}
