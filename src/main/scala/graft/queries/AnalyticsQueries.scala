@@ -272,5 +272,56 @@ object AnalyticsQueries {
          | coalesce(o_orderstatus, 'ALL') AS status,
          | count(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-         |ORDER BY priority, status""".stripMargin)))
+         |ORDER BY priority, status""".stripMargin)),
+
+    // Rolling 7-day active users (WAU): dedupe to user-days, explode each
+    // into the 7 observation days it contributes to, count distinct per
+    // day. The explode factor is the window length (constant), so the
+    // shuffle grows 7×  user-days — not 7× raw events — and there is no
+    // per-day window state. Observation days clip to days present.
+    Q("q76_weekly_active", (s, dir) => {
+      val ud = EventQueries.events(s, dir)
+        .select(expr(s"ts div $NanosPerDay").as("day"), col("user_id"))
+        .distinct()
+      val days = ud.select(col("day").as("obs_day")).distinct()
+      ud.select(explode(expr("sequence(day, day + 6)")).as("obs_day"), col("user_id"))
+        .join(days, "obs_day")
+        .groupBy("obs_day")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("obs_day")
+    }, Some(
+      s"""WITH ud AS (SELECT DISTINCT epoch_ns(ts)//$NanosPerDay AS day, user_id
+         |            FROM events),
+         |days AS (SELECT DISTINCT day AS obs_day FROM ud),
+         |g AS (SELECT unnest(range(day, day + 7)) AS obs_day, user_id FROM ud)
+         |SELECT g.obs_day AS obs_day, count(DISTINCT g.user_id) AS wau
+         |FROM g JOIN days ON g.obs_day = days.obs_day
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // First-order event-transition matrix (Markov bigram): per user, the
+    // next event type via a keyed lead window (micro-exact ordering),
+    // then exact pair counts and a per-row share of the source type's
+    // outgoing mass. The sequence-model statistic for behavioral data.
+    Q("q77_event_transitions", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wShare = Window.partitionBy("event_type")
+      EventQueries.events(s, dir)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / sum("n").over(wShare), 6).as("p"))
+        .orderBy("event_type", "next_type")
+    }, Some(
+      """SELECT event_type, next_type, count(*) AS n,
+        |  round(count(*)::DOUBLE /
+        |    sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+        |FROM (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id) AS next_type
+        |      FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin)))
 }
