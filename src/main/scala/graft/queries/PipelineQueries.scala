@@ -223,5 +223,65 @@ object PipelineQueries {
         |    '"USER: ' || substr(text, 1, 20) || ' ASSISTANT: ' || substr(text, 21, 40) || '</s>"',
         |    '^"', ''), '"$', '') AS unq
         | FROM documents)
-        |ORDER BY id""".stripMargin)))
+        |ORDER BY id""".stripMargin)),
+
+    // Flagship corpus-prep composition — the full training-data prep
+    // chain as ONE declarative plan: clean → min-length filter →
+    // language-ID gate → quality gate → exact dedup (keep min id per
+    // content hash) → token-budget shard packing → per-shard stats.
+    // Every stage reuses an operator proven exact on its own (q10, q12,
+    // q13, q15, q60); Catalyst fuses the scalar stages into one codegen
+    // span over a single scan, so the chain costs two narrow shuffles
+    // (dedup hash, shard stats) + one window regardless of corpus size.
+    Q("q78_corpus_pipeline", (s, dir) => {
+      val filtered = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.text.TextOps.cleanText(col("text")).as("clean"))
+        .withColumn("n_tokens", graft.text.TextOps.tokenCount(col("clean")))
+        .filter(col("n_tokens") > 5)
+        .filter(graft.text.TextOps.langId(
+          graft.text.TextOps.tokens(col("clean"))) === "en")
+        // gate on the 6dp-rounded score: the rounded value is the one
+        // proven bit-equal across engines (q13), so the boundary cannot
+        // drift
+        .filter(round(graft.text.TextOps.qualityScore(col("clean")), 6) >= 0.5)
+      val keep = filtered
+        .groupBy(md5(col("clean").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      filtered.join(keep, "doc_id")
+        .withColumn("shard",
+          (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 4096).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("source", "shard")
+    }, Some {
+      val en = graft.text.TextOps.stopwords.toMap.apply("en")
+        .map(w => "'" + w + "'").mkString(",")
+      val punct = "(CAST(len(clean) - len(regexp_replace(clean, '[.,!?;:''\"-]', '', 'g')) AS DOUBLE) / greatest(len(clean), 1))"
+      val stop = s"(CAST(len(list_filter(string_split(clean, ' '), t -> list_contains([$en], t))) AS DOUBLE) / greatest(len(string_split(clean, ' ')), 1))"
+      val lenScore = "least(CAST(len(string_split(clean, ' ')) AS DOUBLE)/100.0, 1.0)"
+      s"""WITH c AS (SELECT doc_id, source, ${cleanTextSql("text")} AS clean
+         |           FROM documents),
+         |f AS (SELECT doc_id, source, clean,
+         |        CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+         |      FROM c
+         |      WHERE len(string_split(clean, ' ')) > 5
+         |        AND ${langIdSql("string_split(clean, ' ')")} = 'en'
+         |        AND round(0.4*$lenScore + 0.3*(1.0 - $punct)
+         |              + 0.3*least($stop*4.0, 1.0), 6) >= 0.5),
+         |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(clean)),
+         |d AS (SELECT f.* FROM f JOIN k USING (doc_id)),
+         |p AS (SELECT source, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) // 4096 AS BIGINT) AS shard
+         |      FROM d)
+         |SELECT source, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY source, shard ORDER BY source, shard""".stripMargin
+    }))
 }
