@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.text.{StableHash, StableHash64, TextOps}
+import graft.vector.VectorOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dataset-curation operators a 100 TB training pipeline runs between raw
+  * corpus and tokenizer: deterministic split assignment, sliding-window
+  * chunking, language-model surprisal scoring, repetition screens
+  * (the Gopher-style quality filters), and int8 embedding quantization.
+  * All exactly DuckDB-oracle-checked; the scale levers are noted per op.
+  */
+object CurationQueries {
+  import Helpers._
+
+  val all: Seq[Q] = Seq(
+
+    // Deterministic train/val/test split: a StableHash bucket of the doc
+    // id assigns 80/10/10 — reproducible on any cluster size, no RNG, no
+    // coordination; membership is a pure map-side predicate, so at 100 TB
+    // the split costs one scan and the per-split stats one small shuffle.
+    Q("q79_split_assign", (s, dir) => {
+      val h = StableHash64(concat(lit("split:"), col("doc_id").cast("string")))
+      // unsigned remainder mod 100 in column form (2^64 ≡ 16 mod 100)
+      val bucket = pmod(
+        pmod(h, lit(100L)) + when(h < 0, lit(16L)).otherwise(lit(0L)), lit(100L))
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          min("doc_id").as("min_id"))
+        .orderBy("split", "source")
+    }, Some(
+      s"""WITH b AS (SELECT source, n_chars, doc_id,
+         |  ${StableHash.hashes64Sql("['split:' || CAST(doc_id AS VARCHAR)]")}[1] % 100 AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  min(doc_id) AS min_id
+         |FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin)),
+
+    // Sliding-window chunking (window 32 tokens, stride 24): the RAG /
+    // long-context splitter. Pure per-row explode — fan-out is bounded by
+    // ceil(n_tokens/stride), no shuffle at all; at 100 TB this is a
+    // map-only job whose output partitioning inherits the scan's.
+    Q("q80_chunk_windows", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokens(TextOps.cleanText(col("text"))).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(24))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 24).cast("long").as("chunk_idx"),
+          size(slice(col("toks"), col("start") + 1, lit(32))).cast("long").as("n_chunk"),
+          array_join(slice(col("toks"), col("start") + 1, lit(32)), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, ${tokensSql(cleanTextSql("text"))} AS toks
+         |           FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |         unnest(range(0, greatest(len(toks), 1), 24)) AS start FROM t)
+         |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk,
+         |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Unigram-LM surprisal scoring — the perplexity-style quality filter
+    // (CCNet shape) with the corpus itself as the language model: global
+    // term counts → per-token -ln p(t) → per-doc mean. The vocabulary is
+    // tiny relative to the corpus, so the count table broadcasts and the
+    // scoring pass stays shuffle-free; per-token surprisal is rounded to
+    // 6dp and summed as exact decimals so the mean is order-independent.
+    Q("q81_surprisal", (s, dir) => {
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("term"))
+      val total = occ.count()
+      val counts = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
+      occ.join(broadcast(counts), "term")
+        .withColumn("surp", round(log(lit(total.toDouble) / col("cnt")), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), davg(col("surp")).as("avg_surprisal"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, unnest(${tokensSql(cleanTextSql("text"))}) AS term
+         |           FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+         |sc AS (SELECT t.doc_id, round(ln(n.total / c.cnt), 6) AS surp
+         |       FROM t JOIN c USING (term) CROSS JOIN n)
+         |SELECT doc_id, count(*) AS n_tokens, ${davgSql("surp")} AS avg_surprisal
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Repetition screens (Gopher-style): duplicate-2-gram fraction and
+    // the character share of the single most frequent 2-gram. The
+    // distinct-count side is per-row array math (map-only); the top-gram
+    // side is one groupBy + max(struct) partial agg — both scale linearly
+    // and neither moves document text through a shuffle.
+    Q("q82_repetition", (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
+        .withColumn("toks", TextOps.tokens(col("clean")))
+        .withColumn("grams", when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), col("clean"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+          col("grams"))
+      val top = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(struct(col("cnt"), col("gram"))).as("t"))
+        .select(col("doc_id"), col("t.gram").as("top_gram"),
+          col("t.cnt").as("top_n"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          round(when(col("n_grams") > 0,
+            (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+            .otherwise(0.0), 6).as("dup_frac"),
+          coalesce(col("top_gram"), lit("")).as("top_gram"),
+          coalesce(col("top_n"), lit(0L)).as("top_n"),
+          round(coalesce(col("top_n").cast("double") * length(col("top_gram"))
+            / greatest(length(col("clean")), lit(1)), lit(0.0)), 6).as("top_char_frac"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH d AS (SELECT doc_id, ${cleanTextSql("text")} AS clean FROM documents),
+         |t AS (SELECT doc_id, clean, string_split(clean, ' ') AS toks FROM d),
+         |g AS (SELECT doc_id, clean,
+         |        CASE WHEN len(toks) >= 2
+         |          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+         |b AS (SELECT doc_id, clean, CAST(len(grams) AS BIGINT) AS n_grams,
+         |        CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct FROM g),
+         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY doc_id, gram),
+         |r AS (SELECT doc_id, gram, cnt, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c)
+         |SELECT b.doc_id, b.n_grams,
+         |  round(CASE WHEN b.n_grams > 0
+         |    THEN CAST(b.n_grams - b.n_distinct AS DOUBLE) / b.n_grams
+         |    ELSE 0.0 END, 6) AS dup_frac,
+         |  coalesce(r.gram, '') AS top_gram,
+         |  CAST(coalesce(r.cnt, 0) AS BIGINT) AS top_n,
+         |  round(coalesce(CAST(r.cnt AS DOUBLE) * length(r.gram)
+         |    / greatest(length(b.clean), 1), 0.0), 6) AS top_char_frac
+         |FROM b LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)),
+
+    // Symmetric int8 embedding quantization: per-vector absmax scale,
+    // round-half-up to [-127,127], then reconstruction error and cosine
+    // drift of the dequantized vector. The storage lever for ANN at scale
+    // (4x smaller vectors); per-row map-only, no shuffle. The scale is
+    // bound once per row (array_repeat) so the lambda never re-evaluates
+    // the absmax per element.
+    Q("q83_quantize_int8", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+        .withColumn("scale",
+          array_max(transform(col("vec"), x => abs(x))) / 127.0)
+      val dq = zip_with(col("vec"),
+        array_repeat(col("scale"), size(col("vec"))),
+        (x, sc) => least(greatest(floor(x / sc + 0.5), lit(-127.0)),
+          lit(127.0)) * sc)
+      emb.withColumn("dq", dq)
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(sqrt(aggregate(
+            zip_with(col("vec"), col("dq"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v)), 6).as("l2_err"),
+          round(VectorOps.cosine(col("vec"), col("dq")), 6).as("cos_dq"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |sc AS (SELECT vec_id, vec,
+         |         list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale FROM v),
+         |q AS (SELECT vec_id, vec, scale,
+         |        list_transform(vec, x ->
+         |          least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale) AS dq
+         |      FROM sc)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  round(sqrt(list_sum(list_transform(list_zip(vec, dq),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS l2_err,
+         |  round(${cosineSql("vec", "dq")}, 6) AS cos_dq
+         |FROM q ORDER BY vec_id""".stripMargin)))
+}
