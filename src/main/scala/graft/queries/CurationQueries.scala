@@ -79,9 +79,14 @@ object CurationQueries {
     // scoring pass stays shuffle-free; per-token surprisal is rounded to
     // 6dp and summed as exact decimals so the mean is order-independent.
     Q("q81_surprisal", (s, dir) => {
+      // the token-occurrence frame feeds three consumers (corpus total,
+      // term counts, scoring probe) — persist it so the clean+tokenize+
+      // explode subtree runs once (at 100 TB the two passes are inherent:
+      // build the LM, then score; the cache is the single-node shortcut)
       val occ = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("term"))
+        .persist()
       val total = occ.count()
       val counts = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
       occ.join(broadcast(counts), "term")

@@ -245,14 +245,18 @@ object PipelineQueries {
         // proven bit-equal across engines (q13), so the boundary cannot
         // drift
         .filter(round(graft.text.TextOps.qualityScore(col("clean")), 6) >= 0.5)
+      // exact dedup without a join-back: min(struct) keeps the lowest-id
+      // row per content hash in ONE partial-aggregated shuffle, and the
+      // clean/filter subtree is evaluated once instead of twice
       val keep = filtered
         .groupBy(md5(col("clean").cast("binary")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.n_tokens").as("n_tokens"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      filtered.join(keep, "doc_id")
+      keep
         .withColumn("shard",
           (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 4096).cast("long"))
         .groupBy("source", "shard")
