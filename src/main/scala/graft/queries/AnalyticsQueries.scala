@@ -323,5 +323,89 @@ object AnalyticsQueries {
         |          ORDER BY epoch_us(ts), event_id) AS next_type
         |      FROM events)
         |WHERE next_type IS NOT NULL
-        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin)))
+        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin)),
+
+    // Weighted PageRank over the user↔event bipartite interaction graph,
+    // three unrolled power iterations — iterative graph analytics as
+    // plain joins + aggregations (the Pregel-as-dataflow shape: each
+    // iteration is one shuffle join on src + one groupBy on dst, and the
+    // rank frame stays partitioned by node key across iterations). Exact
+    // across engines: ranks live as integer pico-units (quantized with
+    // floor(x*1e12 + 0.5), an IEEE op sequence both engines evaluate
+    // bit-identically — round(x, 12) does NOT agree cross-engine at this
+    // precision) and contributions sum as exact integers, so iteration
+    // order cannot drift the result.
+    Q("q84_pagerank", (s, dir) => {
+      val ev = EventQueries.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("w"))
+      val edges = ev.select(
+          concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("e:"), col("event_type")).as("dst"), col("w"))
+        .unionAll(ev.select(
+          concat(lit("e:"), col("event_type")).as("src"),
+          concat(lit("u:"), col("user_id")).as("dst"), col("w")))
+      val wout = edges.groupBy("src").agg(sum("w").as("wout"))
+      // edges+degrees and the node list feed every iteration: persist
+      // the tiny graph skeleton instead of re-deriving it 3x
+      val e2 = edges.join(wout, "src").persist()
+      val nodes = edges.select(col("src").as("node")).distinct().persist()
+      val n = nodes.count()
+      var ranks = nodes.select(col("node"),
+        floor(lit(1.0) / n * lit(1e12) + lit(0.5)).cast("long").as("rp"))
+      for (_ <- 1 to 3) {
+        val contrib = e2.join(ranks, e2("src") === ranks("node"))
+          .select(col("dst"),
+            floor(col("rp") / lit(1e12) * col("w") / col("wout") * lit(1e12)
+              + lit(0.5)).cast("long").as("cp"))
+        val agg = contrib.groupBy("dst").agg(sum("cp").as("sp"))
+        ranks = nodes.join(agg, nodes("node") === agg("dst"), "left")
+          .select(col("node"),
+            floor((lit(0.15) / n + lit(0.85) * (coalesce(col("sp"), lit(0L)) / lit(1e12)))
+              * lit(1e12) + lit(0.5)).cast("long").as("rp"))
+      }
+      ranks.select(col("node"), (col("rp") / lit(1e12)).as("rank"))
+        .orderBy(desc("rank"), asc("node"))
+    }, Some(
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, event_type, count(*) AS w FROM events GROUP BY 1, 2),
+        |edges AS MATERIALIZED (
+        |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+        |         'e:' || event_type AS dst, w FROM ev
+        |  UNION ALL
+        |  SELECT 'e:' || event_type, 'u:' || CAST(user_id AS VARCHAR), w FROM ev),
+        |wout AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+        |                      FROM edges GROUP BY src),
+        |e2 AS MATERIALIZED (
+        |  SELECT e.src, e.dst, e.w, o.wout FROM edges e JOIN wout o USING (src)),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(floor(1.0 / nn.n * 1e12 + 0.5) AS BIGINT) AS rp
+        |  FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e2.dst, CAST(floor(r.rp / 1e12 * e2.w / e2.wout * 1e12 + 0.5)
+        |         AS BIGINT) AS cp
+        |       FROM e2 JOIN r0 r ON e2.src = r.node),
+        |s1 AS (SELECT dst, CAST(sum(cp) AS BIGINT) AS sp FROM c1 GROUP BY dst),
+        |r1 AS MATERIALIZED (
+        |  SELECT nodes.node, CAST(floor((0.15 / nn.n + 0.85 * (coalesce(s1.sp, 0) / 1e12))
+        |    * 1e12 + 0.5) AS BIGINT) AS rp
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.dst),
+        |c2 AS (SELECT e2.dst, CAST(floor(r.rp / 1e12 * e2.w / e2.wout * 1e12 + 0.5)
+        |         AS BIGINT) AS cp
+        |       FROM e2 JOIN r1 r ON e2.src = r.node),
+        |s2 AS (SELECT dst, CAST(sum(cp) AS BIGINT) AS sp FROM c2 GROUP BY dst),
+        |r2 AS MATERIALIZED (
+        |  SELECT nodes.node, CAST(floor((0.15 / nn.n + 0.85 * (coalesce(s2.sp, 0) / 1e12))
+        |    * 1e12 + 0.5) AS BIGINT) AS rp
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.dst),
+        |c3 AS (SELECT e2.dst, CAST(floor(r.rp / 1e12 * e2.w / e2.wout * 1e12 + 0.5)
+        |         AS BIGINT) AS cp
+        |       FROM e2 JOIN r2 r ON e2.src = r.node),
+        |s3 AS (SELECT dst, CAST(sum(cp) AS BIGINT) AS sp FROM c3 GROUP BY dst),
+        |r3 AS MATERIALIZED (
+        |  SELECT nodes.node, CAST(floor((0.15 / nn.n + 0.85 * (coalesce(s3.sp, 0) / 1e12))
+        |    * 1e12 + 0.5) AS BIGINT) AS rp
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.dst)
+        |SELECT node, rp / 1e12 AS rank FROM r3
+        |ORDER BY rank DESC, node ASC""".stripMargin)))
 }
