@@ -133,5 +133,95 @@ object LayoutQueries {
     }, Some(
       s"""SELECT c_mktsegment, count(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Z-order (Morton) layout clustering: scale two dimensions to 8-bit
+    // cells against their global min/max, interleave the bits into a
+    // 16-bit curve code, and report per-tile occupancy + dimension
+    // ranges (the locality evidence). Sorting 100 TB of parts by this
+    // code gives every 2-D range predicate contiguous file-level min/max
+    // pruning — the multi-dimensional analogue of q75's bucketing. The
+    // bit interleave is generated from ONE Scala loop for both engines.
+    Q("q85_zorder_layout", (s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("x"),
+          col("p_retailprice").cast("double").as("y"))
+      val stats = p.agg(min("x").as("lox"), max("x").as("hix"),
+        min("y").as("loy"), max("y").as("hiy"))
+      def cell(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column) =
+        least(floor((v - lo) / ((hi - lo) + lit(1e-9)) * lit(256.0)), lit(255L))
+      val withCells = p.crossJoin(broadcast(stats))
+        .select(col("p_partkey"),
+          cell(col("x"), col("lox"), col("hix")).as("cx"),
+          cell(col("y"), col("loy"), col("hiy")).as("cy"))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("cx"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("cy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      withCells.withColumn("zcode", z)
+        .groupBy(expr("zcode div 64").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min("cx").as("min_cx"), max("cx").as("max_cx"),
+          min("cy").as("min_cy"), max("cy").as("max_cy"))
+        .orderBy("tile")
+    }, Some {
+      val zSql = (0 until 8).map { i =>
+        s"(((cx >> $i) & 1) << ${2 * i}) + (((cy >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      val cellSql = (v: String, lo: String, hi: String) =>
+        s"least(CAST(floor(($v - $lo) / (($hi - $lo) + 1e-9) * 256.0) AS BIGINT), 255)"
+      s"""WITH p AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS x,
+         |             CAST(p_retailprice AS DOUBLE) AS y FROM part),
+         |st AS (SELECT min(x) AS lox, max(x) AS hix,
+         |              min(y) AS loy, max(y) AS hiy FROM p),
+         |cells AS (SELECT p_partkey,
+         |    ${cellSql("x", "lox", "hix")} AS cx,
+         |    ${cellSql("y", "loy", "hiy")} AS cy
+         |  FROM p CROSS JOIN st),
+         |zc AS (SELECT p_partkey, cx, cy, $zSql AS zcode FROM cells)
+         |SELECT CAST(zcode // 64 AS BIGINT) AS tile, count(*) AS n,
+         |  min(cx) AS min_cx, max(cx) AS max_cx,
+         |  min(cy) AS min_cy, max(cy) AS max_cy
+         |FROM zc GROUP BY 1 ORDER BY tile""".stripMargin
+    }),
+
+    // SCD2 dimension build from the CDC event stream: collapse repeated
+    // states per user (keyed lag), then stamp validity intervals with a
+    // keyed lead — valid_to is open (null) on the current row. Two
+    // windows over one shuffle on user_id; at 100 TB the state history
+    // per key is what moves, never the full fact stream. Micros on both
+    // sides (DuckDB truncates TIMESTAMP(NANOS) on read).
+    Q("q86_scd2_intervals", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val changes = EventQueries.events(s, dir)
+        .withColumn("us", expr("ts div 1000"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      // open intervals carry sentinel -1, not NULL: a nullable BIGINT
+      // column degrades to float64+NaN in the driver's pandas compare
+      changes
+        .withColumn("next_us", lead("us", 1).over(w))
+        .select(col("user_id"), col("event_id").as("change_id"),
+          col("event_type").as("state"), col("us").as("valid_from_us"),
+          coalesce(col("next_us") - 1, lit(-1L)).as("valid_to_us"),
+          when(col("next_us").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy("user_id", "valid_from_us", "change_id")
+    }, Some(
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |ch AS (SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, us,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS prev
+        |    FROM e)
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, event_id, event_type, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+        |  FROM ch)
+        |SELECT user_id, event_id AS change_id, event_type AS state,
+        |  us AS valid_from_us,
+        |  CAST(coalesce(next_us - 1, -1) AS BIGINT) AS valid_to_us,
+        |  CAST(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us, change_id""".stripMargin)))
 }
