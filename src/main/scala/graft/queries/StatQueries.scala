@@ -140,6 +140,52 @@ object StatQueries {
     }, Some(
       s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS value_sum
          |FROM events WHERE event_type = 'purchase'
-         |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Snapshot diff / MERGE classification: two deterministic snapshots
+    // of orders (old = keys not ≡0 mod 7 at original price; new = keys
+    // not ≡0 mod 5, price +5.00 where key ≡0 mod 3 — an exact decimal
+    // add, so no cross-engine rescale rounding) full-outer-joined on
+    // the key and classified insert/delete/update/unchanged — the CDC
+    // reconciliation behind every incremental-materialization pipeline.
+    // One co-partitioned shuffle join at any scale; output is the class
+    // census plus an exact decimal value delta.
+    Q("q87_snapshot_diff", (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val old = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
+      val neu = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 3 === 0,
+            col("o_totalprice") + lit(BigDecimal("5.00")))
+            .otherwise(col("o_totalprice")).as("v_new"))
+      old.join(neu, Seq("k"), "full_outer")
+        .withColumn("op",
+          when(col("v_old").isNull, "insert")
+            .when(col("v_new").isNull, "delete")
+            .when(col("v_old") =!= col("v_new"), "update")
+            .otherwise("unchanged"))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"),
+          dsum(coalesce(col("v_new"), lit(0)) - coalesce(col("v_old"), lit(0)))
+            .as("value_delta"))
+        .orderBy("op")
+    }, Some(
+      s"""WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v_old
+         |             FROM orders WHERE o_orderkey % 7 <> 0),
+         |neu AS (SELECT o_orderkey AS k,
+         |          CASE WHEN o_orderkey % 3 = 0
+         |            THEN o_totalprice + CAST(5.00 AS DECIMAL(3,2))
+         |            ELSE o_totalprice END AS v_new
+         |        FROM orders WHERE o_orderkey % 5 <> 0),
+         |d AS (SELECT coalesce(old.k, neu.k) AS k, v_old, v_new,
+         |        CASE WHEN v_old IS NULL THEN 'insert'
+         |             WHEN v_new IS NULL THEN 'delete'
+         |             WHEN v_old <> v_new THEN 'update'
+         |             ELSE 'unchanged' END AS op
+         |      FROM old FULL OUTER JOIN neu USING (k))
+         |SELECT op, count(*) AS n,
+         |  ${dsumSql("coalesce(v_new, 0) - coalesce(v_old, 0)")} AS value_delta
+         |FROM d GROUP BY op ORDER BY op""".stripMargin)))
 }
 
