@@ -186,6 +186,80 @@ object StatQueries {
          |      FROM old FULL OUTER JOIN neu USING (k))
          |SELECT op, count(*) AS n,
          |  ${dsumSql("coalesce(v_new, 0) - coalesce(v_old, 0)")} AS value_delta
-         |FROM d GROUP BY op ORDER BY op""".stripMargin)))
+         |FROM d GROUP BY op ORDER BY op""".stripMargin)),
+
+    // Incremental view maintenance: a per-bucket (count, sum) view of the
+    // old snapshot is updated purely from the change rows — insert +1,
+    // delete -1, value deltas — and the query emits the incremental
+    // result NEXT TO the direct recompute with a per-bucket match flag.
+    // All sums are exact decimals, so the IVM algebra holds bit-for-bit.
+    // At 100 TB this is the difference between touching the delta
+    // (shuffle ∝ changes) and rescanning the fact table.
+    Q("q88_incremental_view", (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), pmod(col("o_custkey"), lit(50)).as("bucket"),
+          col("o_totalprice").cast(DecimalType(20, 6)).as("v"))
+      val old = o.filter(col("k") % 7 =!= 0)
+      val neu = o.filter(col("k") % 5 =!= 0)
+        .withColumn("v", when(col("k") % 3 === 0,
+          col("v") + lit(BigDecimal("5.00"))).otherwise(col("v")).cast(DecimalType(20, 6)))
+      val oldView = old.groupBy("bucket")
+        .agg(count(lit(1)).as("n_old"), sum("v").as("s_old"))
+      val deltas = old.select(col("k"), col("bucket").as("b_old"), col("v").as("v_old"))
+        .join(neu.select(col("k"), col("bucket").as("b_new"), col("v").as("v_new")),
+          Seq("k"), "full_outer")
+        .select(coalesce(col("b_new"), col("b_old")).as("bucket"),
+          (when(col("v_old").isNull, 1L).otherwise(0L) -
+            when(col("v_new").isNull, 1L).otherwise(0L)).as("dn"),
+          (coalesce(col("v_new"), lit(0)) - coalesce(col("v_old"), lit(0))).as("dv"))
+        .groupBy("bucket").agg(sum("dn").as("dn"), sum("dv").as("dv"))
+      val incr = oldView.join(deltas, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("n_old"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_incr"),
+          (coalesce(col("s_old"), lit(0)) + coalesce(col("dv"), lit(0))).as("s_incr"))
+      val direct = neu.groupBy("bucket")
+        .agg(count(lit(1)).as("n_direct"), sum("v").as("s_direct"))
+      incr.join(direct, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_incr"),
+          round(col("s_incr").cast("double"), 4).as("value_incr"),
+          col("n_direct"),
+          round(col("s_direct").cast("double"), 4).as("value_direct"),
+          when(col("n_incr") === col("n_direct") &&
+            col("s_incr") === col("s_direct"), 1L).otherwise(0L).as("ok"))
+        .orderBy("bucket")
+    }, Some(
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey % 50 AS bucket,
+        |             CAST(o_totalprice AS DECIMAL(20,6)) AS v FROM orders),
+        |old AS (SELECT * FROM o WHERE k % 7 <> 0),
+        |neu AS (SELECT k, bucket,
+        |          CAST(CASE WHEN k % 3 = 0 THEN v + CAST(5.00 AS DECIMAL(3,2))
+        |               ELSE v END AS DECIMAL(20,6)) AS v
+        |        FROM o WHERE k % 5 <> 0),
+        |old_view AS (SELECT bucket, count(*) AS n_old, sum(v) AS s_old
+        |             FROM old GROUP BY bucket),
+        |deltas AS (
+        |  SELECT coalesce(n.bucket, d.bucket) AS bucket,
+        |    (CASE WHEN d.v IS NULL THEN 1 ELSE 0 END
+        |      - CASE WHEN n.v IS NULL THEN 1 ELSE 0 END) AS dn,
+        |    (coalesce(n.v, 0) - coalesce(d.v, 0)) AS dv
+        |  FROM (SELECT k, bucket, v FROM old) d
+        |  FULL OUTER JOIN (SELECT k, bucket, v FROM neu) n USING (k)),
+        |delta_agg AS (SELECT bucket, sum(dn) AS dn, sum(dv) AS dv
+        |              FROM deltas GROUP BY bucket),
+        |incr AS (
+        |  SELECT coalesce(o.bucket, a.bucket) AS bucket,
+        |    CAST(coalesce(o.n_old, 0) + coalesce(a.dn, 0) AS BIGINT) AS n_incr,
+        |    coalesce(o.s_old, 0) + coalesce(a.dv, 0) AS s_incr
+        |  FROM old_view o FULL OUTER JOIN delta_agg a USING (bucket)),
+        |direct AS (SELECT bucket, count(*) AS n_direct, sum(v) AS s_direct
+        |           FROM neu GROUP BY bucket)
+        |SELECT bucket, n_incr,
+        |  round(CAST(i.s_incr AS DOUBLE), 4) AS value_incr,
+        |  d.n_direct,
+        |  round(CAST(d.s_direct AS DOUBLE), 4) AS value_direct,
+        |  CAST(CASE WHEN i.n_incr = d.n_direct AND i.s_incr = d.s_direct
+        |       THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM incr i FULL OUTER JOIN direct d USING (bucket)
+        |ORDER BY bucket""".stripMargin)))
 }
 
