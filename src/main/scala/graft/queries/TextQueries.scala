@@ -267,5 +267,43 @@ object TextQueries {
          | round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
          |   (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
          |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
-         |ORDER BY doc_a""".stripMargin)))
+         |ORDER BY doc_a""".stripMargin)),
+
+    // Vocabulary build + OOV audit (tokenizer prep): corpus term counts →
+    // top-V vocabulary (count desc, term asc — deterministic cutoff) →
+    // per-source out-of-vocabulary token rate against it. The vocab
+    // ranking window runs over the aggregated term table (vocab-sized,
+    // not corpus-sized) and the vocab broadcasts to the scoring probe, so
+    // the corpus is scanned, never re-shuffled, at any scale.
+    Q("q89_vocab_oov", (s, dir) => {
+      val occ = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("term"))
+        .persist()
+      val counts = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cnt"), asc("term"))
+      val vocab = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20).select(col("term"), lit(1L).as("in_vocab"))
+      occ.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        .orderBy("source")
+    }, Some(
+      s"""WITH t AS (SELECT source, unnest(${tokensSql(cleanTextSql("text"))}) AS term
+         |           FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |v AS (SELECT term FROM (
+         |    SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+         |    FROM c) WHERE rk <= 20),
+         |j AS (SELECT t.source, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM t LEFT JOIN v ON t.term = v.term),
+         |a AS (SELECT source, count(*) AS n_tokens,
+         |        CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY source)
+         |SELECT source, n_tokens, n_oov,
+         |  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+         |FROM a ORDER BY source""".stripMargin)))
 }
