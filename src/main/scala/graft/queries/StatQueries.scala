@@ -260,6 +260,71 @@ object StatQueries {
         |  CAST(CASE WHEN i.n_incr = d.n_direct AND i.s_incr = d.s_direct
         |       THEN 1 ELSE 0 END AS BIGINT) AS ok
         |FROM incr i FULL OUTER JOIN direct d USING (bucket)
-        |ORDER BY bucket""".stripMargin)))
+        |ORDER BY bucket""".stripMargin)),
+
+    // Histogram-sketch quantiles: one pass bins prices into 100
+    // equal-width buckets (min/max broadcast), the cumulative bin counts
+    // yield p50/p95/p99 estimates, and the query emits them NEXT TO the
+    // exact percentile with the absolute error. The mergeable-summary
+    // alternative to exact quantiles at 100 TB: bounded state (100
+    // counters/partition, map-side combined) vs a full sort; the same
+    // cell math both engines evaluate bit-identically (cf. q85).
+    Q("q90_histogram_quantiles", (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_totalprice").cast("double").as("v"))
+      val stats = o.agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).as("total"),
+        percentile(col("v"), lit(Array(0.5, 0.95, 0.99))).as("exact"))
+      val hist = o.crossJoin(broadcast(stats.select("lo", "hi")))
+        .groupBy(least(floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) + lit(1e-9)) * lit(100.0)), lit(99L))
+          .as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val wc = org.apache.spark.sql.expressions.Window.orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("cum", sum("n").over(wc))
+      val qs = s.range(3).select(
+        element_at(lit(Array(0.5, 0.95, 0.99)), col("id").cast("int") + 1).as("q"))
+      qs.crossJoin(broadcast(cum))
+        .crossJoin(broadcast(stats))
+        .filter(col("cum") >= col("q") * col("total"))
+        .groupBy("q")
+        .agg(min("bin").as("bin"), first("lo").as("lo"), first("hi").as("hi"),
+          first("exact").as("exact"))
+        .select(col("q"), col("bin"), col("lo"), col("hi"),
+          when(col("q") === 0.5, element_at(col("exact"), 1))
+            .when(col("q") === 0.95, element_at(col("exact"), 2))
+            .otherwise(element_at(col("exact"), 3)).as("ex"))
+        .select(col("q"),
+          round(col("lo") + (col("bin") + lit(0.5)) *
+            (((col("hi") - col("lo")) + lit(1e-9)) / lit(100.0)), 6).as("est"),
+          round(col("ex"), 6).as("exact"),
+          round(abs(col("lo") + (col("bin") + lit(0.5)) *
+            (((col("hi") - col("lo")) + lit(1e-9)) / lit(100.0)) - col("ex")), 6)
+            .as("abs_err"))
+        .orderBy("q")
+    }, Some(
+      """WITH o AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |st AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS total,
+        |         quantile_cont(v, 0.5) AS ex50, quantile_cont(v, 0.95) AS ex95,
+        |         quantile_cont(v, 0.99) AS ex99 FROM o),
+        |hist AS (SELECT least(CAST(floor((v - lo) / ((hi - lo) + 1e-9) * 100.0)
+        |             AS BIGINT), 99) AS bin, count(*) AS n
+        |         FROM o CROSS JOIN st GROUP BY 1),
+        |cum AS (SELECT bin, sum(n) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM hist),
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
+        |hit AS (SELECT qs.q, min(cum.bin) AS bin
+        |        FROM qs CROSS JOIN cum CROSS JOIN st
+        |        WHERE cum.cum >= qs.q * st.total GROUP BY qs.q)
+        |SELECT h.q AS q,
+        |  round(st.lo + (h.bin + 0.5) * (((st.hi - st.lo) + 1e-9) / 100.0), 6) AS est,
+        |  round(CASE h.q WHEN 0.5 THEN st.ex50 WHEN 0.95 THEN st.ex95
+        |        ELSE st.ex99 END, 6) AS exact,
+        |  round(abs(st.lo + (h.bin + 0.5) * (((st.hi - st.lo) + 1e-9) / 100.0)
+        |    - CASE h.q WHEN 0.5 THEN st.ex50 WHEN 0.95 THEN st.ex95
+        |      ELSE st.ex99 END), 6) AS abs_err
+        |FROM hit h CROSS JOIN st ORDER BY q""".stripMargin)))
 }
 
