@@ -141,5 +141,51 @@ object DedupQueries {
          |FROM e a JOIN e b ON a.id < b.id
          |WHERE $cos >= 0.99
          |ORDER BY id_a, id_b""".stripMargin
-    }))
+    }),
+
+    // Incremental dedup — the daily-ingest shape: a small new batch
+    // (doc_id ≡ 0 mod 10) is screened against the standing corpus AND
+    // itself on a content key (40-char clean prefix, which collides on
+    // this corpus). Only batch-sized frames are ever broadcast; the
+    // history contributes one column-pruned scan and nothing of it is
+    // shuffled — the reason incremental dedup costs minutes, not a
+    // corpus re-shuffle, at 100 TB.
+    Q("q91_incremental_dedup", (s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(TextOps.cleanText(col("text")), 1, 40).as("k"))
+      val batch = keyed.filter(col("doc_id") % 10 === 0)
+      val hist = keyed.filter(col("doc_id") % 10 =!= 0)
+      val histHits = hist
+        .join(broadcast(batch.select("k").distinct()), "k")
+        .select("k").distinct().withColumn("in_hist", lit(1L))
+      val firstInBatch = batch.groupBy("k").agg(min("doc_id").as("first_id"))
+      batch
+        .join(broadcast(histHits), Seq("k"), "left")
+        .join(broadcast(firstInBatch), "k")
+        .select(col("doc_id"),
+          coalesce(col("in_hist"), lit(0L)).as("dup_hist"),
+          when(col("doc_id") > col("first_id"), 1L).otherwise(0L).as("dup_batch"))
+        .withColumn("verdict",
+          when(col("dup_hist") === 1, "drop_vs_history")
+            .when(col("dup_batch") === 1, "drop_in_batch")
+            .otherwise("keep"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH keyed AS (SELECT doc_id, substr(${cleanTextSql("text")}, 1, 40) AS k
+         |               FROM documents),
+         |batch AS (SELECT * FROM keyed WHERE doc_id % 10 = 0),
+         |hist AS (SELECT * FROM keyed WHERE doc_id % 10 <> 0),
+         |hh AS (SELECT DISTINCT h.k FROM hist h JOIN (SELECT DISTINCT k FROM batch) b
+         |       ON h.k = b.k),
+         |fb AS (SELECT k, min(doc_id) AS first_id FROM batch GROUP BY k),
+         |o AS (SELECT b.doc_id,
+         |        CASE WHEN hh.k IS NOT NULL THEN 1 ELSE 0 END AS dup_hist,
+         |        CASE WHEN b.doc_id > fb.first_id THEN 1 ELSE 0 END AS dup_batch
+         |      FROM batch b LEFT JOIN hh ON b.k = hh.k JOIN fb ON b.k = fb.k)
+         |SELECT doc_id, CAST(dup_hist AS BIGINT) AS dup_hist,
+         |  CAST(dup_batch AS BIGINT) AS dup_batch,
+         |  CASE WHEN dup_hist = 1 THEN 'drop_vs_history'
+         |       WHEN dup_batch = 1 THEN 'drop_in_batch' ELSE 'keep' END AS verdict
+         |FROM o ORDER BY doc_id""".stripMargin)))
 }
