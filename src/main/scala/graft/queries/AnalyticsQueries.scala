@@ -407,5 +407,79 @@ object AnalyticsQueries {
         |    * 1e12 + 0.5) AS BIGINT) AS rp
         |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.dst)
         |SELECT node, rp / 1e12 AS rank FROM r3
-        |ORDER BY rank DESC, node ASC""".stripMargin)))
+        |ORDER BY rank DESC, node ASC""".stripMargin)),
+
+    // Funnel latency distribution: first-view → first-qualifying-purchase
+    // delay per user (the q63 staged-min-join chain), summarized as
+    // p50/p90/p99 seconds. The per-user reduction happens in the keyed
+    // aggregates; only one delay value per converting user reaches the
+    // percentile — the latency-SLO report shape.
+    Q("q92_funnel_latency", (s, dir) => {
+      // MICROS on both sides: DuckDB truncates parquet TIMESTAMP(NANOS)
+      // on read, so nano-resolution deltas would not mirror
+      val ev = EventQueries.events(s, dir).withColumn("us", expr("ts div 1000"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t3"), min("t1").as("t1m"))
+      p.select(((col("t3") - col("t1m")) / lit(1e6)).as("delay_s"))
+        .agg(count(lit(1)).as("n_users"),
+          round(element_at(percentile(col("delay_s"),
+            lit(Array(0.5, 0.9, 0.99))), 1), 4).as("p50_s"),
+          round(element_at(percentile(col("delay_s"),
+            lit(Array(0.5, 0.9, 0.99))), 2), 4).as("p90_s"),
+          round(element_at(percentile(col("delay_s"),
+            lit(Array(0.5, 0.9, 0.99))), 3), 4).as("p99_s"))
+    }, Some(
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3, min(v.t1) AS t1m
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t1
+        |      GROUP BY e.user_id),
+        |d AS (SELECT (t3 - t1m) / 1e6 AS delay_s FROM p)
+        |SELECT count(*) AS n_users,
+        |  round(quantile_cont(delay_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(delay_s, 0.9), 4) AS p90_s,
+        |  round(quantile_cont(delay_s, 0.99), 4) AS p99_s
+        |FROM d""".stripMargin)),
+
+    // Event-type co-occurrence PMI over user-hour contexts — the
+    // co-occurrence statistic embedding trainers consume. Contexts
+    // dedupe map-side (distinct user-hour-type), the pair join fans out
+    // per context (bounded by types²), and marginals broadcast back.
+    // ln() agrees cross-engine at the 6dp output rounding.
+    Q("q93_cooccurrence_pmi", (s, dir) => {
+      val NanosPerHour = 3600L * 1000000000L
+      val uht = EventQueries.events(s, dir)
+        .select(col("user_id"), expr(s"ts div $NanosPerHour").as("hour"),
+          col("event_type")).distinct().persist()
+      val n = uht.select("user_id", "hour").distinct().count()
+      val marg = uht.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val a = uht.select(col("user_id"), col("hour"), col("event_type").as("ta"))
+      val b = uht.select(col("user_id"), col("hour"), col("event_type").as("tb"))
+      a.join(b, Seq("user_id", "hour")).filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("cooc"))
+        .join(broadcast(marg.select(col("event_type").as("ta"), col("cnt").as("ca"))), "ta")
+        .join(broadcast(marg.select(col("event_type").as("tb"), col("cnt").as("cb"))), "tb")
+        .select(col("ta"), col("tb"), col("cooc"),
+          round(log(col("cooc").cast("double") * n /
+            (col("ca").cast("double") * col("cb"))), 6).as("pmi"))
+        .orderBy("ta", "tb")
+    }, Some(
+      s"""WITH uht AS (SELECT DISTINCT user_id, epoch_ns(ts)//${3600L * 1000000000L} AS hour,
+         |               event_type FROM events),
+         |n AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, hour FROM uht)),
+         |m AS (SELECT event_type, count(*) AS cnt FROM uht GROUP BY event_type),
+         |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS cooc
+         |          FROM uht a JOIN uht b
+         |            ON a.user_id = b.user_id AND a.hour = b.hour
+         |           AND a.event_type < b.event_type
+         |          GROUP BY 1, 2)
+         |SELECT ta, tb, cooc,
+         |  round(ln(CAST(cooc AS DOUBLE) * n.n / (CAST(ma.cnt AS DOUBLE) * mb.cnt)), 6) AS pmi
+         |FROM pairs JOIN m ma ON pairs.ta = ma.event_type
+         |JOIN m mb ON pairs.tb = mb.event_type CROSS JOIN n
+         |ORDER BY ta, tb""".stripMargin)))
 }
