@@ -195,5 +195,59 @@ object CurationQueries {
          |  round(sqrt(list_sum(list_transform(list_zip(vec, dq),
          |    p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS l2_err,
          |  round(${cosineSql("vec", "dq")}, 6) AS cos_dq
-         |FROM q ORDER BY vec_id""".stripMargin)))
+         |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Distribution-drift detection: two-sample Kolmogorov–Smirnov
+    // statistic between two sources' token-length distributions — the
+    // monitoring primitive that catches a corrupted or shifted ingest
+    // before it trains. One groupBy on the value + one window over the
+    // distinct-value axis (bounded by the value domain, not the corpus);
+    // the per-row CDF diff is rounded to 6dp and the argmax is taken on
+    // the rounded value (ties → smallest value), so both engines pick
+    // the identical supremum.
+    Q("q94_ks_drift", (s, dir) => {
+      val vals = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          graft.text.TextOps.tokenCount(
+            graft.text.TextOps.cleanText(col("text"))).as("v"))
+      val byV = vals.groupBy("v").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val tot = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      byV.crossJoin(broadcast(tot))
+        .select(col("v"), col("na"), col("nb"),
+          sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+        .select(col("na"), col("nb"), col("v"),
+          round(abs(col("cuma").cast("double") / col("na") -
+            col("cumb").cast("double") / col("nb")), 6).as("d"))
+        .agg(first("na").as("n_a"), first("nb").as("n_b"),
+          max(struct(col("d"), (-col("v")).as("nv"))).as("m"))
+        .select(col("n_a"), col("n_b"), col("m.d").as("ks"),
+          (-col("m.nv")).as("v_at"))
+    }, Some(
+      s"""WITH vals AS (SELECT source,
+         |    CAST(len(string_split(${cleanTextSql("text")}, ' ')) AS BIGINT) AS v
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |byv AS (SELECT v,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM vals GROUP BY v),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |               CAST(sum(cb) AS BIGINT) AS nb FROM byv),
+         |cdf AS (SELECT v, na, nb,
+         |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cuma,
+         |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cumb
+         |  FROM byv CROSS JOIN tot),
+         |d AS (SELECT v, na, nb,
+         |    round(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb), 6) AS d
+         |  FROM cdf),
+         |top AS (SELECT v, na, nb, d, row_number() OVER (ORDER BY d DESC, v ASC) AS rk
+         |        FROM d)
+         |SELECT na AS n_a, nb AS n_b, d AS ks, v AS v_at FROM top WHERE rk = 1""".stripMargin)))
 }
