@@ -123,5 +123,79 @@ object VectorQueries {
          |SELECT id, round(bayes, 6) AS bayes, round(pop, 6) AS pop,
          | round(${minMaxSql("pop", "lo", "hi")}, 6) AS pop_norm,
          | round(fit, 6) AS fit
-         |FROM f CROSS JOIN b ORDER BY id""".stripMargin)))
+         |FROM f CROSS JOIN b ORDER BY id""".stripMargin)),
+
+    // Retrieval-quality evaluation: NDCG@10 of the int8-quantized cosine
+    // ranking (q83's dequantized vectors, query included) against the
+    // exact float ranking as graded ground truth (rel = 11 − exact pos).
+    // The eval harness every ANN/quantization change must clear before
+    // rollout: two rankings off ONE persisted scored frame, a 10-row
+    // broadcast join, and decimal-exact gain sums.
+    Q("q95_ndcg_quant", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+        .withColumn("scale",
+          array_max(transform(col("vec"), x => abs(x))) / 127.0)
+        .withColumn("dq", zip_with(col("vec"),
+          array_repeat(col("scale"), size(col("vec"))),
+          (x, sc) => least(greatest(floor(x / sc + 0.5), lit(-127.0)),
+            lit(127.0)) * sc))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec").as("qv"), col("dq").as("dqv"))
+      val scored = emb.crossJoin(broadcast(q)).persist()
+      val wRank = Window.orderBy(desc("sim"), asc("vec_id"))
+      val exact10 = scored
+        .select(col("vec_id"), round(VectorOps.cosine(col("vec"), col("qv")), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+        .withColumn("epos", row_number().over(wRank))
+        .select(col("vec_id"), (lit(11L) - col("epos")).as("rel"))
+      val quant10 = scored
+        .select(col("vec_id"), round(VectorOps.cosine(col("dq"), col("dqv")), 6).as("sim"))
+        .orderBy(desc("sim"), asc("vec_id")).limit(10)
+        .withColumn("pos", row_number().over(wRank).cast("long"))
+      val graded = quant10.join(broadcast(exact10), Seq("vec_id"), "left")
+        .select(col("pos"), col("vec_id"),
+          coalesce(col("rel"), lit(0L)).as("rel"))
+        .withColumn("gain",
+          round(col("rel") / (log(col("pos") + 1) / log(lit(2.0))), 6))
+        .withColumn("igain",
+          round((lit(11L) - col("pos")) / (log(col("pos") + 1) / log(lit(2.0))), 6))
+        .persist()
+      val tot = graded.agg(
+        sum(col("gain").cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("dcg"),
+        sum(col("igain").cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("idcg"))
+      graded.crossJoin(broadcast(tot))
+        .select(col("pos"), col("vec_id"), col("rel"), col("gain"),
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6).as("ndcg"))
+        .orderBy("pos")
+    }, Some {
+      val quant = "list_transform(vec, x -> " +
+        "least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale)"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |sc AS (SELECT vec_id, vec,
+         |         list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale FROM v),
+         |dqv AS (SELECT vec_id, vec, $quant AS dq FROM sc),
+         |q AS (SELECT vec AS qv, dq AS dqv FROM dqv WHERE vec_id = 0),
+         |ex AS (SELECT vec_id, round(${cosineSql("vec", "qv")}, 6) AS sim
+         |       FROM dqv CROSS JOIN q ORDER BY sim DESC, vec_id LIMIT 10),
+         |ex10 AS (SELECT vec_id,
+         |    11 - row_number() OVER (ORDER BY sim DESC, vec_id) AS rel FROM ex),
+         |qn AS (SELECT vec_id, round(${cosineSql("dq", "dqv")}, 6) AS sim
+         |       FROM dqv CROSS JOIN q ORDER BY sim DESC, vec_id LIMIT 10),
+         |q10 AS (SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS pos
+         |  FROM qn),
+         |g AS (SELECT q10.pos, q10.vec_id,
+         |        CAST(coalesce(ex10.rel, 0) AS BIGINT) AS rel
+         |      FROM q10 LEFT JOIN ex10 USING (vec_id)),
+         |gg AS (SELECT pos, vec_id, rel,
+         |         round(rel / (ln(pos + 1) / ln(2)), 6) AS gain,
+         |         round((11 - pos) / (ln(pos + 1) / ln(2)), 6) AS igain FROM g),
+         |t AS (SELECT sum(CAST(gain AS DECIMAL(20,6))) AS dcg,
+         |             sum(CAST(igain AS DECIMAL(20,6))) AS idcg FROM gg)
+         |SELECT pos, vec_id, rel, gain,
+         |  round(CAST(t.dcg AS DOUBLE) / CAST(t.idcg AS DOUBLE), 6) AS ndcg
+         |FROM gg CROSS JOIN t ORDER BY pos""".stripMargin
+    }))
 }
