@@ -51,6 +51,32 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))
 
+  final case class FrameFeatures(
+      id: Long, frame_idx: Long, n_bytes: Long, brightness: Double)
+
+  /** Frame sampling: slice each payload into `frameLen`-byte frames at
+    * `stride`-byte intervals (stride > frameLen skips bytes — temporal
+    * subsampling) and emit per-frame features. Narrow flatMap over the
+    * scan with fan-out bounded by payload/stride; the video-pipeline
+    * shape where a decoder replaces the byte-window feature.
+    */
+  def sampleFrames(media: DataFrame, frameLen: Int = 32,
+                   stride: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { row =>
+      val n = row.payload.length
+      (0 until n by stride).zipWithIndex.map { case (start, idx) =>
+        val end = math.min(start + frameLen, n)
+        var sum = 0L
+        var i = start
+        while (i < end) { sum += row.payload(i) & 0xff; i += 1 }
+        FrameFeatures(row.id, idx.toLong, (end - start).toLong,
+          sum.toDouble / (end - start))
+      }
+    }.toDF()
+  }
+
   /** Batched partition-wise decode: groups rows into `batchSize` chunks
     * (the shape a vectorized/model decoder wants), decodes, emits typed
     * features. No shuffle — narrow transformation over the scan.

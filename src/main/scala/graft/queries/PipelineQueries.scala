@@ -136,6 +136,30 @@ object PipelineQueries {
         |   / greatest(length(text), 1), 6) AS brightness
         |FROM documents ORDER BY id""".stripMargin)),
 
+    // Frame sampling over video payloads: 32-byte frames at 64-byte
+    // stride (temporal subsampling) with per-frame features — the
+    // video-decode plumbing with the byte-window standing in for a codec
+    // (same contract as q50's FakeDecoder). Narrow flatMap, fan-out
+    // bounded by payload/stride, no shuffle before the output sort.
+    Q("q96_frame_sample", (s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+            .filter(col("kind") === "video"))
+        .select(col("id"), col("frame_idx"), col("n_bytes"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id", "frame_idx")
+    }, Some(
+      """WITH media AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  WHERE (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'),
+        |fr AS (SELECT id, unnest(range(0, length(text), 64)) AS start, text FROM media),
+        |f AS (SELECT id, CAST(start // 64 AS BIGINT) AS frame_idx,
+        |        substr(text, CAST(start + 1 AS INT), 32) AS frame FROM fr)
+        |SELECT id, frame_idx, CAST(length(frame) AS BIGINT) AS n_bytes,
+        |  round(CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c)))
+        |    AS DOUBLE) / length(frame), 6) AS brightness
+        |FROM f ORDER BY id, frame_idx""".stripMargin)),
+
     // Offline embedding build (embed.py end-to-end): clean → len-filter →
     // hash-embed → mean-pool per source. StableHash's DuckDB mirror makes
     // the hashed-TF vectors exactly reproducible in SQL; output exploded

@@ -27,4 +27,19 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == 4)
     assert(feats.filter(col("id") === 2).head().getAs[Int]("n_bytes") == 3)
   }
+
+  test("sampleFrames: stride skips bytes, last frame truncates") {
+    // 100-byte payload, frameLen 32, stride 64 → frames at 0 (32 bytes)
+    // and 64 (32 bytes); a 70-byte payload's second frame truncates to 6.
+    val media = Seq(
+      (1L, "video", Array.fill[Byte](100)('a'.toByte)),
+      (2L, "video", Array.fill[Byte](70)('b'.toByte)))
+      .toDF("id", "kind", "payload")
+    val out = Multimodal.sampleFrames(media, frameLen = 32, stride = 64)
+      .orderBy("id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 32L, 'a'.toDouble), (1L, 1L, 32L, 'a'.toDouble),
+      (2L, 0L, 32L, 'b'.toDouble), (2L, 1L, 6L, 'b'.toDouble)))
+  }
 }
