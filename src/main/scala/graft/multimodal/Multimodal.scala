@@ -77,6 +77,39 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class ResizedMedia(
+      id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long,
+      resized: String)
+
+  /** Nearest-neighbor resize: interpret the payload as a row-major
+    * `width`-byte grid (trailing partial row dropped) and keep every
+    * `factor`-th byte in each dimension. The image-resize plumbing with
+    * a byte grid standing in for pixels — swapping in a real raster
+    * decoder changes the kernel, not the dataflow. Narrow map, output
+    * size = input/factor², no shuffle.
+    */
+  def resizeGrid(media: DataFrame, width: Int = 16,
+                 factor: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].map { row =>
+      val h = row.payload.length / width
+      val sb = new StringBuilder
+      var i = 0
+      while (i < h) {
+        var j = 0
+        while (j < width) {
+          sb.append((row.payload(i * width + j) & 0xff).toChar)
+          j += factor
+        }
+        i += factor
+      }
+      ResizedMedia(row.id, width.toLong, h.toLong,
+        ((width + factor - 1) / factor).toLong,
+        ((h + factor - 1) / factor).toLong, sb.toString)
+    }.toDF()
+  }
+
   /** Batched partition-wise decode: groups rows into `batchSize` chunks
     * (the shape a vectorized/model decoder wants), decodes, emits typed
     * features. No shuffle — narrow transformation over the scan.

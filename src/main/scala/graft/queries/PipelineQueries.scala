@@ -160,6 +160,34 @@ object PipelineQueries {
         |    AS DOUBLE) / length(frame), 6) AS brightness
         |FROM f ORDER BY id, frame_idx""".stripMargin)),
 
+    // Nearest-neighbor grid resize over image payloads: the byte grid
+    // (16-wide rows) keeps every 2nd byte per dimension — 4x smaller
+    // output, checked by md5 digest of the resized bytes. The resize
+    // plumbing of an image pipeline (a raster decoder would replace the
+    // byte-grid kernel); narrow map, no shuffle.
+    Q("q97_resize_grid", (s, dir) => {
+      Multimodal.resizeGrid(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+            .filter(col("kind") === "image"))
+        .select(col("id"), col("in_h"), col("out_w"), col("out_h"),
+          length(col("resized")).cast("long").as("out_len"),
+          md5(col("resized").cast("binary")).as("digest"))
+        .orderBy("id")
+    }, Some(
+      """WITH media AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  WHERE (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'image'),
+        |g AS (SELECT id, length(text) // 16 AS h, text FROM media),
+        |r AS (SELECT id, h,
+        |    array_to_string(list_transform(range(0, h, 2), i ->
+        |      array_to_string(list_transform(range(0, 16, 2), j ->
+        |        substr(text, CAST(i*16 + j + 1 AS INT), 1)), '')), '') AS resized
+        |  FROM g)
+        |SELECT id, CAST(h AS BIGINT) AS in_h, CAST(8 AS BIGINT) AS out_w,
+        |  CAST((h + 1) // 2 AS BIGINT) AS out_h,
+        |  CAST(length(resized) AS BIGINT) AS out_len, md5(resized) AS digest
+        |FROM r ORDER BY id""".stripMargin)),
+
     // Offline embedding build (embed.py end-to-end): clean → len-filter →
     // hash-embed → mean-pool per source. StableHash's DuckDB mirror makes
     // the hashed-TF vectors exactly reproducible in SQL; output exploded
