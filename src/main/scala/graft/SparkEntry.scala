@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       VectorQueries.all ++ PipelineQueries.all ++ EventQueries.all ++
       RankQueries.all ++ ScaleQueries.all ++ StatQueries.all ++
-      AnalyticsQueries.all ++ LayoutQueries.all ++ CurationQueries.all
+      AnalyticsQueries.all ++ LayoutQueries.all ++ CurationQueries.all ++
+      SketchQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

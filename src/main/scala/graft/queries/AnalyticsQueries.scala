@@ -481,5 +481,37 @@ object AnalyticsQueries {
          |  round(ln(CAST(cooc AS DOUBLE) * n.n / (CAST(ma.cnt AS DOUBLE) * mb.cnt)), 6) AS pmi
          |FROM pairs JOIN m ma ON pairs.ta = ma.event_type
          |JOIN m mb ON pairs.tb = mb.event_type CROSS JOIN n
-         |ORDER BY ta, tb""".stripMargin)))
+         |ORDER BY ta, tb""".stripMargin)),
+
+    // Skyline (Pareto frontier) of parts: minimize price, maximize size.
+    // The naive plan is an n² dominance anti-join; instead the frontier
+    // is derived from a price-level staircase — max size per distinct
+    // price, running max over strictly-cheaper levels — and each point
+    // survives iff it tops its own level and beats every cheaper one.
+    // The window runs over the AGGREGATED staircase (|distinct prices|),
+    // never the fact table, and the staircase broadcasts back: one scan,
+    // one small sort, no quadratic anything at 100 TB.
+    Q("q104_skyline", (s, dir) => {
+      val pp = Tables.part(s, dir).select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").as("size"))
+      val byPrice = pp.groupBy("price").agg(max("size").as("best"))
+      val stair = byPrice.withColumn("prev_best",
+        max("best").over(Window.orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      pp.join(broadcast(stair), "price")
+        .filter(col("size") === col("best") &&
+          (col("prev_best").isNull || col("prev_best") < col("size")))
+        .select(col("p_partkey"), col("price"), col("size"))
+        .orderBy("price", "p_partkey")
+    }, Some(
+      """WITH pp AS (SELECT p_partkey, p_retailprice AS price, p_size AS size
+        |            FROM part),
+        |bp AS (SELECT price, max(size) AS best FROM pp GROUP BY price),
+        |ch AS (SELECT price, best, max(best) OVER (ORDER BY price
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+        |       FROM bp)
+        |SELECT p.p_partkey AS p_partkey, p.price AS price, p.size AS size
+        |FROM pp p JOIN ch USING (price)
+        |WHERE p.size = ch.best AND (ch.prev_best IS NULL OR ch.prev_best < p.size)
+        |ORDER BY price, p_partkey""".stripMargin)))
 }

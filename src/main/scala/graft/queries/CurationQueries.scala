@@ -249,5 +249,52 @@ object CurationQueries {
          |  FROM cdf),
          |top AS (SELECT v, na, nb, d, row_number() OVER (ORDER BY d DESC, v ASC) AS rk
          |        FROM d)
-         |SELECT na AS n_a, nb AS n_b, d AS ks, v AS v_at FROM top WHERE rk = 1""".stripMargin)))
+         |SELECT na AS n_a, nb AS n_b, d AS ks, v AS v_at FROM top WHERE rk = 1""".stripMargin)),
+
+    // Bigram-LM surprisal (q81's unigram model, one order up): add-one-
+    // smoothed p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V) from corpus prefix and
+    // bigram counts, scored back over every bigram occurrence. The two
+    // count tables are vocabulary-sized — broadcast — so the scoring
+    // pass is again shuffle-free; per-bigram surprisal rounds to 6dp
+    // before the exact-decimal mean, keeping the result independent of
+    // partition order and bit-equal in the oracle.
+    Q("q102_bigram_surprisal", (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokens(TextOps.cleanText(col("text"))).as("toks"))
+      // bigram occurrences (w1 = prefix token): feeds both count tables
+      // and the scoring probe — persist so tokenize+explode runs once
+      val occ = base.select(col("doc_id"),
+          explode(when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => struct(element_at(col("toks"), i).as("w1"),
+                concat_ws(" ", element_at(col("toks"), i),
+                  element_at(col("toks"), i + 1)).as("bg"))))
+            .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.bg").as("bg"))
+        .persist()
+      val vocab = base.select(explode(col("toks")).as("t")).distinct().count()
+      val c2 = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+      occ.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+        .withColumn("surp",
+          round(log((col("c1") + lit(vocab)) / (col("c2") + lit(1.0))), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), davg(col("surp")).as("avg_surprisal"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, ${tokensSql(cleanTextSql("text"))} AS toks
+         |           FROM documents),
+         |ix AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+         |g AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bg
+         |      FROM ix),
+         |v AS (SELECT count(DISTINCT tok) AS vocab FROM
+         |        (SELECT unnest(toks) AS tok FROM t) z),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM g GROUP BY bg),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM g GROUP BY w1),
+         |sc AS (SELECT g.doc_id,
+         |         round(ln((c1.c1 + v.vocab) / (c2.c2 + 1.0)), 6) AS surp
+         |       FROM g JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams, ${davgSql("surp")} AS avg_surprisal
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

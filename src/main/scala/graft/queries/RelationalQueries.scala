@@ -243,5 +243,32 @@ object RelationalQueries {
          | count(*) AS n_lines
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand, p_type
-         |ORDER BY p_brand, p_type""".stripMargin)))
+         |ORDER BY p_brand, p_type""".stripMargin)),
+
+    // SQL-surface entry point: the engine's tables registered as views
+    // and queried through spark.sql — ONE query text executed verbatim by
+    // both Catalyst and DuckDB (shared dialect subset: decimal casts,
+    // timestamp literals, alias ordering). TPC-H Q3's shape: segment
+    // filter → 3-way join → grouped revenue → top-10. Catalyst plans the
+    // same broadcast/shuffle physical ops as the DataFrame queries — the
+    // SQL front end costs nothing at scale.
+    Q("q105_sql_tpch3", { (s, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+      s.sql(Tpch3Sql)
+    }, Some(Tpch3Sql)))
+
+  // def, not val: referenced from `all`'s initializer above
+  private def Tpch3Sql: String =
+    s"""SELECT o_orderkey,
+       | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       | count(*) AS n_items
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       |GROUP BY o_orderkey
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
 }

@@ -261,6 +261,40 @@ object ScaleQueries {
       s"""SELECT s_nationkey, count(*) AS n_items,
          | ${dsumSql("l_extendedprice")} AS revenue
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // Binned interval-overlap join: lineitem ship timestamps against
+    // 30-day order windows (high-value urgent orders). The naive plan is
+    // a pure theta join — a cartesian product at scale. Binning both
+    // sides by the window length turns it into an EQUI-join on the bin
+    // (each 30-day interval spans ≤ 2 bins, each point exactly 1), with
+    // the exact range predicate as a post-filter: shuffle ∝ data × 2,
+    // not |build| × |probe|. The oracle is the undecorated range join.
+    Q("q101_interval_join", (s, dir) => {
+      val Win = 30L * 86400L
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("t0"))
+      val ordB = ord.withColumn("bin",
+        explode(sequence(expr(s"t0 div $Win"), expr(s"(t0 + $Win) div $Win"))))
+      val liB = Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"), unix_timestamp(col("l_shipdate")).as("ts"))
+        .withColumn("bin", expr(s"ts div $Win"))
+      liB.join(ordB, Seq("bin"))
+        .filter(col("ts") >= col("t0") && col("ts") < col("t0") + Win)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"), dsum(col("l_extendedprice")).as("price_sum"))
+        .orderBy("o_orderkey")
+    }, Some(
+      s"""WITH o AS (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS t0
+         |           FROM orders
+         |           WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 480000.0)
+         |SELECT o.o_orderkey AS o_orderkey, count(*) AS n_shipped,
+         |  ${dsumSql("l.l_extendedprice")} AS price_sum
+         |FROM o JOIN lineitem l
+         |  ON CAST(epoch(l.l_shipdate) AS BIGINT) >= o.t0
+         | AND CAST(epoch(l.l_shipdate) AS BIGINT) < o.t0 + 2592000
+         |GROUP BY o.o_orderkey ORDER BY o_orderkey""".stripMargin)))
 
 }

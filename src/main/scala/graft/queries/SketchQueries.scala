@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.text.{StableHash, StableHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Probabilistic summary structures beyond the KMV sketch (q67): a
+  * count-min frequency sketch and a HyperLogLog cardinality sketch, both
+  * seeded by StableHash so the DuckDB oracle replays the exact estimate,
+  * not just a tolerance band. The shared scale shape: bounded state per
+  * partition (d×w counters / m registers), map-side combined, so only
+  * the fixed-size summary crosses the shuffle — never the raw values.
+  */
+object SketchQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Count-min-sketch heavy hitters: a d=4 × w=128 counter array over
+    // event user_ids (w a power of two, so signed pmod == unsigned mod
+    // — 2^64 ≡ 0 mod 128). The query emits, for the exact top-20 users,
+    // the exact count next to the CMS point estimate (min over the 4
+    // rows) and its overcount. At 100 TB the CMS is the fixed-memory
+    // answer to "how often does any key occur" — 512 counters per
+    // partition, merged by addition, while the exact groupBy ships every
+    // key; the oracle replays the identical bucket sums.
+    Q("q98_cms_heavy_hitters", (s, dir) => {
+      val W = 128L
+      val d = 4
+      // per-user occurrence counts feed the sketch build, the exact
+      // top-20, and the probe — one small frame, three consumers
+      val u = EventQueries.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .persist()
+      val hcols = (0 until d).map { j =>
+        struct(lit(j).as("j"),
+          pmod(StableHash64(concat(lit(s"cms$j:"), col("user_id").cast("string"))),
+            lit(W)).as("bucket"))
+      }
+      val hb = u.select(col("user_id"), col("n"),
+          explode(array(hcols: _*)).as("h"))
+        .select(col("user_id"), col("n"),
+          col("h.j").as("j"), col("h.bucket").as("bucket"))
+      val cms = hb.groupBy("j", "bucket").agg(sum("n").as("cnt"))
+      val top = u.orderBy(desc("n"), col("user_id")).limit(20)
+      top.join(hb.drop("n"), "user_id")
+        .join(broadcast(cms), Seq("j", "bucket"))
+        .groupBy("user_id", "n")
+        .agg(min("cnt").as("cms_est"))
+        .select(col("user_id"), col("n").as("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n")).as("overcount"))
+        .orderBy(desc("n_exact"), col("user_id"))
+    }, Some {
+      def h(j: Int): String =
+        StableHash.hashes64Sql(s"['cms$j:' || CAST(user_id AS VARCHAR)]") +
+          "[1] % 128"
+      s"""WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         |hb AS (SELECT user_id, n, x.j AS j, x.b AS bucket FROM (
+         |  SELECT user_id, n, unnest([
+         |    {'j': 0, 'b': ${h(0)}}, {'j': 1, 'b': ${h(1)}},
+         |    {'j': 2, 'b': ${h(2)}}, {'j': 3, 'b': ${h(3)}}]) AS x FROM u) z),
+         |cms AS (SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cnt
+         |        FROM hb GROUP BY j, bucket),
+         |top AS (SELECT user_id, n FROM u ORDER BY n DESC, user_id LIMIT 20)
+         |SELECT t.user_id AS user_id, t.n AS n_exact,
+         |  min(c.cnt) AS cms_est, min(c.cnt) - t.n AS overcount
+         |FROM top t JOIN hb ON hb.user_id = t.user_id
+         |JOIN cms c ON c.j = hb.j AND c.bucket = hb.bucket
+         |GROUP BY t.user_id, t.n ORDER BY n_exact DESC, user_id""".stripMargin
+    }),
+
+    // HyperLogLog distinct-user cardinality per event type: m=64
+    // registers (register = hash mod 64, rho = leading-zero rank of the
+    // remaining 58-bit field), with the small-range linear-counting
+    // branch of the original Flajolet et al. paper. The register sum
+    // Σ 2^-Mj is computed as exact integers scaled by 2^60 (Mj ≤ 59), so
+    // both engines divide the same two doubles and the estimate matches
+    // bit-for-bit after rounding. Scale shape: 64 longs per group per
+    // partition cross the wire — the cardinality answer whose state does
+    // not grow with the data (vs q67's KMV, whose k-array does with k).
+    Q("q99_hll_cardinality", (s, dir) => {
+      val ev = EventQueries.events(s, dir)
+        .select(col("event_type"),
+          StableHash64(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+        .withColumn("reg", pmod(col("h"), lit(64L)))
+        .withColumn("w", expr("shiftrightunsigned(h, 6)"))
+        .withColumn("rho",
+          lit(59L) - when(col("w") === 0L, 0L)
+            .otherwise(length(conv(col("w").cast("string"), 10, 2)).cast("long")))
+      val regs = ev.groupBy("event_type", "reg").agg(max("rho").as("mj"))
+      val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))) *
+        lit(4096.0) * lit(1.152921504606846976e18)
+      val agg = regs.groupBy("event_type").agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - mj AS INT))")
+          .cast(DecimalType(38, 0))).as("s_present"),
+        count(lit(1)).as("nr"))
+      val exact = EventQueries.events(s, dir)
+        .groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+      val est = agg
+        .withColumn("s_total",
+          (col("s_present") +
+            (lit(64L) - col("nr")).cast(DecimalType(38, 0)) *
+              lit(1152921504606846976L)).cast("double"))
+        .withColumn("zeros", lit(64L) - col("nr"))
+        .withColumn("raw", alphaNum / col("s_total"))
+        .select(col("event_type"), col("zeros"),
+          round(when(col("raw") <= 160.0 && col("zeros") > 0,
+            lit(64.0) * log(lit(64.0) / col("zeros")))
+            .otherwise(col("raw")), 4).as("hll_est"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("zeros"), col("hll_est"),
+          round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")
+    }, Some {
+      val uh = StableHash.hashes64Sql("['hll:' || CAST(user_id AS VARCHAR)]") + "[1]"
+      s"""WITH h AS (SELECT event_type, user_id, $uh AS h FROM events),
+         |b AS (SELECT event_type, CAST(h % 64 AS BIGINT) AS reg,
+         |        59 - (CASE WHEN h // 64 = 0 THEN 0
+         |              ELSE length(bin(CAST(h // 64 AS BIGINT))) END) AS rho
+         |      FROM h),
+         |regs AS (SELECT event_type, reg, max(rho) AS mj
+         |         FROM b GROUP BY event_type, reg),
+         |agg AS (SELECT event_type,
+         |          sum(1::BIGINT << CAST(60 - mj AS INT)) AS s_present,
+         |          count(*) AS nr
+         |        FROM regs GROUP BY event_type),
+         |est AS (SELECT event_type, 64 - nr AS zeros,
+         |          (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 1152921504606846976.0
+         |            / CAST(s_present + (64 - nr)::HUGEINT * 1152921504606846976::HUGEINT AS DOUBLE)
+         |            AS raw
+         |        FROM agg),
+         |fin AS (SELECT event_type, CAST(zeros AS BIGINT) AS zeros,
+         |          round(CASE WHEN raw <= 160.0 AND zeros > 0
+         |                THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS hll_est
+         |        FROM est),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |       FROM events GROUP BY event_type)
+         |SELECT f.event_type AS event_type, ex.n_exact AS n_exact, f.zeros AS zeros,
+         |  f.hll_est AS hll_est,
+         |  round(abs(f.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+         |FROM fin f JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+    }))
+}

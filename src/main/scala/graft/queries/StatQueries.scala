@@ -325,6 +325,43 @@ object StatQueries {
         |  round(abs(st.lo + (h.bin + 0.5) * (((st.hi - st.lo) + 1e-9) / 100.0)
         |    - CASE h.q WHEN 0.5 THEN st.ex50 WHEN 0.95 THEN st.ex95
         |      ELSE st.ex99 END), 6) AS abs_err
-        |FROM hit h CROSS JOIN st ORDER BY q""".stripMargin)))
+        |FROM hit h CROSS JOIN st ORDER BY q""".stripMargin)),
+
+    // Robust anomaly screen: per-event-type median + MAD (median absolute
+    // deviation), flagging |v − med| > 3·MAD — the outlier gate that, per
+    // Hampel, survives the contamination that wrecks mean/σ z-scores.
+    // Two aggregate passes (med, then MAD over deviations) with the tiny
+    // per-type stats broadcast back to the row-level flag — no row ever
+    // shuffles twice. Both engines interpolate the same exact percentile,
+    // so the strict > comparison agrees bit-for-bit.
+    Q("q103_mad_anomaly", (s, dir) => {
+      val ev = EventQueries.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(min("med").as("med"),
+          percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("m"), min(col("mad")).as("d"),
+          sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"), round(col("m"), 6).as("med"),
+          round(col("d"), 6).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY event_type),
+        |md AS (SELECT e.event_type, min(m.med) AS med,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |       FROM events e JOIN m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type AS event_type, count(*) AS n,
+        |  round(min(md.med), 6) AS med, round(min(md.mad), 6) AS mad,
+        |  CAST(count(*) FILTER (WHERE abs(e.value - md.med) > 3.0 * md.mad)
+        |    AS BIGINT) AS n_outliers
+        |FROM events e JOIN md USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin)))
 }
 
