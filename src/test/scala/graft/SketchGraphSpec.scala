@@ -82,6 +82,43 @@ class SketchGraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("Bloom filter admits every member and reports zero false negatives") {
+    val Array(r) = q("q106_bloom_semijoin")
+    assert(r.getAs[Long]("n_false_neg") == 0L)
+    assert(r.getAs[Long]("n_pass") ==
+      r.getAs[Long]("n_members") + r.getAs[Long]("n_false_pos"))
+    assert(r.getAs[Long]("n_members") <= r.getAs[Long]("n_probe"))
+  }
+
+  test("KMV set-algebra estimates agree with exact overlap within 35%") {
+    val Array(r) = q("q107_kmv_setops")
+    val exactU = r.getAs[Long]("exact_union").toDouble
+    assert(math.abs(r.getAs[Double]("est_union") - exactU) / exactU < 0.35)
+    assert(r.getAs[Double]("est_jaccard") >= 0.0 &&
+      r.getAs[Double]("est_jaccard") <= 1.0)
+  }
+
+  test("dataset fingerprint matches a driver-side mod-2^64 recompute") {
+    val M = BigInt(1) << 64
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val s = rows.map { case (_, id, text) =>
+        BigInt(java.lang.Long.toUnsignedString(
+          graft.text.StableHash.hash64(s"$id:${md5hex(text)}")))
+      }.sum % M
+      src -> ((s >> 32).toLong, (s % BigInt(4294967296L)).toLong)
+    }
+    val got = q("q108_dataset_fingerprint").map(r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("fp_hi"), r.getAs[Long]("fp_lo")))).toMap
+    assert(got == expected)
+  }
+
   test("MAD anomaly counts are consistent with a driver-side recompute") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select("event_type", "value").collect()
