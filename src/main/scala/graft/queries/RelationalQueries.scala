@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Helpers._
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = Seq(q110) ++ Seq(
 
     // Pricing summary (TPC-H Q1 shape): scan → filter (pushed to parquet)
     // → hash agg with map-side combine → tiny sort.
@@ -271,4 +271,25 @@ object RelationalQueries {
        |GROUP BY o_orderkey
        |ORDER BY revenue DESC, o_orderkey
        |LIMIT 10""".stripMargin
+
+  // Ordered string aggregation (LISTAGG): per market segment, the
+  // lexicographically-first 3 customer names joined with '|'. collect_list
+  // is partition-order-nondeterministic, so the list is sorted before
+  // slicing — the portability contract every warehouse's LISTAGG ...
+  // WITHIN GROUP (ORDER BY) makes explicit. One shuffle; group state is
+  // bounded by the slice only after collect, so at 100 TB the real
+  // plan bounds it earlier with a per-group top-k (cf. q03's window) —
+  // documented here, exercised there.
+  // def, not val: referenced from `all`'s initializer above
+  private def q110: Q = Q("q110_string_agg", (s, dir) => {
+    Tables.customer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(slice(array_sort(collect_list(col("c_name"))), 1, 3), "|")
+          .as("first_names"))
+      .orderBy("c_mktsegment")
+  }, Some(
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  array_to_string(list_sort(list(c_name))[1:3], '|') AS first_names
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 }

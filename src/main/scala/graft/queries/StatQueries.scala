@@ -362,6 +362,59 @@ object StatQueries {
         |  CAST(count(*) FILTER (WHERE abs(e.value - md.med) > 3.0 * md.mad)
         |    AS BIGINT) AS n_outliers
         |FROM events e JOIN md USING (event_type)
-        |GROUP BY e.event_type ORDER BY event_type""".stripMargin)))
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin)),
+
+    // Chi-square independence test of event_type × user cohort (the A/B
+    // significance primitive): observed cells from one groupBy, expected
+    // = row·col/n from exact integer marginals, χ² as a sum of 9dp-
+    // rounded cell contributions through exact decimals (order-
+    // independent, bit-equal in the oracle), plus Cramér's V. Marginals
+    // broadcast back onto the 20-cell frame — the statistic costs one
+    // shuffle over (type, cohort) keys no matter the row count.
+    Q("q111_chi_square", (s, dir) => {
+      val ev = EventQueries.events(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(4L)).as("cohort"))
+      val cells = ev.groupBy("event_type", "cohort").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("cohort").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("n"),
+        countDistinct("event_type").as("r"), countDistinct("cohort").as("c"))
+      cells.join(broadcast(rowT), "event_type").join(broadcast(colT), "cohort")
+        .crossJoin(broadcast(n))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("contrib",
+          round(pow(col("o") - col("e"), 2) / col("e"), 9))
+        .agg(first("n").as("n_events"), first("r").as("r"), first("c").as("c"),
+          round(sum(col("contrib").cast(DecimalType(20, 12))).cast("double"), 6)
+            .as("chi2"))
+        .select(col("n_events"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          col("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n_events") * least(col("r") - 1, col("c") - 1))), 6)
+            .as("cramers_v"))
+    }, Some(
+      """WITH ev AS (SELECT event_type, user_id % 4 AS cohort FROM events),
+        |cells AS (SELECT event_type, cohort, count(*) AS o
+        |          FROM ev GROUP BY event_type, cohort),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY event_type),
+        |ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY cohort),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |        count(DISTINCT event_type) AS r, count(DISTINCT cohort) AS c
+        |      FROM cells),
+        |k AS (SELECT cells.o,
+        |        CAST(rt.rt AS DOUBLE) * ct.ct / n.n AS e, n.n, n.r, n.c
+        |      FROM cells JOIN rt USING (event_type) JOIN ct USING (cohort)
+        |      CROSS JOIN n),
+        |s AS (SELECT min(n) AS n_events, min(r) AS r, min(c) AS c,
+        |        round(CAST(sum(CAST(round(pow(o - e, 2) / e, 9)
+        |          AS DECIMAL(20,12))) AS DOUBLE), 6) AS chi2
+        |      FROM k)
+        |SELECT n_events, (r - 1) * (c - 1) AS dof, chi2,
+        |  round(sqrt(chi2 / (n_events * least(r - 1, c - 1))), 6) AS cramers_v
+        |FROM s""".stripMargin)))
 }
 

@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan assertions for the scale claims the new operators make:
+  * where a Scaladoc says "broadcast, no exchange on the big side" or
+  * "equi-join, not a theta join", the executed plan is held to it.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("triangle count probes the closing-edge set via broadcast hash join") {
+    val plan = executedPlan("q100_triangle_count")
+    // the closing-edge probe must be a broadcast hash join; the final
+    // single-row stat combine is allowed to be a (1×1×1) nested-loop cross
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("binned interval join plans as an equi-join, never a theta join") {
+    val plan = executedPlan("q101_interval_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("Bloom probe joins the broadcast bit set, no shuffle of positions") {
+    val plan = executedPlan("q106_bloom_semijoin")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
+  test("skyline joins the broadcast staircase, no quadratic join") {
+    val plan = executedPlan("q104_skyline")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+}
