@@ -15,7 +15,8 @@ object SparkEntry {
       VectorQueries.all ++ PipelineQueries.all ++ EventQueries.all ++
       RankQueries.all ++ ScaleQueries.all ++ StatQueries.all ++
       AnalyticsQueries.all ++ LayoutQueries.all ++ CurationQueries.all ++
-      SketchQueries.all ++ GraphQueries.all ++ PruneQueries.all
+      SketchQueries.all ++ GraphQueries.all ++ PruneQueries.all ++
+      SurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SQL-surface breadth: the remaining relational idioms a user migrating
+  * from any warehouse expects to carry over unchanged — the ranking-
+  * window family, UNPIVOT, calendar arithmetic, and bulk regex
+  * extraction. Each keeps the house determinism rules (total ORDER BY,
+  * tie-broken window orders, exact integer time math).
+  */
+object SurfaceQueries {
+  import Helpers._
+
+  val all: Seq[Q] = Seq(
+
+    // Ranking-window portfolio: dense_rank, ntile(4), percent_rank,
+    // cume_dist over acctbal within each market segment (order tie-broken
+    // by key, so every position — and thus every rank statistic — is
+    // deterministic). Emitted for the top-3 per segment. One shuffle on
+    // the partition key; the window never sees unpartitioned data.
+    Q("q112_window_suite", (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("drank") <= 3)
+        .orderBy("c_mktsegment", "drank", "c_custkey")
+    }, Some(
+      """WITH r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    dense_rank() OVER w AS drank,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 6) AS pct_rank,
+        |    round(cume_dist() OVER w, 6) AS cume
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |               ORDER BY c_acctbal DESC, c_custkey))
+        |SELECT * FROM r WHERE drank <= 3
+        |ORDER BY c_mktsegment, drank, c_custkey""".stripMargin)),
+
+    // UNPIVOT (wide → long): the per-user event-count matrix of q45
+    // melted back to (user, type, n) rows via stack() — a generator, so
+    // the reshape is map-only fan-out on top of the one pivot shuffle.
+    // DuckDB twin spells it as the UNION ALL every UNPIVOT desugars to.
+    Q("q113_unpivot_events", (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = EventQueries.events(s, dir)
+        .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+      val filled = types.foldLeft(wide) { (df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L)))
+      }
+      filled.selectExpr("user_id",
+          s"stack(${types.length}, ${types.map(t => s"'$t', $t").mkString(", ")}) " +
+            "AS (event_type, n)")
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }, Some {
+      val arms = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"SELECT user_id, '$t' AS event_type, " +
+          s"count(*) FILTER (WHERE event_type = '$t') AS n " +
+          "FROM events GROUP BY user_id")
+      s"""WITH long AS (${arms.mkString(" UNION ALL ")})
+         |SELECT user_id, event_type, n FROM long WHERE n > 0
+         |ORDER BY user_id, event_type""".stripMargin
+    }),
+
+    // Calendar arithmetic: order→first-ship latency in whole days (exact
+    // integer epoch math — no timezone, no double anywhere near a date),
+    // rolled up per order month. The per-order min is one shuffle; the
+    // monthly rollup rides the same keys.
+    Q("q114_ship_latency", (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("t0"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+      val firstShip = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(min(unix_timestamp(col("l_shipdate"))).as("ts"))
+      o.join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("latency_days", expr("(ts - t0) div 86400"))
+        .groupBy("month_epoch")
+        .agg(count(lit(1)).as("n_orders"),
+          davg(col("latency_days").cast("double")).as("avg_latency_days"),
+          max("latency_days").as("max_latency_days"))
+        .orderBy("month_epoch")
+    }, Some(
+      s"""WITH o AS (SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS t0,
+         |    CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch
+         |  FROM orders),
+         |fs AS (SELECT l_orderkey, min(CAST(epoch(l_shipdate) AS BIGINT)) AS ts
+         |       FROM lineitem GROUP BY l_orderkey),
+         |j AS (SELECT month_epoch, (ts - t0) // 86400 AS latency_days
+         |      FROM o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+         |SELECT month_epoch, count(*) AS n_orders,
+         |  ${davgSql("CAST(latency_days AS DOUBLE)")} AS avg_latency_days,
+         |  CAST(max(latency_days) AS BIGINT) AS max_latency_days
+         |FROM j GROUP BY month_epoch ORDER BY month_epoch""".stripMargin)),
+
+    // Bulk regex extraction: every standalone number (≤9 digits) in each
+    // document via regexp_extract_all — the scrape-then-aggregate shape.
+    // Pure map-side array math per row; Java regex and RE2 agree on the
+    // ASCII \d / \b subset used here.
+    Q("q115_extract_numbers", (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("""transform(regexp_extract_all(text, '\\b(\\d{1,9})\\b', 1),
+                  x -> CAST(x AS BIGINT))""").as("nums"))
+        .select(col("doc_id"),
+          size(col("nums")).cast("long").as("n_nums"),
+          coalesce(aggregate(col("nums"), lit(0L), (a, x) => a + x), lit(0L))
+            .as("sum_nums"),
+          coalesce(array_max(col("nums")), lit(0L)).as("max_num"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(\d{1,9})\b', 1)) AS BIGINT) AS n_nums,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text, '\b(\d{1,9})\b', 1),
+        |    x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS sum_nums,
+        |  CAST(coalesce(list_max(list_transform(
+        |    regexp_extract_all(text, '\b(\d{1,9})\b', 1),
+        |    x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS max_num
+        |FROM documents ORDER BY doc_id""".stripMargin)))
+}
