@@ -295,6 +295,36 @@ object ScaleQueries {
          |FROM o JOIN lineitem l
          |  ON CAST(epoch(l.l_shipdate) AS BIGINT) >= o.t0
          | AND CAST(epoch(l.l_shipdate) AS BIGINT) < o.t0 + 2592000
-         |GROUP BY o.o_orderkey ORDER BY o_orderkey""".stripMargin)))
+         |GROUP BY o.o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // Streaming count-min sketch: the d×w counter table of q98 maintained
+    // incrementally by Structured Streaming (counts are associative, so
+    // complete-mode state IS the sketch — 512 bounded rows regardless of
+    // stream length), then probed for the exact top-20. Stream ≡ batch:
+    // the oracle is character-for-character q98's, asserting the
+    // incremental sketch is the same function of the data as the batch
+    // one — the monitoring shape at 100 TB, where re-scanning to answer
+    // "how hot is this key" is not an option.
+    Q("q116_streaming_cms", (s, dir) => {
+      val probes = SketchQueries.cmsProbes(col("user_id"))
+      val cmsStream = EventsStream.source(s, stageEvents(dir))
+        .select(explode(array(probes: _*)).as("h"))
+        .groupBy(col("h.j").as("j"), col("h.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val cms = runToCompletion(cmsStream, "complete")
+      val u = EventQueries.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val top = u.orderBy(desc("n"), col("user_id")).limit(20)
+      top.select(col("user_id"), col("n"),
+          explode(array(probes: _*)).as("h"))
+        .select(col("user_id"), col("n"),
+          col("h.j").as("j"), col("h.bucket").as("bucket"))
+        .join(broadcast(cms), Seq("j", "bucket"))
+        .groupBy("user_id", "n")
+        .agg(min("cnt").as("cms_est"))
+        .select(col("user_id"), col("n").as("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n")).as("overcount"))
+        .orderBy(desc("n_exact"), col("user_id"))
+    }, Some(SketchQueries.cmsOracleSql)))
 
 }

@@ -14,6 +14,39 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SketchQueries {
 
+  /** The (j, bucket) probe structs of the d=4 × w=128 CMS — shared by the
+    * batch (q98) and streaming (q116) builds so the two sketches are the
+    * same function of the data by construction.
+    */
+  private[queries] def cmsProbes(user: org.apache.spark.sql.Column) =
+    (0 until 4).map { j =>
+      struct(lit(j).as("j"),
+        pmod(StableHash64(concat(lit(s"cms$j:"), user.cast("string"))),
+          lit(128L)).as("bucket"))
+    }
+
+  /** DuckDB replay of the CMS top-20 estimate table — the oracle for both
+    * q98 (batch) and q116 (streaming; stream ≡ batch is the claim).
+    */
+  private[queries] def cmsOracleSql: String = {
+    def h(j: Int): String =
+      StableHash.hashes64Sql(s"['cms$j:' || CAST(user_id AS VARCHAR)]") +
+        "[1] % 128"
+    s"""WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       |hb AS (SELECT user_id, n, x.j AS j, x.b AS bucket FROM (
+       |  SELECT user_id, n, unnest([
+       |    {'j': 0, 'b': ${h(0)}}, {'j': 1, 'b': ${h(1)}},
+       |    {'j': 2, 'b': ${h(2)}}, {'j': 3, 'b': ${h(3)}}]) AS x FROM u) z),
+       |cms AS (SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cnt
+       |        FROM hb GROUP BY j, bucket),
+       |top AS (SELECT user_id, n FROM u ORDER BY n DESC, user_id LIMIT 20)
+       |SELECT t.user_id AS user_id, t.n AS n_exact,
+       |  min(c.cnt) AS cms_est, min(c.cnt) - t.n AS overcount
+       |FROM top t JOIN hb ON hb.user_id = t.user_id
+       |JOIN cms c ON c.j = hb.j AND c.bucket = hb.bucket
+       |GROUP BY t.user_id, t.n ORDER BY n_exact DESC, user_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Count-min-sketch heavy hitters: a d=4 × w=128 counter array over
@@ -25,20 +58,13 @@ object SketchQueries {
     // partition, merged by addition, while the exact groupBy ships every
     // key; the oracle replays the identical bucket sums.
     Q("q98_cms_heavy_hitters", (s, dir) => {
-      val W = 128L
-      val d = 4
       // per-user occurrence counts feed the sketch build, the exact
       // top-20, and the probe — one small frame, three consumers
       val u = EventQueries.events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .persist()
-      val hcols = (0 until d).map { j =>
-        struct(lit(j).as("j"),
-          pmod(StableHash64(concat(lit(s"cms$j:"), col("user_id").cast("string"))),
-            lit(W)).as("bucket"))
-      }
       val hb = u.select(col("user_id"), col("n"),
-          explode(array(hcols: _*)).as("h"))
+          explode(array(cmsProbes(col("user_id")): _*)).as("h"))
         .select(col("user_id"), col("n"),
           col("h.j").as("j"), col("h.bucket").as("bucket"))
       val cms = hb.groupBy("j", "bucket").agg(sum("n").as("cnt"))
@@ -50,24 +76,7 @@ object SketchQueries {
         .select(col("user_id"), col("n").as("n_exact"), col("cms_est"),
           (col("cms_est") - col("n")).as("overcount"))
         .orderBy(desc("n_exact"), col("user_id"))
-    }, Some {
-      def h(j: Int): String =
-        StableHash.hashes64Sql(s"['cms$j:' || CAST(user_id AS VARCHAR)]") +
-          "[1] % 128"
-      s"""WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
-         |hb AS (SELECT user_id, n, x.j AS j, x.b AS bucket FROM (
-         |  SELECT user_id, n, unnest([
-         |    {'j': 0, 'b': ${h(0)}}, {'j': 1, 'b': ${h(1)}},
-         |    {'j': 2, 'b': ${h(2)}}, {'j': 3, 'b': ${h(3)}}]) AS x FROM u) z),
-         |cms AS (SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cnt
-         |        FROM hb GROUP BY j, bucket),
-         |top AS (SELECT user_id, n FROM u ORDER BY n DESC, user_id LIMIT 20)
-         |SELECT t.user_id AS user_id, t.n AS n_exact,
-         |  min(c.cnt) AS cms_est, min(c.cnt) - t.n AS overcount
-         |FROM top t JOIN hb ON hb.user_id = t.user_id
-         |JOIN cms c ON c.j = hb.j AND c.bucket = hb.bucket
-         |GROUP BY t.user_id, t.n ORDER BY n_exact DESC, user_id""".stripMargin
-    }),
+    }, Some(cmsOracleSql)),
 
     // HyperLogLog distinct-user cardinality per event type: m=64
     // registers (register = hash mod 64, rho = leading-zero rank of the
