@@ -110,6 +110,37 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class AudioWindow(
+      id: Long, win_idx: Long, n_bytes: Long, sum_sq: Long)
+
+  /** Audio energy windows: slice the payload into non-overlapping
+    * `windowLen`-byte windows and emit the exact integer sum of squared
+    * deviations from the 128 midpoint per window — the RMS-energy /
+    * silence-detection front end of an audio pipeline, with the byte
+    * stream standing in for PCM samples (a real codec replaces the
+    * deviation kernel, not the dataflow). Narrow flatMap; the RMS
+    * itself is computed downstream from the exact integers so both
+    * engines take the same sqrt.
+    */
+  def audioWindows(media: DataFrame, windowLen: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].flatMap { row =>
+      val n = row.payload.length
+      (0 until n by windowLen).zipWithIndex.map { case (start, idx) =>
+        val end = math.min(start + windowLen, n)
+        var ss = 0L
+        var i = start
+        while (i < end) {
+          val d = (row.payload(i) & 0xff) - 128
+          ss += d.toLong * d
+          i += 1
+        }
+        AudioWindow(row.id, idx.toLong, (end - start).toLong, ss)
+      }
+    }.toDF()
+  }
+
   /** Batched partition-wise decode: groups rows into `batchSize` chunks
     * (the shape a vectorized/model decoder wants), decodes, emits typed
     * features. No shuffle — narrow transformation over the scan.

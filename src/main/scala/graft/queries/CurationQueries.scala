@@ -296,5 +296,46 @@ object CurationQueries {
          |         round(ln((c1.c1 + v.vocab) / (c2.c2 + 1.0)), 6) AS surp
          |       FROM g JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
          |SELECT doc_id, count(*) AS n_bigrams, ${davgSql("surp")} AS avg_surprisal
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // One BPE merge-training step at corpus scale: word (token) type
+    // frequencies, adjacent character-pair counts weighted by word
+    // frequency, and the top-10 merge candidates (count desc, pair asc —
+    // the deterministic argmax a BPE trainer would take next). The pair
+    // counting runs over DISTINCT word types (vocabulary-sized, not
+    // corpus-sized) with the frequency as a weight — the trick that makes
+    // BPE training feasible at 100 TB: the heavy text is touched once
+    // for the type census, every merge iteration after that is
+    // vocab-sized. Map-side pair explode, one skinny shuffle on pairs.
+    Q("q118_bpe_merge_step", (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(TextOps.cleanText(col("text"))))
+          .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .filter(length(col("word")) >= 2)
+      val pairs = words.select(col("freq"),
+          explode(expr(
+            "transform(sequence(1, length(word) - 1), " +
+              "i -> substr(word, i, 1) || substr(word, i + 1, 1))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+      pairs.orderBy(desc("cnt"), col("pair")).limit(10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("cnt"), col("pair"))).cast("long"))
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy("rank")
+    }, Some(
+      s"""WITH w AS (SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(${tokensSql(cleanTextSql("text"))}) AS word
+         |    FROM documents) t
+         |  GROUP BY word HAVING length(word) >= 2),
+         |p AS (SELECT substr(word, CAST(i AS INT), 1)
+         |          || substr(word, CAST(i + 1 AS INT), 1) AS pair, freq
+         |      FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+         |            FROM w) z),
+         |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |      FROM p GROUP BY pair)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+         |    AS rank, pair, cnt
+         |FROM c ORDER BY cnt DESC, pair LIMIT 10""".stripMargin)))
 }

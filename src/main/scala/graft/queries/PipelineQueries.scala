@@ -188,6 +188,42 @@ object PipelineQueries {
         |  CAST(length(resized) AS BIGINT) AS out_len, md5(resized) AS digest
         |FROM r ORDER BY id""".stripMargin)),
 
+    // Audio RMS-energy windows + silence detection over audio payloads:
+    // 256-byte non-overlapping windows, per-window RMS from the EXACT
+    // integer sum of squared deviations (so both engines take the same
+    // sqrt), rolled up per clip with a silence count (RMS < 30). The
+    // audio third of the multimodal triple (q97 image, q96 video);
+    // narrow flatMap + one per-clip combine.
+    Q("q117_audio_energy", (s, dir) => {
+      Multimodal.audioWindows(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+            .filter(col("kind") === "audio"))
+        .withColumn("rms",
+          round(sqrt(col("sum_sq").cast("double") / col("n_bytes")), 6))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_windows"),
+          davg(col("rms")).as("avg_rms"),
+          max("rms").as("peak_rms"),
+          sum(when(col("rms") < 30.0, 1L).otherwise(0L)).as("n_silent"))
+        .orderBy("id")
+    }, Some(
+      s"""WITH media AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  WHERE (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'audio'),
+         |w AS (SELECT id, unnest(range(0, length(text), 256)) AS start, text
+         |      FROM media),
+         |win AS (SELECT id, start // 256 AS win_idx,
+         |          substr(text, CAST(start + 1 AS INT), 256) AS frame FROM w),
+         |e AS (SELECT id, round(sqrt(CAST(list_sum(list_transform(
+         |          string_split(frame, ''), c -> CAST((ascii(c) - 128)
+         |            * (ascii(c) - 128) AS BIGINT))) AS DOUBLE)
+         |          / length(frame)), 6) AS rms
+         |      FROM win)
+         |SELECT id, count(*) AS n_windows, ${davgSql("rms")} AS avg_rms,
+         |  max(rms) AS peak_rms,
+         |  CAST(sum(CASE WHEN rms < 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+         |FROM e GROUP BY id ORDER BY id""".stripMargin)),
+
     // Offline embedding build (embed.py end-to-end): clean → len-filter →
     // hash-embed → mean-pool per source. StableHash's DuckDB mirror makes
     // the hashed-TF vectors exactly reproducible in SQL; output exploded

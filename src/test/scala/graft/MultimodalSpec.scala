@@ -42,4 +42,15 @@ class MultimodalSpec extends SparkSpec {
       (1L, 0L, 32L, 'a'.toDouble), (1L, 1L, 32L, 'a'.toDouble),
       (2L, 0L, 32L, 'b'.toDouble), (2L, 1L, 6L, 'b'.toDouble)))
   }
+
+  test("audioWindows: exact squared-deviation sums, truncated tail window") {
+    // 'a' = 97 → dev -31 → 961/byte; 300-byte payload at windowLen 256
+    // gives a full window (256·961) and a 44-byte tail (44·961).
+    val media = Seq((1L, "audio", Array.fill[Byte](300)('a'.toByte)))
+      .toDF("id", "kind", "payload")
+    val out = Multimodal.audioWindows(media, windowLen = 256)
+      .orderBy("win_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 256L, 256L * 961), (1L, 44L, 44L * 961)))
+  }
 }
