@@ -124,5 +124,70 @@ object SurfaceQueries {
         |  CAST(coalesce(list_max(list_transform(
         |    regexp_extract_all(text, '\b(\d{1,9})\b', 1),
         |    x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS max_num
-        |FROM documents ORDER BY doc_id""".stripMargin)))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // GROUPING SETS (the general form under q08's ROLLUP and q70's
+    // CUBE): per-(source,lang), per-source, per-lang, and grand totals
+    // in ONE Expand pass — 4 aligned aggregates for one scan instead of
+    // four. Shared SQL text for both engines (grouping() flags cast to
+    // BIGINT; keys coalesced so no NULL ordering divergence).
+    Q("q119_grouping_sets", { (s, dir) =>
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql(GroupingSetsSql)
+    }, Some(GroupingSetsSql)),
+
+    // Join-key skew profiler: the count-of-counts histogram of rows per
+    // join key (lineitem.l_orderkey) plus the hottest key — the
+    // diagnostic run BEFORE choosing broadcast/salt/AQE-skew strategies
+    // at 100 TB. Two cheap shuffles, second one over the tiny histogram
+    // domain.
+    Q("q120_key_skew_profile", (s, dir) => {
+      val perKey = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("rows_per_key"))
+      perKey.groupBy("rows_per_key")
+        .agg(count(lit(1)).as("n_keys"),
+          min("l_orderkey").as("example_key"))
+        .orderBy("rows_per_key")
+    }, Some(
+      """WITH pk AS (SELECT l_orderkey, count(*) AS rows_per_key
+        |            FROM lineitem GROUP BY l_orderkey)
+        |SELECT rows_per_key, count(*) AS n_keys,
+        |  min(l_orderkey) AS example_key
+        |FROM pk GROUP BY rows_per_key ORDER BY rows_per_key""".stripMargin)),
+
+    // Partial aggregation BELOW the join: lineitem collapses to one row
+    // per order key BEFORE joining the orders dimension, so the join
+    // probes |orders| rows instead of |lineitem| — the agg-pushdown
+    // rewrite Catalyst does not do automatically across joins. Decimal
+    // partials stay unrounded until the final combine, so the result is
+    // bit-identical to the oracle's join-then-aggregate plan.
+    Q("q121_preagg_join", (s, dir) => {
+      val pre = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("rev"),
+          count(lit(1)).as("n"))
+      Tables.orders(s, dir)
+        .join(pre, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"),
+          sum("n").as("n_items"))
+        .orderBy("o_orderpriority")
+    }, Some(
+      s"""SELECT o_orderpriority, ${dsumSql("l_extendedprice")} AS revenue,
+         |  count(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
+
+  // def, not val: referenced from `all`'s initializer above
+  private def GroupingSetsSql: String =
+    """SELECT coalesce(source, '(all)') AS source,
+      |  coalesce(lang, '(all)') AS lang,
+      |  CAST(grouping(source) AS BIGINT) AS g_source,
+      |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+      |ORDER BY g_source, g_lang, source, lang""".stripMargin
 }
