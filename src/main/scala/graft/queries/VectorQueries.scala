@@ -197,5 +197,73 @@ object VectorQueries {
          |SELECT pos, vec_id, rel, gain,
          |  round(CAST(t.dcg AS DOUBLE) / CAST(t.idcg AS DOUBLE), 6) AS ndcg
          |FROM gg CROSS JOIN t ORDER BY pos""".stripMargin
+    }),
+
+    // Product quantization (PQ) code assignment: the 64-dim vector is
+    // split into 4×16-dim subspaces, each assigned to its nearest of 4
+    // codebook centroids (L2², strict-< argmin ties to the lowest index)
+    // — the memory-compression layer under IVF-PQ indexes: 64 floats →
+    // 4 codes. The codebook here is the first 4 vectors (configuration-
+    // sized, collected once and inlined as literals — at scale a
+    // broadcast k-means codebook, cf. q26's Lloyd loop). Map-only scan;
+    // the oracle replays every distance from the same literals.
+    Q("q122_pq_assign", { (s, dir) =>
+      val w = 16
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val seeds = emb.filter(col("vec_id") < 4).orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      def d2(m: Int, c: Int) = {
+        val cb = seeds(c).slice(m * w, m * w + w).toSeq
+        aggregate(
+          zip_with(slice(col("v"), m * w + 1, w), typedLit(cb),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+      }
+      val withD = (0 until 4).foldLeft(emb) { (df, m) =>
+        (0 until 4).foldLeft(df) { (d, c) =>
+          d.withColumn(s"d${m}_$c", d2(m, c))
+        }
+      }
+      def code(m: Int) = {
+        def d(c: Int) = col(s"d${m}_$c")
+        when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), 0L)
+          .when(d(1) <= d(2) && d(1) <= d(3), 1L)
+          .when(d(2) <= d(3), 2L)
+          .otherwise(3L)
+      }
+      val err = (0 until 4)
+        .map(m => least(col(s"d${m}_0"), col(s"d${m}_1"),
+          col(s"d${m}_2"), col(s"d${m}_3")))
+        .reduce(_ + _)
+      withD.select(col("vec_id"),
+          code(0).as("c0"), code(1).as("c1"),
+          code(2).as("c2"), code(3).as("c3"),
+          round(err, 6).as("recon_err"))
+        .orderBy("vec_id")
+    }, Some {
+      // the oracle cannot see the collected codebook, so it re-derives
+      // the same literals from the same rows (vec_id < 4) via SQL
+      val cb = (c: Int, m: Int) =>
+        s"(SELECT CAST(embedding AS DOUBLE[])[${m * 16 + 1}:${m * 16 + 16}] " +
+          s"FROM embeddings WHERE vec_id = $c)"
+      def d2(m: Int, c: Int) =
+        s"list_sum(list_transform(list_zip(v[${m * 16 + 1}:${m * 16 + 16}], " +
+          s"${cb(c, m)}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      val dcols = (for (m <- 0 until 4; c <- 0 until 4)
+        yield s"${d2(m, c)} AS d${m}_$c").mkString(",\n  ")
+      def codeSql(m: Int) =
+        s"CAST(CASE WHEN d${m}_0 <= d${m}_1 AND d${m}_0 <= d${m}_2 AND d${m}_0 <= d${m}_3 THEN 0 " +
+          s"WHEN d${m}_1 <= d${m}_2 AND d${m}_1 <= d${m}_3 THEN 1 " +
+          s"WHEN d${m}_2 <= d${m}_3 THEN 2 ELSE 3 END AS BIGINT) AS c$m"
+      val errSql = (0 until 4)
+        .map(m => s"least(d${m}_0, d${m}_1, d${m}_2, d${m}_3)").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT vec_id,
+         |  $dcols
+         |FROM v)
+         |SELECT vec_id, ${(0 until 4).map(codeSql).mkString(", ")},
+         |  round($errSql, 6) AS recon_err
+         |FROM d ORDER BY vec_id""".stripMargin
     }))
 }
