@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Helpers._
 
-  val all: Seq[Q] = Seq(q110) ++ Seq(
+  val all: Seq[Q] = Seq(q110, q125, q126) ++ Seq(
 
     // Pricing summary (TPC-H Q1 shape): scan → filter (pushed to parquet)
     // → hash agg with map-side combine → tiny sort.
@@ -280,6 +280,81 @@ object RelationalQueries {
   // bounded by the slice only after collect, so at 100 TB the real
   // plan bounds it earlier with a per-group top-k (cf. q03's window) —
   // documented here, exercised there.
+  // TPC-H Q5 shape: the 5-table star join (region→nation→customer→
+  // orders→lineitem→supplier) with the classic "local supplier" predicate
+  // (customer and supplier share a nation) — the join-order stressor
+  // every optimizer benchmark leans on. Catalyst broadcasts the three
+  // small dims and shuffle-joins the two facts; revenue per nation over
+  // one region-year slice.
+  private def q125: Q = Q("q125_tpch5_local_supplier", (s, dir) => {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val customer = Tables.customer(s, dir)
+    val supplier = Tables.supplier(s, dir)
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(s, dir)
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("nation"), col("revenue"), col("n_items"))
+      .orderBy(desc("revenue"), col("nation"))
+  }, Some(
+    s"""SELECT n_name AS nation,
+       | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       | count(*) AS n_items
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin))
+
+  // Bag-semantics set operations (q07 covers the DISTINCT forms):
+  // INTERSECT ALL / EXCEPT ALL over the per-order priority multiset of
+  // two order-status slices — multiplicities preserved, summarized as a
+  // census per priority. Spark's intersectAll/exceptAll desugar to the
+  // same min/difference-of-counts the oracle spells out.
+  private def q126: Q = Q("q126_bag_set_ops", (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderstatus") === "F").select("o_orderpriority")
+    val b = o.filter(col("o_orderstatus") === "O").select("o_orderpriority")
+    val inter = a.intersectAll(b).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_intersect_all"))
+    val diff = a.exceptAll(b).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_except_all"))
+    inter.join(diff, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"))
+      .orderBy("o_orderpriority")
+  }, Some(
+    """WITH a AS (SELECT o_orderpriority, count(*) AS ca FROM orders
+      |           WHERE o_orderstatus = 'F' GROUP BY o_orderpriority),
+      |b AS (SELECT o_orderpriority, count(*) AS cb FROM orders
+      |      WHERE o_orderstatus = 'O' GROUP BY o_orderpriority)
+      |SELECT o_orderpriority,
+      |  CAST(CASE WHEN ca IS NULL OR cb IS NULL THEN 0
+      |       ELSE least(ca, cb) END AS BIGINT) AS n_intersect_all,
+      |  CAST(CASE WHEN ca IS NULL THEN 0
+      |       ELSE greatest(ca - coalesce(cb, 0), 0) END AS BIGINT)
+      |    AS n_except_all
+      |FROM a FULL OUTER JOIN b USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin))
+
   // def, not val: referenced from `all`'s initializer above
   private def q110: Q = Q("q110_string_agg", (s, dir) => {
     Tables.customer(s, dir)
