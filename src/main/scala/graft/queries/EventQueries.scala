@@ -173,5 +173,65 @@ object EventQueries {
         |FROM (SELECT user_id, event_id, event_type, value,
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY value DESC, event_id ASC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin)))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // Session statistics over the BATCH sessionization twin (q35 is the
+    // streaming side): lag/cumsum session assignment per user, then the
+    // corpus-level engagement dials — session count, bounce rate
+    // (1-event sessions), mean events and duration. All exact integers
+    // until the final rounded ratios; the windows run per-user (the
+    // natural partitioning), never unpartitioned.
+    Q("q127_session_stats", (s, dir) => {
+      val GapNs = 1800L * NanosPerSec
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = events(s, dir)
+        .withColumn("new_sess",
+          when(lag("ts", 1).over(w).isNull ||
+            col("ts") - lag("ts", 1).over(w) > GapNs, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr(s"(max(ts) - min(ts)) div $NanosPerSec").as("dur_sec"))
+      sess.agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+          sum("n_events").as("total_events"),
+          sum("dur_sec").as("total_dur_sec"))
+        .select(col("n_sessions"), col("n_bounce"),
+          round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+            .as("bounce_rate"),
+          round(col("total_events").cast("double") / col("n_sessions"), 6)
+            .as("avg_events"),
+          round(col("total_dur_sec").cast("double") / col("n_sessions"), 6)
+            .as("avg_duration_sec"))
+    }, Some(
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |),
+        |s AS (SELECT user_id, tns,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |          AS sess_id
+        |      FROM x),
+        |g AS (SELECT user_id, sess_id, count(*) AS n_events,
+        |        (max(tns) - min(tns)) // 1000000000 AS dur_sec
+        |      FROM s GROUP BY user_id, sess_id),
+        |t AS (SELECT count(*) AS n_sessions,
+        |        CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_bounce,
+        |        CAST(sum(n_events) AS BIGINT) AS total_events,
+        |        CAST(sum(dur_sec) AS BIGINT) AS total_dur_sec
+        |      FROM g)
+        |SELECT n_sessions, n_bounce,
+        |  round(CAST(n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_rate,
+        |  round(CAST(total_events AS DOUBLE) / n_sessions, 6) AS avg_events,
+        |  round(CAST(total_dur_sec AS DOUBLE) / n_sessions, 6)
+        |    AS avg_duration_sec
+        |FROM t""".stripMargin)))
 }

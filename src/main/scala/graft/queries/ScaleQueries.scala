@@ -325,6 +325,35 @@ object ScaleQueries {
         .select(col("user_id"), col("n").as("n_exact"), col("cms_est"),
           (col("cms_est") - col("n")).as("overcount"))
         .orderBy(desc("n_exact"), col("user_id"))
-    }, Some(SketchQueries.cmsOracleSql)))
+    }, Some(SketchQueries.cmsOracleSql)),
+
+    // Exact-k deterministic per-group sample (complement of q56's
+    // keep-RATE stratified sampling): rank rows within each event type
+    // by their StableHash (signed order, mirrored in SQL by recentering
+    // the HUGEINT) and keep the first 3 — a reproducible "uniform"
+    // pick that any worker on any cluster size re-derives identically.
+    // One window over the group partitioning; no RNG state anywhere.
+    Q("q128_group_sample", (s, dir) => {
+      val h = StableHash64(concat(lit("smp:"), col("event_id").cast("string")))
+      val w = Window.partitionBy("event_type").orderBy(col("h"), col("event_id"))
+      EventQueries.events(s, dir).select(col("event_type"), col("event_id"),
+          col("user_id"), h.as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("rn"), col("event_id"), col("user_id"))
+        .orderBy("event_type", "rn")
+    }, Some {
+      val eh = StableHash.hashes64Sql("['smp:' || CAST(event_id AS VARCHAR)]") + "[1]"
+      s"""WITH h AS (SELECT event_type, event_id, user_id,
+         |    CAST(CASE WHEN $eh >= 9223372036854775808
+         |         THEN $eh - 18446744073709551616 ELSE $eh END AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, event_id, user_id,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id)
+         |      AS rn
+         |  FROM h)
+         |SELECT event_type, rn, event_id, user_id FROM r WHERE rn <= 3
+         |ORDER BY event_type, rn""".stripMargin
+    }))
 
 }

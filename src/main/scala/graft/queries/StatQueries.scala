@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -415,6 +416,45 @@ object StatQueries {
         |      FROM k)
         |SELECT n_events, (r - 1) * (c - 1) AS dof, chi2,
         |  round(sqrt(chi2 / (n_events * least(r - 1, c - 1))), 6) AS cramers_v
-        |FROM s""".stripMargin)))
+        |FROM s""".stripMargin)),
+
+    // Weighted median: order totalprice weighted by line-item count —
+    // the first price whose cumulative weight reaches half the total
+    // (lower weighted median, ties broken by key so the crossing row is
+    // unique). Exact via one ordered cumsum over per-order weights; at
+    // 100 TB the exact form gives way to the mergeable histogram (q90) —
+    // this is its audit baseline. Emitted next to the unweighted median.
+    Q("q129_weighted_median", (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("v"))
+      val li = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("w"))
+      val ow = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      val tot = ow.agg(sum("w").as("wt"), percentile(col("v"), lit(0.5)).as("um"))
+      val wc = Window.orderBy("v", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ow.withColumn("cum", sum("w").over(wc))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 2 >= col("wt"))
+        .orderBy("v", "o_orderkey")
+        .limit(1)
+        .select(round(col("v"), 4).as("weighted_median"),
+          col("wt").as("total_weight"),
+          round(col("um"), 4).as("unweighted_median"))
+    }, Some(
+      """WITH li AS (SELECT l_orderkey, count(*) AS w FROM lineitem
+        |            GROUP BY l_orderkey),
+        |ow AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v, w
+        |       FROM orders JOIN li ON o_orderkey = l_orderkey),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt,
+        |        quantile_cont(v, 0.5) AS um FROM ow),
+        |c AS (SELECT v, o_orderkey,
+        |        sum(w) OVER (ORDER BY v, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM ow)
+        |SELECT round(v, 4) AS weighted_median, t.wt AS total_weight,
+        |  round(t.um, 4) AS unweighted_median
+        |FROM c CROSS JOIN t WHERE cum * 2 >= wt
+        |ORDER BY v, o_orderkey LIMIT 1""".stripMargin)))
 }
 
