@@ -233,5 +233,39 @@ object EventQueries {
         |  round(CAST(total_events AS DOUBLE) / n_sessions, 6) AS avg_events,
         |  round(CAST(total_dur_sec AS DOUBLE) / n_sessions, 6)
         |    AS avg_duration_sec
-        |FROM t""".stripMargin)))
+        |FROM t""".stripMargin)),
+
+    // Sequential pattern matching over per-user event journeys: the
+    // time-ordered event-type initials collapse to one string per user
+    // (collect + sort by (ts, event_id) — never physical row order) and
+    // a regex detects the view→click→purchase funnel IN ORDER. The
+    // journey string is emitted too, so the oracle hash pins the whole
+    // sequence, not just the flag. One shuffle on user_id; the regex is
+    // per-row on vocabulary-sized strings.
+    Q("q131_journey_pattern", (s, dir) => {
+      val journey = array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ini")))),
+          x => x.getField("ini")), "")
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), journey.as("journey"))
+        .select(col("user_id"), col("n_events"),
+          length(col("journey")).cast("long").as("journey_len"),
+          when(col("journey").rlike("v.*c.*p"), 1L).otherwise(0L)
+            .as("has_funnel"),
+          col("journey"))
+        .orderBy("user_id")
+    }, Some(
+      """WITH j AS (SELECT user_id, count(*) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_ns(ts), event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(length(journey) AS BIGINT) AS journey_len,
+        |  CAST(CASE WHEN regexp_matches(journey, 'v.*c.*p')
+        |       THEN 1 ELSE 0 END AS BIGINT) AS has_funnel,
+        |  journey
+        |FROM j ORDER BY user_id""".stripMargin)))
 }

@@ -13,6 +13,45 @@ import org.apache.spark.sql.functions._
 object LayoutQueries {
   import Helpers._
 
+  /** SCD2 interval build shared by q86 (the dimension itself) and q130
+    * (the point-in-time lookup against it). Open intervals carry
+    * sentinel -1, not NULL: a nullable BIGINT column degrades to
+    * float64+NaN in the driver's pandas compare.
+    */
+  private[queries] def scd2Intervals(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    EventQueries.events(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .select(col("user_id"), col("event_id").as("change_id"),
+        col("event_type").as("state"), col("us").as("valid_from_us"),
+        coalesce(col("next_us") - 1, lit(-1L)).as("valid_to_us"),
+        when(col("next_us").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  /** The q86 oracle's interval CTEs, shared with q130's oracle. */
+  private[queries] def scd2Cte: String =
+    """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |           FROM events),
+      |ch AS (SELECT * FROM (
+      |    SELECT user_id, event_id, event_type, us,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS prev
+      |    FROM e)
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (SELECT user_id, event_id, event_type, us,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+      |  FROM ch),
+      |scd2 AS (SELECT user_id, event_id AS change_id, event_type AS state,
+      |    us AS valid_from_us,
+      |    CAST(coalesce(next_us - 1, -1) AS BIGINT) AS valid_to_us,
+      |    CAST(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |      AS is_current
+      |  FROM iv)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Price deciles WITHOUT a global sort: exact percentile boundaries
@@ -193,35 +232,48 @@ object LayoutQueries {
     // per key is what moves, never the full fact stream. Micros on both
     // sides (DuckDB truncates TIMESTAMP(NANOS) on read).
     Q("q86_scd2_intervals", (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val changes = EventQueries.events(s, dir)
-        .withColumn("us", expr("ts div 1000"))
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-      // open intervals carry sentinel -1, not NULL: a nullable BIGINT
-      // column degrades to float64+NaN in the driver's pandas compare
-      changes
-        .withColumn("next_us", lead("us", 1).over(w))
-        .select(col("user_id"), col("event_id").as("change_id"),
-          col("event_type").as("state"), col("us").as("valid_from_us"),
-          coalesce(col("next_us") - 1, lit(-1L)).as("valid_to_us"),
-          when(col("next_us").isNull, 1L).otherwise(0L).as("is_current"))
+      scd2Intervals(s, dir)
         .orderBy("user_id", "valid_from_us", "change_id")
     }, Some(
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        |           FROM events),
-        |ch AS (SELECT * FROM (
-        |    SELECT user_id, event_id, event_type, us,
-        |      lag(event_type) OVER (PARTITION BY user_id
-        |        ORDER BY us, event_id) AS prev
-        |    FROM e)
-        |  WHERE prev IS NULL OR prev <> event_type),
-        |iv AS (SELECT user_id, event_id, event_type, us,
-        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
-        |  FROM ch)
-        |SELECT user_id, event_id AS change_id, event_type AS state,
-        |  us AS valid_from_us,
-        |  CAST(coalesce(next_us - 1, -1) AS BIGINT) AS valid_to_us,
-        |  CAST(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM iv ORDER BY user_id, valid_from_us, change_id""".stripMargin)))
+      s"""WITH $scd2Cte
+         |SELECT user_id, change_id, state, valid_from_us, valid_to_us,
+         |  is_current
+         |FROM scd2 ORDER BY user_id, valid_from_us, change_id""".stripMargin)),
+
+    // Point-in-time (as-of state) lookup against the SCD2 dimension —
+    // the feature-store join: for every purchase, the user's state ONE
+    // HOUR BEFORE the purchase, resolved by validity interval. The join
+    // is an equi-join on the entity key (user_id) with the interval
+    // predicate as a residual filter — intervals partition time, so at
+    // most one row survives per probe; state history per key is what
+    // moves, never the fact stream cross any interval table. Purchases
+    // before the user's first recorded state land in '(none)'.
+    Q("q130_pit_join", (s, dir) => {
+      val HourUs = 3600L * 1000000L
+      val iv = scd2Intervals(s, dir)
+        .select(col("user_id"), col("state"),
+          col("valid_from_us"), col("valid_to_us"))
+      val probes = EventQueries.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id"),
+          (expr("ts div 1000") - HourUs).as("pit_us"))
+      probes.join(iv,
+          col("p_user") === col("user_id") &&
+            col("valid_from_us") <= col("pit_us") &&
+            (col("valid_to_us") === -1L || col("pit_us") <= col("valid_to_us")),
+          "left")
+        .select(col("event_id"), coalesce(col("state"), lit("(none)")).as("st"))
+        .groupBy(col("st").as("state_1h_before_purchase"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("state_1h_before_purchase")
+    }, Some(
+      s"""WITH $scd2Cte,
+         |probes AS (SELECT user_id, event_id, epoch_us(ts) - 3600000000 AS pit_us
+         |           FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT p.event_id, coalesce(s.state, '(none)') AS st
+         |      FROM probes p LEFT JOIN scd2 s ON p.user_id = s.user_id
+         |        AND s.valid_from_us <= p.pit_us
+         |        AND (s.valid_to_us = -1 OR p.pit_us <= s.valid_to_us))
+         |SELECT st AS state_1h_before_purchase, count(*) AS n_purchases
+         |FROM m GROUP BY st ORDER BY state_1h_before_purchase""".stripMargin)))
 }
