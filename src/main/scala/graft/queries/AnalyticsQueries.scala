@@ -16,6 +16,36 @@ import org.apache.spark.sql.types.DecimalType
 object AnalyticsQueries {
   import Helpers._
 
+  /** KMV estimate (kEff−1)/u_k with u_k the kth hash normalized to
+    * [0,1) — shared by q67 (batch Aggregator) and q133 (streaming state)
+    * so the two sketches surface identical arithmetic.
+    */
+  private[queries] def kmvEstimate(kEff: org.apache.spark.sql.Column,
+      kth: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round((kEff - 1).cast("double") /
+      ((kth.cast("double") + lit(9.223372036854775808e18)) /
+        lit(1.8446744073709551616e19)), 4)
+
+  /** DuckDB replay of the k=32 KMV per-event-type estimate — the oracle
+    * for q67 and (stream ≡ batch) q133.
+    */
+  private[queries] def kmvOracleSql: String = {
+    val uh = StableHash.hashes64Sql("['u:' || CAST(user_id AS VARCHAR)]") + "[1]"
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    CAST(CASE WHEN $uh >= 9223372036854775808 THEN $uh - 18446744073709551616
+       |         ELSE $uh END AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM h)
+       |SELECT event_type, least(32, n) AS k_eff,
+       |  round((least(32, n) - 1)::DOUBLE /
+       |    ((CAST(h AS DOUBLE) + 9.223372036854775808e18) / 1.8446744073709551616e19),
+       |    4) AS est_distinct
+       |FROM r WHERE rn = least(32, n) ORDER BY event_type""".stripMargin
+  }
+
   private val NanosPerDay = 86400L * 1000000000L
 
   val all: Seq[Q] = Seq(
@@ -152,26 +182,9 @@ object AnalyticsQueries {
           StableHash64(concat(lit("u:"), col("user_id").cast("string"))).as("h"))
       hashed.groupBy("event_type").agg(kmv(col("h")).as("r"))
         .select(col("event_type"), col("r.kEff").as("k_eff"),
-          round((col("r.kEff") - 1).cast("double") /
-            ((col("r.kth").cast("double") + lit(9.223372036854775808e18)) /
-              lit(1.8446744073709551616e19)), 4).as("est_distinct"))
+          kmvEstimate(col("r.kEff"), col("r.kth")).as("est_distinct"))
         .orderBy("event_type")
-    }, Some {
-      val uh = StableHash.hashes64Sql("['u:' || CAST(user_id AS VARCHAR)]") + "[1]"
-      s"""WITH h AS (SELECT DISTINCT event_type,
-         |    CAST(CASE WHEN $uh >= 9223372036854775808 THEN $uh - 18446744073709551616
-         |         ELSE $uh END AS BIGINT) AS h
-         |  FROM events),
-         |r AS (SELECT event_type, h,
-         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
-         |        count(*) OVER (PARTITION BY event_type) AS n
-         |      FROM h)
-         |SELECT event_type, least(32, n) AS k_eff,
-         |  round((least(32, n) - 1)::DOUBLE /
-         |    ((CAST(h AS DOUBLE) + 9.223372036854775808e18) / 1.8446744073709551616e19),
-         |    4) AS est_distinct
-         |FROM r WHERE rn = least(32, n) ORDER BY event_type""".stripMargin
-    }),
+    }, Some(kmvOracleSql)),
 
     // Weighted domain mixing: resample sources to target proportions
     // (weights 5/3/2 by source index mod 3). The keep-rate per source is

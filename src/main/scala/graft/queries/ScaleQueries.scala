@@ -354,6 +354,28 @@ object ScaleQueries {
          |  FROM h)
          |SELECT event_type, rn, event_id, user_id FROM r WHERE rn <= 3
          |ORDER BY event_type, rn""".stripMargin
-    }))
+    }),
+
+    // Streaming KMV distinct-count sketch: q67's Aggregator state
+    // maintained across micro-batches via flatMapGroupsWithState
+    // (update mode). Every batch emits the key's live (seq, kEff, kth);
+    // the max-seq row per key IS the final sketch, and it must equal
+    // the batch sketch exactly — the oracle is verbatim q67's. The
+    // second custom-state streaming op (after sessionize): bounded
+    // ≤k-long state per key, the cardinality monitor that never
+    // rescans.
+    Q("q133_streaming_kmv", (s, dir) => {
+      val updates = runToCompletion(
+        EventsStream.streamingKmv(EventsStream.source(s, stageEvents(dir))),
+        "update")
+      val w = Window.partitionBy("event_type").orderBy(desc("seq"))
+      updates
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("k_eff"),
+          AnalyticsQueries.kmvEstimate(col("k_eff"), col("kth"))
+            .as("est_distinct"))
+        .orderBy("event_type")
+    }, Some(AnalyticsQueries.kmvOracleSql)))
 
 }

@@ -149,5 +149,30 @@ object SketchQueries {
          |  f.hll_est AS hll_est,
          |  round(abs(f.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err
          |FROM fin f JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
-    }))
+    }),
+
+    // Bitmap-index EXACT distinct count (the roaring-bitmap pattern via
+    // Spark's bitmap_* aggregates): ids hash into fixed 32k-bit bucket
+    // bitmaps built per (group, bucket) with map-side combine, bit
+    // counts sum per group. Unlike the KMV/HLL ESTIMATES (q67/q99) this
+    // is exact, and unlike count(DISTINCT) the shuffled state is bounded
+    // bitmap pages, not every distinct value — the modern exact-distinct
+    // at 100 TB. The oracle is plain count(DISTINCT): same answer is
+    // the whole point.
+    Q("q132_bitmap_distinct", (s, dir) => {
+      val ev = EventQueries.events(s, dir)
+      // ids shifted +1: the bitmap functions are 1-based (position
+      // (v-1) % 32768), so id 0 would land at position -1
+      val perBucket = ev
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id + 1)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id + 1))")
+          .as("bm"))
+      perBucket
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -183,4 +183,45 @@ object EventsStream {
         GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
   }
+
+  /** One key's live KMV sketch plus a per-key update sequence number —
+    * `seq` makes "the final state" selectable deterministically from an
+    * update-mode sink (kth is not monotone while the sketch fills).
+    */
+  case class KmvUpdate(event_type: String, seq: Long, k_eff: Long, kth: Long)
+  case class KmvState(seq: Long, hs: Array[Long])
+
+  /** Streaming KMV distinct-count sketch per event type, maintained as
+    * mapGroupsWithState custom state (the q67 Aggregator's zero/reduce
+    * reused verbatim, so stream ≡ batch by construction). Each
+    * micro-batch emits the key's current (seq, kEff, kth); the caller
+    * keeps the max-seq row per key. State is the bounded ≤k-long array —
+    * the streaming cardinality monitor whose memory never grows with
+    * the stream.
+    */
+  def streamingKmv(events: DataFrame, k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val agg = new graft.sketch.KmvAgg(k)
+    def fn(key: String, it: Iterator[(String, Long)],
+           state: GroupState[KmvState]): Iterator[KmvUpdate] = {
+      val prev = state.getOption.getOrElse(KmvState(0L, Array.emptyLongArray))
+      var buf = graft.sketch.KmvBuf(prev.hs)
+      it.foreach(p => buf = agg.reduce(buf, p._2))
+      val next = KmvState(prev.seq + 1, buf.hs)
+      state.update(next)
+      val r = agg.finish(buf)
+      Iterator(KmvUpdate(key, next.seq, r.kEff, r.kth))
+    }
+    events
+      .select(col("event_type"),
+        graft.text.StableHash64(
+          concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
 }
