@@ -376,6 +376,36 @@ object ScaleQueries {
           AnalyticsQueries.kmvEstimate(col("k_eff"), col("kth"))
             .as("est_distinct"))
         .orderBy("event_type")
-    }, Some(AnalyticsQueries.kmvOracleSql)))
+    }, Some(AnalyticsQueries.kmvOracleSql))) :+ q134
 
+  // def, not val: referenced from `all`'s initializer above
+  private def q134: Q =
+    // Windowed HLL distinct-user estimates maintained by the stream:
+    // register maxima per (hour window, register) are an associative
+    // aggregate, so complete-mode state IS the per-window sketch — 64
+    // bounded rows per window vs dropDuplicates' every-user state. The
+    // estimate arithmetic and oracle template are q99's, keyed by hour;
+    // the windowed-cardinality monitor every live dashboard runs.
+    Q("q134_streaming_window_hll", (s, dir) => {
+      val probed = SketchQueries.withHllCols(
+        EventsStream.source(s, stageEvents(dir)), col("user_id"))
+      val regsStream = probed
+        .groupBy(window(col("event_ts"), "1 hour"), col("reg"))
+        .agg(max("rho").as("mj"))
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("reg"), col("mj"))
+      val regs = runToCompletion(regsStream, "complete")
+      val exact = EventQueries.events(s, dir)
+        .groupBy(expr(s"(ts - pmod(ts, ${3600L * 1000000000L})) div ${3600L * 1000000000L}")
+          .cast("long").as("hour_idx"))
+        .agg(countDistinct("user_id").as("n_exact"))
+        .select((col("hour_idx") * 3600).as("hour_epoch"), col("n_exact"))
+      SketchQueries.hllEstimate(regs, Seq("hour_epoch"))
+        .join(exact, "hour_epoch")
+        .select(col("hour_epoch"), col("n_exact"), col("zeros"), col("hll_est"),
+          round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("hour_epoch")
+    }, Some(SketchQueries.hllOracleSql(
+      "CAST(epoch(date_trunc('hour', ts)) AS BIGINT)", "hour_epoch")))
 }

@@ -47,6 +47,74 @@ object SketchQueries {
        |GROUP BY t.user_id, t.n ORDER BY n_exact DESC, user_id""".stripMargin
   }
 
+  /** Attach the m=64 HLL probe columns (h, reg, rho) for a user key —
+    * shared by the batch (q99) and streaming-windowed (q134) builds.
+    */
+  private[queries] def withHllCols(df: org.apache.spark.sql.DataFrame,
+      user: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("h", StableHash64(concat(lit("hll:"), user.cast("string"))))
+      .withColumn("reg", pmod(col("h"), lit(64L)))
+      .withColumn("w", expr("shiftrightunsigned(h, 6)"))
+      .withColumn("rho",
+        lit(59L) - when(col("w") === 0L, 0L)
+          .otherwise(length(conv(col("w").cast("string"), 10, 2)).cast("long")))
+
+  /** Registers (keys..., mj) → (keys..., zeros, hll_est): the exact-
+    * integer Σ2^(60−Mj) sum, raw estimate, and linear-counting branch.
+    */
+  private[queries] def hllEstimate(regs: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))) *
+      lit(4096.0) * lit(1.152921504606846976e18)
+    regs.groupBy(keys.map(col): _*).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - mj AS INT))")
+          .cast(DecimalType(38, 0))).as("s_present"),
+        count(lit(1)).as("nr"))
+      .withColumn("s_total",
+        (col("s_present") +
+          (lit(64L) - col("nr")).cast(DecimalType(38, 0)) *
+            lit(1152921504606846976L)).cast("double"))
+      .withColumn("zeros", lit(64L) - col("nr"))
+      .withColumn("raw", alphaNum / col("s_total"))
+      .select(keys.map(col) ++ Seq(col("zeros"),
+        round(when(col("raw") <= 160.0 && col("zeros") > 0,
+          lit(64.0) * log(lit(64.0) / col("zeros")))
+          .otherwise(col("raw")), 4).as("hll_est")): _*)
+  }
+
+  /** DuckDB replay of the m=64 HLL estimate keyed by `keyExpr AS
+    * keyName` — generates q99's (key = event_type) and q134's (key =
+    * hour bucket) oracles from one template.
+    */
+  private[queries] def hllOracleSql(keyExpr: String, keyName: String): String = {
+    val uh = StableHash.hashes64Sql("['hll:' || CAST(user_id AS VARCHAR)]") + "[1]"
+    s"""WITH h AS (SELECT $keyExpr AS k, user_id, $uh AS h FROM events),
+       |b AS (SELECT k, CAST(h % 64 AS BIGINT) AS reg,
+       |        59 - (CASE WHEN h // 64 = 0 THEN 0
+       |              ELSE length(bin(CAST(h // 64 AS BIGINT))) END) AS rho
+       |      FROM h),
+       |regs AS (SELECT k, reg, max(rho) AS mj FROM b GROUP BY k, reg),
+       |agg AS (SELECT k,
+       |          sum(1::BIGINT << CAST(60 - mj AS INT)) AS s_present,
+       |          count(*) AS nr
+       |        FROM regs GROUP BY k),
+       |est AS (SELECT k, 64 - nr AS zeros,
+       |          (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 1152921504606846976.0
+       |            / CAST(s_present + (64 - nr)::HUGEINT * 1152921504606846976::HUGEINT AS DOUBLE)
+       |            AS raw
+       |        FROM agg),
+       |fin AS (SELECT k, CAST(zeros AS BIGINT) AS zeros,
+       |          round(CASE WHEN raw <= 160.0 AND zeros > 0
+       |                THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS hll_est
+       |        FROM est),
+       |ex AS (SELECT $keyExpr AS k, count(DISTINCT user_id) AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT f.k AS $keyName, ex.n_exact AS n_exact, f.zeros AS zeros,
+       |  f.hll_est AS hll_est,
+       |  round(abs(f.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err
+       |FROM fin f JOIN ex USING (k) ORDER BY $keyName""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Count-min-sketch heavy hitters: a d=4 × w=128 counter array over
@@ -88,68 +156,16 @@ object SketchQueries {
     // partition cross the wire — the cardinality answer whose state does
     // not grow with the data (vs q67's KMV, whose k-array does with k).
     Q("q99_hll_cardinality", (s, dir) => {
-      val ev = EventQueries.events(s, dir)
-        .select(col("event_type"),
-          StableHash64(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
-        .withColumn("reg", pmod(col("h"), lit(64L)))
-        .withColumn("w", expr("shiftrightunsigned(h, 6)"))
-        .withColumn("rho",
-          lit(59L) - when(col("w") === 0L, 0L)
-            .otherwise(length(conv(col("w").cast("string"), 10, 2)).cast("long")))
+      val ev = withHllCols(EventQueries.events(s, dir), col("user_id"))
       val regs = ev.groupBy("event_type", "reg").agg(max("rho").as("mj"))
-      val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))) *
-        lit(4096.0) * lit(1.152921504606846976e18)
-      val agg = regs.groupBy("event_type").agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(60 - mj AS INT))")
-          .cast(DecimalType(38, 0))).as("s_present"),
-        count(lit(1)).as("nr"))
       val exact = EventQueries.events(s, dir)
         .groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
-      val est = agg
-        .withColumn("s_total",
-          (col("s_present") +
-            (lit(64L) - col("nr")).cast(DecimalType(38, 0)) *
-              lit(1152921504606846976L)).cast("double"))
-        .withColumn("zeros", lit(64L) - col("nr"))
-        .withColumn("raw", alphaNum / col("s_total"))
-        .select(col("event_type"), col("zeros"),
-          round(when(col("raw") <= 160.0 && col("zeros") > 0,
-            lit(64.0) * log(lit(64.0) / col("zeros")))
-            .otherwise(col("raw")), 4).as("hll_est"))
-      est.join(exact, "event_type")
+      hllEstimate(regs, Seq("event_type")).join(exact, "event_type")
         .select(col("event_type"), col("n_exact"), col("zeros"), col("hll_est"),
           round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 4)
             .as("rel_err"))
         .orderBy("event_type")
-    }, Some {
-      val uh = StableHash.hashes64Sql("['hll:' || CAST(user_id AS VARCHAR)]") + "[1]"
-      s"""WITH h AS (SELECT event_type, user_id, $uh AS h FROM events),
-         |b AS (SELECT event_type, CAST(h % 64 AS BIGINT) AS reg,
-         |        59 - (CASE WHEN h // 64 = 0 THEN 0
-         |              ELSE length(bin(CAST(h // 64 AS BIGINT))) END) AS rho
-         |      FROM h),
-         |regs AS (SELECT event_type, reg, max(rho) AS mj
-         |         FROM b GROUP BY event_type, reg),
-         |agg AS (SELECT event_type,
-         |          sum(1::BIGINT << CAST(60 - mj AS INT)) AS s_present,
-         |          count(*) AS nr
-         |        FROM regs GROUP BY event_type),
-         |est AS (SELECT event_type, 64 - nr AS zeros,
-         |          (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 1152921504606846976.0
-         |            / CAST(s_present + (64 - nr)::HUGEINT * 1152921504606846976::HUGEINT AS DOUBLE)
-         |            AS raw
-         |        FROM agg),
-         |fin AS (SELECT event_type, CAST(zeros AS BIGINT) AS zeros,
-         |          round(CASE WHEN raw <= 160.0 AND zeros > 0
-         |                THEN 64.0 * ln(64.0 / zeros) ELSE raw END, 4) AS hll_est
-         |        FROM est),
-         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-         |       FROM events GROUP BY event_type)
-         |SELECT f.event_type AS event_type, ex.n_exact AS n_exact, f.zeros AS zeros,
-         |  f.hll_est AS hll_est,
-         |  round(abs(f.hll_est - ex.n_exact) / ex.n_exact, 4) AS rel_err
-         |FROM fin f JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
-    }),
+    }, Some(hllOracleSql("event_type", "event_type"))),
 
     // Bitmap-index EXACT distinct count (the roaring-bitmap pattern via
     // Spark's bitmap_* aggregates): ids hash into fixed 32k-bit bucket
