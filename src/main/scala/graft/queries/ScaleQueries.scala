@@ -376,7 +376,7 @@ object ScaleQueries {
           AnalyticsQueries.kmvEstimate(col("k_eff"), col("kth"))
             .as("est_distinct"))
         .orderBy("event_type")
-    }, Some(AnalyticsQueries.kmvOracleSql))) :+ q134
+    }, Some(AnalyticsQueries.kmvOracleSql))) ++ (q134 +: formatQueries)
 
   // def, not val: referenced from `all`'s initializer above
   private def q134: Q =
@@ -408,4 +408,80 @@ object ScaleQueries {
         .orderBy("hour_epoch")
     }, Some(SketchQueries.hllOracleSql(
       "CAST(epoch(date_trunc('hour', ts)) AS BIGINT)", "hour_epoch")))
+
+  // def, not val: referenced from `all`'s initializer above
+  private def formatQueries: Seq[Q] = Seq(
+
+    // Streaming PARQUET sink with checkpointing (the memory sinks above
+    // validate semantics; this is the durable path): stream → file sink
+    // with a checkpoint dir → batch re-read of the committed files. The
+    // sink's transaction log makes the re-read exactly-once (crashed
+    // writers leave uncommitted files invisible); counts must equal the
+    // batch table's.
+    Q("q135_stream_parquet_sink", (s, dir) => {
+      val out = graft.sources.Staging.scratchDir("stream-sink")
+      val q = EventsStream.withStreamShufflePartitions(s) {
+        EventsStream.source(s, stageEvents(dir))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append")
+          .start()
+      }
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$out/data")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    }, Some(
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS value_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // CSV round trip (header + full quoting/escaping — the props column
+    // carries JSON with quotes and braces): write, re-read with an
+    // explicit schema, aggregate. Losslessness IS the check — the oracle
+    // aggregates the original table.
+    Q("q136_csv_roundtrip", (s, dir) => {
+      val tmp = graft.sources.Staging.scratchDir("csv-rt").toString + "/events"
+      EventQueries.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .write.option("header", "true").option("escape", "\"").csv(tmp)
+      s.read
+        .schema(EventsStream.schema)
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          // micros, not nanos: DuckDB reads TIMESTAMP(NANOS) parquet at
+          // microsecond precision, so the comparable boundary is µs
+          min(expr("ts div 1000")).as("min_us"),
+          max(expr("ts div 1000")).as("max_us"),
+          sum(length(col("props")).cast("long")).as("props_len"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n,
+        |  epoch_us(min(ts)) AS min_us, epoch_us(max(ts)) AS max_us,
+        |  CAST(sum(length(props)) AS BIGINT) AS props_len
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ORC round trip: the other columnar format a lakehouse ingests.
+    // Write ORC, read it back, aggregate; DuckDB cannot read ORC, so the
+    // oracle aggregates the source table — losslessness is the check.
+    Q("q137_orc_roundtrip", (s, dir) => {
+      val tmp = graft.sources.Staging.scratchDir("orc-rt").toString + "/li"
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        .write.orc(tmp)
+      s.read.orc(tmp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
+        .orderBy("l_returnflag")
+    }, Some(
+      s"""SELECT l_returnflag, count(*) AS n,
+         | ${dsumSql("l_extendedprice")} AS price_sum
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }
