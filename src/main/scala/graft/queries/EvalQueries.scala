@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.vector.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation operators — the metrics leg of a training pipeline:
+  * batch linear-model scoring, the confusion-matrix census, and exact
+  * rank-statistic AUC. The "model" is a deterministic linear scorer
+  * (weights = the first stored embedding, the q122 codebook pattern), so
+  * every score replays exactly in SQL; swapping in real weights changes
+  * a literal, not the dataflow.
+  */
+object EvalQueries {
+
+  /** Embeddings scored by a literal weight vector: z = ⟨v, w⟩ (exact
+    * same fold order in both engines), binary label = label mod 2.
+    * pred derives from the SIGN of z — never from the rounded sigmoid —
+    * so the decision boundary is exact.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"),
+        pmod(col("label"), lit(2)).cast("long").as("y"))
+    val w = emb.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Double](1).toSeq
+    emb.withColumn("z",
+      aggregate(zip_with(col("v"), typedLit(w), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x))
+  }
+
+  /** The matching DuckDB CTE: `sc` with (vec_id, y, z). */
+  private def scoredCte: String =
+    """w AS (SELECT CAST(embedding AS DOUBLE[]) AS w FROM embeddings
+      |      WHERE vec_id = 0),
+      |sc AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+      |         list_sum(list_transform(
+      |           list_zip(CAST(embedding AS DOUBLE[]), w.w),
+      |           p -> p[1]*p[2])) AS z
+      |       FROM embeddings CROSS JOIN w)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Batch model scoring: the map-only inference pass (one scan, no
+    // shuffle before the output sort) — scores as calibrated sigmoids,
+    // predictions from the exact sign of the margin.
+    Q("q138_model_scoring", (s, dir) => {
+      scored(s, dir)
+        .select(col("vec_id"), col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+          when(col("z") >= 0, 1L).otherwise(0L).as("pred"))
+        .orderBy("vec_id")
+    }, Some(
+      s"""WITH $scoredCte
+         |SELECT vec_id, y, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+         |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM sc ORDER BY vec_id""".stripMargin)),
+
+    // Confusion-matrix census + precision/recall/F1, every count an
+    // exact integer and every ratio one division of the same integers —
+    // the eval gate after q138's scoring pass; a single tiny aggregate.
+    Q("q139_confusion_matrix", (s, dir) => {
+      val p = scored(s, dir)
+        .select(col("y"), when(col("z") >= 0, 1L).otherwise(0L).as("p"))
+      p.agg(
+          sum(when(col("p") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("p") === 0L && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+          sum(when(col("p") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+            .as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+            .as("recall"),
+          round(lit(2.0) * col("tp") /
+            (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+    }, Some(
+      s"""WITH $scoredCte,
+         |p AS (SELECT y, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS p FROM sc),
+         |c AS (SELECT
+         |  CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM p)
+         |SELECT tp, fp, tn, fn,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+         |  round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+         |FROM c""".stripMargin)),
+
+    // Exact AUC via the Mann-Whitney rank statistic: rank every example
+    // by margin (ties broken by id — deterministic, and identical in
+    // both engines, so the statistic is exact rather than tie-adjusted),
+    // AUC = (Σ ranks of positives − P(P+1)/2) / (P·N). Integer sums all
+    // the way to one final division — the ranking-quality dial computed
+    // without materializing a single pair (vs the P×N pairwise
+    // definition: the 100 TB version of "don't build the cross join").
+    Q("q140_auc", (s, dir) => {
+      val r = scored(s, dir)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("z"), col("vec_id"))).cast("long"))
+      r.agg(
+          sum(when(col("y") === 1L, col("rank")).otherwise(0L)).as("rank_sum"),
+          sum(col("y")).as("pos"),
+          sum(lit(1L) - col("y")).as("neg"))
+        .select(col("pos"), col("neg"),
+          round((col("rank_sum") - col("pos") * (col("pos") + 1) / 2)
+            .cast("double") / (col("pos") * col("neg")), 6).as("auc"))
+    }, Some(
+      s"""WITH $scoredCte,
+         |r AS (SELECT y, CAST(row_number() OVER (ORDER BY z, vec_id) AS BIGINT)
+         |        AS rank FROM sc),
+         |a AS (SELECT CAST(sum(CASE WHEN y = 1 THEN rank ELSE 0 END) AS BIGINT)
+         |        AS rank_sum,
+         |        CAST(sum(y) AS BIGINT) AS pos,
+         |        CAST(sum(1 - y) AS BIGINT) AS neg
+         |      FROM r)
+         |SELECT pos, neg,
+         |  round(CAST(rank_sum - pos * (pos + 1) // 2 AS DOUBLE) / (pos * neg), 6)
+         |    AS auc
+         |FROM a""".stripMargin)))
+}
