@@ -121,5 +121,86 @@ object EvalQueries {
          |SELECT pos, neg,
          |  round(CAST(rank_sum - pos * (pos + 1) // 2 AS DOUBLE) / (pos * neg), 6)
          |    AS auc
-         |FROM a""".stripMargin)))
+         |FROM a""".stripMargin)),
+
+    // Sliced evaluation: the same rank-statistic AUC computed per cohort
+    // (vec_id mod 3 — the robustness/fairness audit slicing). Ranks are
+    // per-cohort windows over the cohort partitioning, so the metric
+    // parallelizes by slice; one pass, no pairwise anything.
+    Q("q141_sliced_auc", (s, dir) => {
+      val r = scored(s, dir)
+        .withColumn("cohort", pmod(col("vec_id"), lit(3L)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("cohort").orderBy(col("z"), col("vec_id")))
+          .cast("long"))
+      r.groupBy("cohort")
+        .agg(
+          sum(when(col("y") === 1L, col("rank")).otherwise(0L)).as("rank_sum"),
+          sum(col("y")).as("pos"),
+          sum(lit(1L) - col("y")).as("neg"))
+        .select(col("cohort"), col("pos"), col("neg"),
+          round((col("rank_sum") - col("pos") * (col("pos") + 1) / 2)
+            .cast("double") / (col("pos") * col("neg")), 6).as("auc"))
+        .orderBy("cohort")
+    }, Some(
+      s"""WITH $scoredCte,
+         |r AS (SELECT y, vec_id % 3 AS cohort,
+         |        CAST(row_number() OVER (PARTITION BY vec_id % 3
+         |          ORDER BY z, vec_id) AS BIGINT) AS rank
+         |      FROM sc),
+         |a AS (SELECT cohort,
+         |        CAST(sum(CASE WHEN y = 1 THEN rank ELSE 0 END) AS BIGINT)
+         |          AS rank_sum,
+         |        CAST(sum(y) AS BIGINT) AS pos,
+         |        CAST(sum(1 - y) AS BIGINT) AS neg
+         |      FROM r GROUP BY cohort)
+         |SELECT cohort, pos, neg,
+         |  round(CAST(rank_sum - pos * (pos + 1) // 2 AS DOUBLE) / (pos * neg), 6)
+         |    AS auc
+         |FROM a ORDER BY cohort""".stripMargin)),
+
+    // Precision-recall curve: P/R at nine calibrated-score thresholds in
+    // ONE pass — per-threshold conditional sums instead of nine scans or
+    // a score sort. Thresholds compare against the exact margin via the
+    // logit (sigmoid(z) >= t  ⟺  z >= ln(t/(1-t))), so no rounded
+    // probability ever decides a boundary.
+    Q("q142_pr_curve", (s, dir) => {
+      val ts = (1 to 9).map(_ / 10.0)
+      val base = scored(s, dir)
+      val perT = ts.zipWithIndex.flatMap { case (t, i) =>
+        val logit = math.log(t / (1.0 - t))
+        Seq(
+          sum(when(col("z") >= logit && col("y") === 1L, 1L).otherwise(0L))
+            .as(s"tp$i"),
+          sum(when(col("z") >= logit, 1L).otherwise(0L)).as(s"pp$i"))
+      }
+      val agg = base.agg(sum(col("y")).as("pos"), perT: _*)
+      agg.selectExpr("pos", s"stack(${ts.length}, " +
+          ts.zipWithIndex.map { case (t, i) =>
+            s"CAST($t AS DOUBLE), tp$i, pp$i"
+          }.mkString(", ") + ") AS (threshold, tp, pp)")
+        .select(col("threshold"),
+          col("tp"), col("pp"),
+          round(when(col("pp") === 0L, 1.0)
+            .otherwise(col("tp").cast("double") / col("pp")), 6).as("precision"),
+          round(col("tp").cast("double") / col("pos"), 6).as("recall"))
+        .orderBy("threshold")
+    }, Some {
+      val ts = (1 to 9).map(_ / 10.0)
+      val arms = ts.map { t =>
+        val logit = math.log(t / (1.0 - t))
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+           |  CAST(sum(CASE WHEN z >= $logit AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN z >= $logit THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+           |  CAST(sum(y) AS BIGINT) AS pos
+           |FROM sc""".stripMargin
+      }
+      s"""WITH $scoredCte,
+         |t AS (${arms.mkString("\nUNION ALL\n")})
+         |SELECT threshold, tp, pp,
+         |  round(CASE WHEN pp = 0 THEN 1.0 ELSE CAST(tp AS DOUBLE) / pp END, 6)
+         |    AS precision,
+         |  round(CAST(tp AS DOUBLE) / pos, 6) AS recall
+         |FROM t ORDER BY threshold""".stripMargin
+    }))
 }
