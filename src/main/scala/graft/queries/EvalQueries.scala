@@ -202,5 +202,124 @@ object EvalQueries {
          |    AS precision,
          |  round(CAST(tp AS DOUBLE) / pos, 6) AS recall
          |FROM t ORDER BY threshold""".stripMargin
+    }),
+
+    // Calibration / reliability diagram + expected calibration error:
+    // scores bucketed into 10 fixed-width bins, observed positive rate
+    // vs mean predicted probability per bin (decimal-summed 6dp-rounded
+    // sigmoids, so the mean is order-free), ECE = Σ (n_b/N)·|acc−conf|.
+    // Bin membership derives from the exact margin via bin-edge logits —
+    // a rounded probability never lands a row in the wrong bin.
+    Q("q143_calibration", (s, dir) => {
+      val edges = (1 to 9).map(i => math.log(i / 10.0 / (1.0 - i / 10.0)))
+      val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
+        acc + when(col("z") >= e, 1L).otherwise(0L)
+      }
+      val b = scored(s, dir)
+        .withColumn("bin", bin)
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+          Helpers.davg(col("score")).as("conf"))
+        .withColumn("acc", round(col("n_pos").cast("double") / col("n"), 6))
+      val tot = b.agg(sum("n").as("total"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_pos"), col("conf"), col("acc"),
+          round(col("n").cast("double") / col("total") *
+            abs(col("acc") - col("conf")), 9).as("ece_term"))
+        .orderBy("bin")
+    }, Some {
+      val edges = (1 to 9).map(i => math.log(i / 10.0 / (1.0 - i / 10.0)))
+      val binSql = edges.map(e => s"(CASE WHEN z >= $e THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH $scoredCte,
+         |sb AS (SELECT y, CAST($binSql AS BIGINT) AS bin,
+         |         round(1.0 / (1.0 + exp(-z)), 6) AS score FROM sc),
+         |b AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |        ${Helpers.davgSql("score")} AS conf
+         |      FROM sb GROUP BY bin),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)
+         |SELECT bin, n, n_pos, conf,
+         |  round(CAST(n_pos AS DOUBLE) / n, 6) AS acc,
+         |  round(CAST(n AS DOUBLE) / total *
+         |    abs(round(CAST(n_pos AS DOUBLE) / n, 6) - conf), 9) AS ece_term
+         |FROM b CROSS JOIN t ORDER BY bin""".stripMargin
+    }),
+
+    // Decile lift / gains: rank by margin, split into 10 equal-count
+    // deciles, response rate per decile over the global rate — the
+    // targeting-quality chart. Decile bounds come from row_number over
+    // the deterministic (z, id) order, counts are exact.
+    Q("q144_decile_lift", (s, dir) => {
+      val n = scored(s, dir).count()
+      val r = scored(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("z"), col("vec_id"))).cast("long"))
+        .withColumn("decile", expr(s"((rn - 1) * 10) div $n + 1"))
+      val tot = r.agg(sum("y").as("tp"), count(lit(1)).as("tn"))
+      r.groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n") /
+            (col("tp").cast("double") / col("tn")), 6).as("lift"))
+        .orderBy("decile")
+    }, Some(
+      s"""WITH $scoredCte,
+         |r AS (SELECT y, CAST(row_number() OVER (ORDER BY z DESC, vec_id)
+         |        AS BIGINT) AS rn, count(*) OVER () AS nn FROM sc),
+         |d AS (SELECT y, (rn - 1) * 10 // nn + 1 AS decile FROM r),
+         |t AS (SELECT CAST(sum(y) AS BIGINT) AS tp, count(*) AS tn FROM d)
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(y) AS DOUBLE) / count(*) /
+         |    (CAST(t.tp AS DOUBLE) / t.tn), 6) AS lift
+         |FROM d CROSS JOIN t GROUP BY decile, t.tp, t.tn
+         |ORDER BY decile""".stripMargin)),
+
+    // Population stability index between score distributions of two
+    // cohorts (vec_id parity — the deploy-time drift monitor pairing
+    // q94's KS): fixed margin bins, PSI = Σ (p_a − p_b)·ln(p_a/p_b)
+    // over 6dp-rounded shares summed as exact decimals.
+    Q("q145_psi_drift", (s, dir) => {
+      val edges = (1 to 9).map(i => math.log(i / 10.0 / (1.0 - i / 10.0)))
+      val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
+        acc + when(col("z") >= e, 1L).otherwise(0L)
+      }
+      val b = scored(s, dir)
+        .withColumn("bin", bin)
+        .withColumn("grp", pmod(col("vec_id"), lit(2L)))
+        .groupBy("bin")
+        .agg(sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("cb"))
+      val tot = b.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      b.crossJoin(broadcast(tot))
+        .withColumn("pa", round(col("ca").cast("double") / col("na"), 6))
+        .withColumn("pb", round(col("cb").cast("double") / col("nb"), 6))
+        .filter(col("pa") > 0 && col("pb") > 0)
+        .select(col("bin"), col("ca"), col("cb"), col("pa"), col("pb"),
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+            .as("psi_term"))
+        .orderBy("bin")
+    }, Some {
+      val edges = (1 to 9).map(i => math.log(i / 10.0 / (1.0 - i / 10.0)))
+      val binSql = edges.map(e => s"(CASE WHEN z >= $e THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH $scoredCte,
+         |sb AS (SELECT CAST($binSql AS BIGINT) AS bin, vec_id % 2 AS grp
+         |       FROM sc),
+         |b AS (SELECT bin,
+         |        CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM sb GROUP BY bin),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |        CAST(sum(cb) AS BIGINT) AS nb FROM b),
+         |p AS (SELECT bin, ca, cb,
+         |        round(CAST(ca AS DOUBLE) / na, 6) AS pa,
+         |        round(CAST(cb AS DOUBLE) / nb, 6) AS pb
+         |      FROM b CROSS JOIN t)
+         |SELECT bin, ca, cb, pa, pb,
+         |  round((pa - pb) * ln(pa / pb), 9) AS psi_term
+         |FROM p WHERE pa > 0 AND pb > 0 ORDER BY bin""".stripMargin
     }))
 }
