@@ -24,8 +24,10 @@ object EvalQueries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"),
         pmod(col("label"), lit(2)).cast("long").as("y"))
-    val w = emb.filter(col("vec_id") === 0).collect()(0)
-      .getSeq[Double](1).toSeq
+    val wRows = emb.filter(col("vec_id") === 0).collect()
+    require(wRows.nonEmpty,
+      "EvalQueries scorer: embeddings table has no vec_id=0 weight row")
+    val w = wRows(0).getSeq[Double](1).toSeq
     emb.withColumn("z",
       aggregate(zip_with(col("v"), typedLit(w), (x, y) => x * y),
         lit(0.0), (a, x) => a + x))
@@ -251,11 +253,12 @@ object EvalQueries {
     // targeting-quality chart. Decile bounds come from row_number over
     // the deterministic (z, id) order, counts are exact.
     Q("q144_decile_lift", (s, dir) => {
-      val n = scored(s, dir).count()
+      val ord = Window.orderBy(desc("z"), col("vec_id"))
       val r = scored(s, dir)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(desc("z"), col("vec_id"))).cast("long"))
-        .withColumn("decile", expr(s"((rn - 1) * 10) div $n + 1"))
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("nn", count(lit(1)).over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("decile", expr("((rn - 1) * 10) div nn + 1"))
       val tot = r.agg(sum("y").as("tp"), count(lit(1)).as("tn"))
       r.groupBy("decile")
         .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))

@@ -44,16 +44,16 @@ object GraphQueries {
           when(lower, col("v")).otherwise(col("u")).as("dst"))
         .persist()
       // Closing-edge probe: the wedge stream is the big side (Σ C(out,2)
-      // rows) — pack (u,v) into one long and BROADCAST the edge set so
-      // the wedges are probed map-side and never cross an exchange. The
-      // wedge self-join shuffles only the oriented edges themselves.
-      val pack = (u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =>
-        u * lit(4294967296L) + v
-      val ek = e.select(pack(col("u"), col("v")).as("k"))
+      // rows) — BROADCAST the canonical edge set so the wedges are probed
+      // map-side and never cross an exchange; the wedge self-join shuffles
+      // only the oriented edges themselves. The probe joins on the raw
+      // (u, v) pair — a two-column hash key, safe at any id range (an
+      // arithmetic u·2^32+v pack would silently collide once ids reach
+      // 2^32, exactly at the scales this orientation targets).
       val tri = ori.as("e1").join(ori.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-        .select(pack(col("e1.dst"), col("e2.dst")).as("k"))
-        .join(broadcast(ek), "k")
+        .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+        .join(broadcast(e), Seq("u", "v"))
         .agg(count(lit(1)).as("n_triangles"))
       val wd = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))

@@ -8,6 +8,13 @@ import org.apache.spark.sql.types.DecimalType
 /** One query = a Spark plan + (optionally) its ANSI-SQL mirror for the
   * driver's DuckDB oracle. Column names must match exactly (the driver
   * sorts columns by name before hashing).
+  *
+  * Cache contract: a few queries `persist()` an intermediate that feeds
+  * multiple branches of the same plan (e.g. q100's edge set). The cache
+  * is only needed while THAT query's action runs; both harness mains
+  * (Bench, Verify) call `spark.catalog.clearCache()` after each query,
+  * and embedding callers running many queries in one session should do
+  * the same (or rely on Spark's LRU block eviction).
   */
 final case class Q(
     name: String,

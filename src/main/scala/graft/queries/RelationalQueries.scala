@@ -272,14 +272,6 @@ object RelationalQueries {
        |ORDER BY revenue DESC, o_orderkey
        |LIMIT 10""".stripMargin
 
-  // Ordered string aggregation (LISTAGG): per market segment, the
-  // lexicographically-first 3 customer names joined with '|'. collect_list
-  // is partition-order-nondeterministic, so the list is sorted before
-  // slicing — the portability contract every warehouse's LISTAGG ...
-  // WITHIN GROUP (ORDER BY) makes explicit. One shuffle; group state is
-  // bounded by the slice only after collect, so at 100 TB the real
-  // plan bounds it earlier with a per-group top-k (cf. q03's window) —
-  // documented here, exercised there.
   // TPC-H Q5 shape: the 5-table star join (region→nation→customer→
   // orders→lineitem→supplier) with the classic "local supplier" predicate
   // (customer and supplier share a nation) — the join-order stressor
@@ -355,7 +347,15 @@ object RelationalQueries {
       |FROM a FULL OUTER JOIN b USING (o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin))
 
-  // def, not val: referenced from `all`'s initializer above
+  // Ordered string aggregation (LISTAGG): per market segment, the
+  // lexicographically-first 3 customer names joined with '|'. collect_list
+  // is partition-order-nondeterministic, so the list is sorted before
+  // slicing — the portability contract every warehouse's LISTAGG ...
+  // WITHIN GROUP (ORDER BY) makes explicit. One shuffle; group state is
+  // bounded by the slice only after collect, so at 100 TB the real
+  // plan bounds it earlier with a per-group top-k (cf. q03's window) —
+  // documented here, exercised there.
+  // (def, not val: referenced from `all`'s initializer above)
   private def q110: Q = Q("q110_string_agg", (s, dir) => {
     Tables.customer(s, dir)
       .groupBy("c_mktsegment")
