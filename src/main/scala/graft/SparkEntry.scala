@@ -16,7 +16,8 @@ object SparkEntry {
       RankQueries.all ++ ScaleQueries.all ++ StatQueries.all ++
       AnalyticsQueries.all ++ LayoutQueries.all ++ CurationQueries.all ++
       SketchQueries.all ++ GraphQueries.all ++ PruneQueries.all ++
-      SurfaceQueries.all ++ QualityQueries.all ++ EvalQueries.all
+      SurfaceQueries.all ++ QualityQueries.all ++ EvalQueries.all ++
+      RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
