@@ -455,6 +455,188 @@ object StatQueries {
         |SELECT round(v, 4) AS weighted_median, t.wt AS total_weight,
         |  round(t.um, 4) AS unweighted_median
         |FROM c CROSS JOIN t WHERE cum * 2 >= wt
-        |ORDER BY v, o_orderkey LIMIT 1""".stripMargin)))
+        |ORDER BY v, o_orderkey LIMIT 1""".stripMargin)),
+
+    // Closed-form OLS (price ~ size): slope/intercept/R² from the same
+    // exact micro-integer moments as q44 — one map-side-combinable
+    // aggregate, no iterative solver, bit-reproducible on any
+    // partitioning. The distributed-regression primitive: at 100 TB
+    // this is still a single pass producing six numbers.
+    Q("q149_ols_regression", (s, dir) => {
+      val p = Tables.part(s, dir).select(
+        micros(col("p_size").cast("double")).as("x"),
+        micros(col("p_retailprice")).as("y"))
+      val agg = p.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      val (n, sx, sy, sxy, sxx, syy) = (
+        col("n").cast("double"), col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      agg.select(col("n"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"),
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / lit(1e6), 6)
+          .as("intercept"),
+        round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
+    }, Some(
+      s"""WITH m AS (SELECT ${microsSql("CAST(p_size AS DOUBLE)")} AS x,
+         |  ${microsSql("p_retailprice")} AS y FROM part),
+         |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM m),
+         |d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+         |  CAST(syy AS DOUBLE) AS syy FROM a)
+         |SELECT n,
+         | round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
+         | round((sy - (nd*sxy - sx*sy) / (nd*sxx - sx*sx) * sx) / nd / 1e6, 6)
+         |   AS intercept,
+         | round(((nd*sxy - sx*sy) * (nd*sxy - sx*sy)) /
+         |   ((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6) AS r2
+         |FROM d""".stripMargin)),
+
+    // Cohen's kappa between two deterministic quality raters (char-count
+    // screen vs token-count screen over documents): the inter-annotator
+    // agreement census every labeling pipeline audits. All four cells
+    // are exact integers from one scan; kappa is one double expression
+    // over them.
+    Q("q150_cohens_kappa", (s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("a"),
+        when(size(split(col("text"), " ")) >= 50, 1L).otherwise(0L).as("b"))
+      val agg = d.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L)).as("n00"))
+      val n = col("n").cast("double")
+      val po = (col("n11") + col("n00")) / n
+      val pe = ((col("n11") + col("n10")) / n) * ((col("n11") + col("n01")) / n) +
+        ((col("n01") + col("n00")) / n) * ((col("n10") + col("n00")) / n)
+      agg.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }, Some(
+      """WITH r AS (SELECT
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM r),
+        |d AS (SELECT n, n11, n10, n01, n00, CAST(n AS DOUBLE) AS nd,
+        |    (n11 + n00) / CAST(n AS DOUBLE) AS po,
+        |    ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE)) +
+        |    ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE)) AS pe
+        |  FROM c)
+        |SELECT n, n11, n10, n01, n00, round(po, 6) AS po, round(pe, 6) AS pe,
+        |  round((po - pe) / (1.0 - pe), 6) AS kappa FROM d""".stripMargin)),
+
+    // Smoothed target (mean) encoding: per (segment, nation) category,
+    // enc = (Σ target + m·global_mean) / (n + m) with prior weight m=10
+    // — the leakage-safe categorical feature. Exact decimal sums on
+    // both levels; the global prior is one broadcast scalar, so the
+    // encode is a single shuffle on the category key at any scale.
+    Q("q151_target_encoding", (s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_mktsegment"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(20, 6)).as("bal"))
+      val g = c.agg((sum("bal").cast("double") / count(lit(1))).as("gmean"))
+      c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("bal").as("sbal"))
+        .crossJoin(broadcast(g))
+        .select(col("c_mktsegment"), col("c_nationkey"), col("n"),
+          round((col("sbal").cast("double") + lit(10.0) * col("gmean")) /
+            (col("n") + 10), 6).as("enc"),
+          round(col("gmean"), 6).as("global_mean"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    }, Some(
+      """WITH c AS (SELECT c_mktsegment,
+        |    CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(20,6)) AS bal FROM customer),
+        |g AS (SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS gmean FROM c)
+        |SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  round((CAST(sum(bal) AS DOUBLE) + 10.0 * g.gmean) / (count(*) + 10), 6)
+        |    AS enc,
+        |  round(g.gmean, 6) AS global_mean
+        |FROM c CROSS JOIN g GROUP BY c_mktsegment, c_nationkey, g.gmean
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // Deterministic Poisson-style bootstrap CI for mean(o_totalprice):
+    // replicate r weights each row by StableHash("bs:"+key+":"+r) mod 3
+    // ∈ {0,1,2} (mean 1) — the one-pass bootstrap that needs NO
+    // resampling shuffle, just a 16× explode feeding one combinable
+    // aggregate (Chamandy et al. 2012, "Estimating Uncertainty for
+    // Massive Data Streams"). Replicate means are exact-decimal ratios;
+    // the CI is the p5/p95 of 16 rounded values.
+    Q("q155_bootstrap_ci", (s, dir) => {
+      val BootstrapParts(reps, exact) = BootstrapCi.build(s, dir)
+      reps.agg(
+          count(lit(1)).as("n_replicates"),
+          round(sum(col("mean_r").cast(DecimalType(20, 6))).cast("double") /
+            count(lit(1)), 6).as("boot_mean"),
+          round(percentile(col("mean_r"), lit(0.05)), 6).as("ci_lo"),
+          round(percentile(col("mean_r"), lit(0.95)), 6).as("ci_hi"))
+        .crossJoin(broadcast(exact))
+    }, Some(BootstrapCi.oracle)))
+}
+
+/** q155's two frames: per-replicate means + the exact full-data mean. */
+final case class BootstrapParts(
+    reps: org.apache.spark.sql.DataFrame,
+    exact: org.apache.spark.sql.DataFrame)
+
+object BootstrapCi {
+  import graft.text.{StableHash, StableHash64}
+  import org.apache.spark.sql.SparkSession
+
+  def build(s: SparkSession, dir: String): BootstrapParts = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_totalprice").cast(DecimalType(20, 6)).as("tp"))
+    val w = o.select(col("o_orderkey"), col("tp"),
+        explode(sequence(lit(0), lit(15))).as("r"))
+      .withColumn("m", pmod(StableHash64(concat(lit("bs:"),
+        col("o_orderkey").cast("string"), lit(":"), col("r").cast("string"))),
+        lit(3L)))
+    val reps = w.groupBy("r")
+      .agg(round(sum(col("tp") * col("m")).cast("double") / sum("m"), 6)
+        .as("mean_r"))
+    val exact = o.agg(
+      round(sum("tp").cast("double") / count(lit(1)), 6).as("exact_mean"))
+    BootstrapParts(reps, exact)
+  }
+
+  def oracle: String = {
+    val h = StableHash.hashes64Sql(
+      "['bs:' || CAST(o_orderkey AS VARCHAR) || ':' || CAST(t.r AS VARCHAR)]") + "[1]"
+    s"""WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(20,6)) AS tp
+       |           FROM orders),
+       |w AS (SELECT o_orderkey, tp, t.r,
+       |        ((CAST(CASE WHEN $h >= 9223372036854775808
+       |            THEN $h - 18446744073709551616 ELSE $h END AS BIGINT)
+       |          % 3) + 3) % 3 AS m
+       |      FROM o, UNNEST(range(0, 16)) AS t(r)),
+       |reps AS (SELECT r, round(CAST(sum(tp * m) AS DOUBLE) /
+       |           CAST(sum(m) AS BIGINT), 6) AS mean_r
+       |         FROM w GROUP BY r),
+       |b AS (SELECT count(*) AS n_replicates,
+       |        round(CAST(sum(CAST(mean_r AS DECIMAL(20,6))) AS DOUBLE)
+       |          / count(*), 6) AS boot_mean,
+       |        round(quantile_cont(mean_r, 0.05), 6) AS ci_lo,
+       |        round(quantile_cont(mean_r, 0.95), 6) AS ci_hi
+       |      FROM reps),
+       |e AS (SELECT round(CAST(sum(tp) AS DOUBLE) / count(*), 6) AS exact_mean
+       |      FROM o)
+       |SELECT * FROM b CROSS JOIN e""".stripMargin
+  }
 }
 
