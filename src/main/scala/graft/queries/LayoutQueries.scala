@@ -275,5 +275,37 @@ object LayoutQueries {
          |        AND s.valid_from_us <= p.pit_us
          |        AND (s.valid_to_us = -1 OR p.pit_us <= s.valid_to_us))
          |SELECT st AS state_1h_before_purchase, count(*) AS n_purchases
-         |FROM m GROUP BY st ORDER BY state_1h_before_purchase""".stripMargin)))
+         |FROM m GROUP BY st ORDER BY state_1h_before_purchase""".stripMargin)),
+
+    // Zone-map / data-skipping audit: per month-zone min/max statistics
+    // (the footer stats a parquet writer keeps per row group) and
+    // whether each zone is prunable under two predicates — a date range
+    // (aligned with the layout → prunes) and a price threshold
+    // (uncorrelated with the layout → does not). The ANALYZE-side
+    // complement of q62's partition-pruned scan and q85's Z-order: at
+    // 100 TB this one aggregate tells you which columns benefit from
+    // re-clustering before you pay for it.
+    Q("q153_zone_map", (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("year"),
+          month(col("o_orderdate")).cast("long").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price"),
+          when(max(col("o_orderdate")) < lit("1997-01-01").cast("timestamp"), 1L)
+            .otherwise(0L).as("prune_date"),
+          when(max(col("o_totalprice")) <= 450000.0, 1L).otherwise(0L)
+            .as("prune_price"))
+        .orderBy("year", "month")
+    }, Some(
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+        |  count(*) AS n_rows,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  CAST(CASE WHEN max(o_orderdate) < TIMESTAMP '1997-01-01'
+        |       THEN 1 ELSE 0 END AS BIGINT) AS prune_date,
+        |  CAST(CASE WHEN max(o_totalprice) <= 450000.0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS prune_price
+        |FROM orders GROUP BY 1, 2 ORDER BY year, month""".stripMargin)))
 }

@@ -265,5 +265,90 @@ object VectorQueries {
          |SELECT vec_id, ${(0 until 4).map(codeSql).mkString(", ")},
          |  round($errSql, 6) AS recon_err
          |FROM d ORDER BY vec_id""".stripMargin
+    }),
+
+    // Multi-query retrieval eval: MRR, AP@10 and recall@10 of the int8-
+    // quantized ranking against the exact ranking (q95's quantization,
+    // widened from one query to a panel of 10). Queries broadcast; the
+    // per-query top-10s come from one window over the scored frame
+    // partitioned by query id — the shuffle is on qid, never on the
+    // corpus, so the eval scales with queries × k, not corpus². All
+    // metrics are ratios of small integers (positions, hit counts);
+    // AP's precision terms are rounded then decimal-summed.
+    Q("q156_mrr_map", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+        .withColumn("scale",
+          array_max(transform(col("vec"), x => abs(x))) / 127.0)
+        .withColumn("dq", zip_with(col("vec"),
+          array_repeat(col("scale"), size(col("vec"))),
+          (x, sc) => least(greatest(floor(x / sc + 0.5), lit(-127.0)),
+            lit(127.0)) * sc))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vec").as("qv"), col("dq").as("dqv"))
+      val scored = emb.crossJoin(broadcast(qs)).persist()
+      val wRank = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+      val rel = scored
+        .select(col("qid"), col("vec_id"),
+          round(VectorOps.cosine(col("vec"), col("qv")), 6).as("sim"))
+        .withColumn("epos", row_number().over(wRank))
+        .filter(col("epos") <= 10)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      val cand = scored
+        .select(col("qid"), col("vec_id"),
+          round(VectorOps.cosine(col("dq"), col("dqv")), 6).as("sim"))
+        .withColumn("pos", row_number().over(wRank).cast("long"))
+        .filter(col("pos") <= 10)
+      val wRun = Window.partitionBy("qid").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cand.join(rel, Seq("qid", "vec_id"), "left")
+        .withColumn("h", coalesce(col("hit"), lit(0L)))
+        .withColumn("run", sum("h").over(wRun))
+        .withColumn("term",
+          when(col("h") === 1L, round(col("run") / col("pos"), 6))
+            .otherwise(lit(0.0)))
+        .groupBy("qid")
+        .agg(
+          coalesce(round(lit(1.0) /
+            min(when(col("h") === 1L, col("pos"))), 6), lit(0.0)).as("rr"),
+          round(sum(col("term").cast(DecimalType(20, 6))).cast("double") / 10, 6)
+            .as("ap"),
+          round(sum("h").cast("double") / 10.0, 6).as("recall"))
+        .orderBy("qid")
+    }, Some {
+      val quant = "list_transform(vec, x -> " +
+        "least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale)"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |sc AS (SELECT vec_id, vec,
+         |         list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale FROM v),
+         |dqv AS (SELECT vec_id, vec, $quant AS dq FROM sc),
+         |q AS (SELECT vec_id AS qid, vec AS qv, dq AS dqv FROM dqv WHERE vec_id < 10),
+         |ex AS (SELECT qid, vec_id, row_number() OVER
+         |         (PARTITION BY qid ORDER BY sim DESC, vec_id) AS epos
+         |       FROM (SELECT q.qid, d.vec_id,
+         |               round(${cosineSql("d.vec", "q.qv")}, 6) AS sim
+         |             FROM dqv d CROSS JOIN q)),
+         |rel AS (SELECT qid, vec_id, 1 AS hit FROM ex WHERE epos <= 10),
+         |qn AS (SELECT qid, vec_id, CAST(row_number() OVER
+         |         (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS pos
+         |       FROM (SELECT q.qid, d.vec_id,
+         |               round(${cosineSql("d.dq", "q.dqv")}, 6) AS sim
+         |             FROM dqv d CROSS JOIN q)),
+         |c AS (SELECT qn.qid, qn.vec_id, qn.pos,
+         |        CAST(coalesce(rel.hit, 0) AS BIGINT) AS h
+         |      FROM qn LEFT JOIN rel ON rel.qid = qn.qid AND rel.vec_id = qn.vec_id
+         |      WHERE qn.pos <= 10),
+         |t AS (SELECT qid, pos, h,
+         |        sum(h) OVER (PARTITION BY qid ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |      FROM c)
+         |SELECT qid,
+         |  coalesce(round(1.0 / min(CASE WHEN h = 1 THEN pos END), 6), 0.0) AS rr,
+         |  round(CAST(sum(CAST(CASE WHEN h = 1 THEN round(run / pos, 6)
+         |    ELSE 0.0 END AS DECIMAL(20,6))) AS DOUBLE) / 10, 6) AS ap,
+         |  round(CAST(sum(h) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM t GROUP BY qid ORDER BY qid""".stripMargin
     }))
 }
