@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force cross-checks for the round-3 retrieval/stat/graph
+  * operators at sf0.001 — independent of the DuckDB oracle, these pin
+  * the ALGORITHMS (prefix-filter completeness, k-core peel, bootstrap
+  * weight distribution, phrase-match overlap semantics) against naive
+  * reference implementations small enough to be obviously correct.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("prefix-filtered set-similarity join finds EXACTLY the brute-force pairs") {
+    // naive all-pairs Jaccard over the same shingle sets
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(graft.text.TextOps.cleanText(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")
+        .as("shs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (da, sa) <- docs; (db, sb) <- docs if da < db
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.5
+    } yield (da, db)).toSet
+    val got = q("q154_setsim_join").map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("k-core census matches a driver-side iterative peel") {
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .groupBy("o").agg(collect_set("p").as("ps"))
+      .collect()
+      .flatMap(_.getSeq[Long](1).sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSet
+    var e = edges
+    val expected = (1 to 4).map { round =>
+      val deg = e.toSeq.flatMap(t => Seq(t._1, t._2)).groupBy(identity)
+        .view.mapValues(_.size).filter(_._2 >= 3).keySet
+      e = e.filter(t => deg.contains(t._1) && deg.contains(t._2))
+      (round.toLong, deg.size.toLong, e.size.toLong)
+    }
+    val got = q("q152_kcore")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("phrase search counts OVERLAPPING occurrences") {
+    // "table table table" contains the phrase "table table" twice
+    val got = q("q148_phrase_search")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(graft.text.TextOps.cleanText(col("text")), " ").as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    docs.foreach { case (id, toks) =>
+      val n = toks.sliding(2).count(w => w.length == 2 &&
+        w.head == "table" && w(1) == "table")
+      assert(got.getOrElse(id, 0L) == n.toLong, s"doc $id: ${got.get(id)} vs $n")
+    }
+  }
+
+  test("bootstrap weights are hash-balanced and the CI brackets the exact mean") {
+    val row = q("q155_bootstrap_ci").head
+    val lo = row.getAs[Double]("ci_lo")
+    val hi = row.getAs[Double]("ci_hi")
+    val exact = row.getAs[Double]("exact_mean")
+    val boot = row.getAs[Double]("boot_mean")
+    assert(lo < hi)
+    assert(lo < exact && exact < hi,
+      s"CI [$lo, $hi] should bracket the exact mean $exact")
+    assert(math.abs(boot - exact) < (hi - lo),
+      s"bootstrap mean $boot implausibly far from exact mean $exact")
+  }
+
+  test("BM25 scores decrease with document length at equal tf") {
+    // recompute one doc's score from first principles
+    val rows = q("q146_bm25")
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(graft.text.TextOps.cleanText(col("text")), " ").as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.length >= 3))
+    val n = toks.length.toDouble
+    val avgdl = toks.map(_._2.length).sum.toDouble / n
+    val qterms = Seq("spark", "vector", "customer")
+    val df = qterms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    def bm25(id: Long): BigDecimal = {
+      val dl = toks.find(_._1 == id).get._2.length
+      qterms.map { t =>
+        val tf = toks.find(_._1 == id).get._2.count(_ == t)
+        if (tf == 0) BigDecimal(0)
+        else {
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+    }
+    rows.take(3).foreach { r =>
+      val expected = bm25(r.getLong(0)).toDouble
+      assert(math.abs(r.getAs[Double]("score") - expected) < 1e-6,
+        s"doc ${r.getLong(0)}: ${r.getAs[Double]("score")} vs $expected")
+    }
+  }
+}
