@@ -12,16 +12,25 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
-  /** Canonical (u < v) co-purchase edge set — q100/q152's shared input. */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
+  /** Canonical (u < v) co-purchase edge set — q100/q152's shared input.
+    * Built as per-order adjacency lists (collect_set dedups in the
+    * partial aggregate, map-side) with the C(n,2) pair expansion done
+    * as a map-only lambda — ONE shuffle on the order key plus the final
+    * edge distinct, instead of the naive distinct + self-join + distinct
+    * (≈4 exchanges of the full lineitem). Fan-out per order is
+    * C(items, 2) — bounded by basket size, not graph degree, so no
+    * salting is needed at 100 TB.
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v"))
       .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-  }
 
   private def coEdgesCte: String =
     """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -68,9 +77,14 @@ object GraphQueries {
         .groupBy("x").agg(count(lit(1)).as("dg"))
       val lower = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
+      // both degree probes broadcast the SAME build plan (aliased views
+      // of deg), so one exchange is built and reused for du and dv
+      val d1 = deg.as("d1")
+      val d2 = deg.as("d2")
       val ori = e
-        .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
-        .join(broadcast(deg.select(col("x").as("v"), col("dg").as("dv"))), "v")
+        .join(broadcast(d1), col("u") === col("d1.x"))
+        .join(broadcast(d2), col("v") === col("d2.x"))
+        .withColumn("du", col("d1.dg")).withColumn("dv", col("d2.dg"))
         .select(when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
         .persist()
@@ -127,18 +141,43 @@ object GraphQueries {
     // exactly this plan.
     Q("q152_kcore", (s, dir) => {
       val k = 3
-      var e = coEdges(s, dir).persist()
+      val e = coEdges(s, dir).persist()
+      // DELTA peel: degrees are aggregated from |E| exactly ONCE; each
+      // round then subtracts only the contributions of edges incident to
+      // NEWLY removed nodes (a broadcast-semi-join-sized shuffle that
+      // shrinks to nothing as the peel converges), instead of
+      // re-aggregating the full edge list every round. The edge census
+      // filters the cached edge set map-side against the broadcast
+      // cumulative removed set — |E| never crosses an exchange after
+      // the initial degree build. The |V|-sized degree table is
+      // persisted per round (3 consumers) — it is the peel's whole
+      // working state, exactly what a 1000-executor peel would keep.
+      var deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy("x").agg(count(lit(1)).as("dg"))
+        .persist()
+      var removedCum: Option[org.apache.spark.sql.DataFrame] = None
       val rounds = (1 to 4).map { i =>
-        val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
-          .groupBy("x").agg(count(lit(1)).as("dg"))
-          .filter(col("dg") >= k)
-        val e2 = e.join(deg.select(col("x").as("u")), "u")
-          .join(deg.select(col("x").as("v")), "v")
-          .select("u", "v").persist()
-        val row = e2.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+        val removed = deg.filter(col("dg") < k).select("x")
+        val alive = deg.filter(col("dg") >= k)
+        removedCum = Some(removedCum.fold(removed)(_ unionByName removed))
+        val rc = removedCum.get
+        val eAlive = e
+          .join(broadcast(rc), col("u") === col("x"), "left_anti")
+          .join(broadcast(rc), col("v") === col("x"), "left_anti")
+        val row = eAlive.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(alive.agg(count(lit(1)).as("n_nodes")))
           .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
-        e = e2
+        // degree update: an alive endpoint loses one per edge to a
+        // newly-removed neighbor; both probes broadcast the same build
+        val dV = e.join(broadcast(removed), col("u") === col("x"), "left_semi")
+          .select(col("v").as("x"))
+        val dU = e.join(broadcast(removed), col("v") === col("x"), "left_semi")
+          .select(col("u").as("x"))
+        val delta = dV.unionByName(dU).groupBy("x").agg(count(lit(1)).as("d"))
+        deg = alive.join(delta, Seq("x"), "left")
+          .select(col("x"),
+            (col("dg") - coalesce(col("d"), lit(0L))).as("dg"))
+          .persist()
         row
       }
       rounds.reduce(_ unionByName _).orderBy("round")
