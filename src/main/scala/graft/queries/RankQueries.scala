@@ -118,5 +118,90 @@ object RankQueries {
     Q("q41_recommend_mmr", (s, dir) => {
       val (emb, meta, qv) = inputs(s, dir)
       Ranker.recommend(s, emb, meta, QueryText, qv)
-    }, Some(oracleQ41)))
+    }, Some(oracleQ41)),
+
+    // Item-item collaborative filtering (the classic Amazon recommender,
+    // Linden et al. 2003) over the customer×part purchase matrix —
+    // complements q40/q41's content-based ranking with the behavioral
+    // signal the BASELINE north-star calls out. Cosine similarity on
+    // co-purchase counts sim(i,j) = n_ij / √(n_i·n_j); a target cohort
+    // is scored by decimal-summing the ROUNDED sims of their purchased
+    // items (fold-order-free), excluding already-owned items, top-5 per
+    // user. Scale shape: the pair counts come from per-customer
+    // adjacency lists expanded map-side (bounded by basket size, the
+    // coEdges trick); the n_ij ≥ 2 support floor keeps the similarity
+    // table sparse; item counts broadcast; the scoring join touches
+    // only the cohort's rows — never all-users × all-items.
+    Q("q157_itemcf_recommend", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      // ONE shuffle (on customer) builds the per-user item sets —
+      // collect_set dedups in the partial aggregate, so no separate
+      // distinct exchange; the order→customer mapping broadcasts (at
+      // 100 TB AQE keeps this a shuffle join co-partitioned on the
+      // order key — the hint mirrors the dim-sized projection here).
+      // Item counts, item pairs, and the target cohort all derive from
+      // the cached sets map-side.
+      val sets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .groupBy("c").agg(sort_array(collect_set("p")).as("ps"))
+        .persist()
+      val cnt = sets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("n"))
+      val pairs = sets
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps) - i - 1),
+            |    y -> struct(x AS i, y AS j))))""".stripMargin)).as("uv"))
+        .select(col("uv.i").as("i"), col("uv.j").as("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("nij"))
+        .filter(col("nij") >= 2)
+      val sims = pairs
+        .join(broadcast(cnt.select(col("p").as("i"), col("n").as("ni"))), "i")
+        .join(broadcast(cnt.select(col("p").as("j"), col("n").as("nj"))), "j")
+        .select(col("i"), col("j"),
+          round(col("nij") / sqrt(col("ni") * col("nj")), 6).as("sim"))
+      val both = sims.unionByName(sims.select(col("j").as("i"),
+        col("i").as("j"), col("sim")))
+      val targets = sets.filter(col("c") % 100 === 0)
+        .select(col("c"), explode(col("ps")).as("p"))
+      val scored = targets.join(both, col("p") === col("i"))
+        .join(targets.select(col("c").as("c2"), col("p").as("j2")),
+          col("c") === col("c2") && col("j") === col("j2"), "left_anti")
+        .groupBy(col("c"), col("j").as("item"))
+        .agg(round(sum(col("sim").cast(DecimalType(20, 6))).cast("double"), 6)
+          .as("score"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("c").orderBy(desc("score"), asc("item")))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("c").as("custkey"), col("rank"), col("item"), col("score"))
+        .orderBy("custkey", "rank")
+    }, Some(
+      """WITH ui AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cnt AS (SELECT p, count(*) AS n FROM ui GROUP BY p),
+        |pr AS (SELECT a.p AS i, b.p AS j, count(*) AS nij
+        |       FROM ui a JOIN ui b ON a.c = b.c AND a.p < b.p
+        |       GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |sims AS (SELECT i, j, round(nij / sqrt(ci.n * cj.n), 6) AS sim
+        |         FROM pr JOIN cnt ci ON ci.p = pr.i JOIN cnt cj ON cj.p = pr.j),
+        |bo AS (SELECT i, j, sim FROM sims
+        |         UNION ALL SELECT j AS i, i AS j, sim FROM sims),
+        |t AS (SELECT c, p FROM ui WHERE c % 100 = 0),
+        |sc AS (SELECT t.c, bo.j AS item,
+        |         round(CAST(sum(CAST(sim AS DECIMAL(20,6))) AS DOUBLE), 6) AS score
+        |       FROM t JOIN bo ON t.p = bo.i
+        |       WHERE NOT EXISTS (SELECT 1 FROM t t2
+        |                         WHERE t2.c = t.c AND t2.p = bo.j)
+        |       GROUP BY t.c, bo.j),
+        |r AS (SELECT c, item, score, CAST(row_number() OVER
+        |        (PARTITION BY c ORDER BY score DESC, item) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT c AS custkey, rank, item, score FROM r
+        |WHERE rank <= 5 ORDER BY custkey, rank""".stripMargin)))
 }
