@@ -468,7 +468,10 @@ object AnalyticsQueries {
       val uht = EventQueries.events(s, dir)
         .select(col("user_id"), expr(s"ts div $NanosPerHour").as("hour"),
           col("event_type")).distinct().persist()
-      val n = uht.select("user_id", "hour").distinct().count()
+      // context count stays lazy — one broadcast scalar in the plan
+      // instead of an eager distinct-count job at construction time
+      val nDf = uht.select("user_id", "hour").distinct()
+        .agg(count(lit(1)).as("n"))
       val marg = uht.groupBy("event_type").agg(count(lit(1)).as("cnt"))
       val a = uht.select(col("user_id"), col("hour"), col("event_type").as("ta"))
       val b = uht.select(col("user_id"), col("hour"), col("event_type").as("tb"))
@@ -476,8 +479,9 @@ object AnalyticsQueries {
         .groupBy("ta", "tb").agg(count(lit(1)).as("cooc"))
         .join(broadcast(marg.select(col("event_type").as("ta"), col("cnt").as("ca"))), "ta")
         .join(broadcast(marg.select(col("event_type").as("tb"), col("cnt").as("cb"))), "tb")
+        .crossJoin(broadcast(nDf))
         .select(col("ta"), col("tb"), col("cooc"),
-          round(log(col("cooc").cast("double") * n /
+          round(log(col("cooc").cast("double") * col("n") /
             (col("ca").cast("double") * col("cb"))), 6).as("pmi"))
         .orderBy("ta", "tb")
     }, Some(

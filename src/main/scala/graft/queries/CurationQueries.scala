@@ -273,12 +273,16 @@ object CurationQueries {
             .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("g"))
         .select(col("doc_id"), col("g.w1").as("w1"), col("g.bg").as("bg"))
         .persist()
-      val vocab = base.select(explode(col("toks")).as("t")).distinct().count()
+      // vocabulary size stays lazy — one broadcast scalar in the plan
+      // instead of an eager distinct-count job at construction time
+      val vocab = base.select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("vocab"))
       val c2 = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
       val c1 = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
       occ.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+        .crossJoin(broadcast(vocab))
         .withColumn("surp",
-          round(log((col("c1") + lit(vocab)) / (col("c2") + lit(1.0))), 6))
+          round(log((col("c1") + col("vocab")) / (col("c2") + lit(1.0))), 6))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), davg(col("surp")).as("avg_surprisal"))
         .orderBy("doc_id")

@@ -158,7 +158,9 @@ object TextQueries {
     Q("q57_tfidf", (s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(TextOps.cleanText(col("text"))).as("toks"))
-      val n = docs.count()
+      // corpus size stays lazy — one broadcast scalar in the plan
+      // instead of an eager count job at construction time
+      val nDf = docs.agg(count(lit(1)).as("n"))
       val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
         .filter(length(col("term")) >= 3)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -167,8 +169,9 @@ object TextQueries {
         .partitionBy("doc_id")
         .orderBy(desc("score_raw"), asc("term"))
       tf.join(df, "term")
+        .crossJoin(broadcast(nDf))
         .withColumn("score_raw",
-          col("tf") * (log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0))
+          col("tf") * (log((col("n").cast("double") + 1.0) / (col("df") + 1.0)) + 1.0))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), round(col("score_raw"), 6).as("score"), col("rank"))
