@@ -133,6 +133,59 @@ object ScaleQueries {
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |ORDER BY user_id, view_id, purch_id""".stripMargin)),
 
+    // Stream-stream LEFT OUTER join: q39's attribution join, but views
+    // with no purchase in the following hour must ALSO emit (with null
+    // padding) — which a streaming engine can only do once the
+    // watermark proves no match can still arrive. The source is staged
+    // with TWO far-future sentinel files (q35's end-of-stream marker):
+    // the first sentinel batch advances the watermark past all real
+    // data, the second runs WITH it so the unmatched-view flush lands
+    // inside processAllAvailable. Subtlety: Catalyst pushes the type
+    // filter BELOW the EventTimeWatermark node, so each branch's
+    // watermark is computed over post-filter rows — the sentinels must
+    // therefore PASS the branch filters (they can only ever match each
+    // other: their timestamps are 100 days past any real event) and be
+    // dropped after the join by their reserved event_id=0. Nulls
+    // surface as -1 (nullable BIGINT degrades in the parquet compare).
+    Q("q158_stream_outer_join", (s, dir) => {
+      val src = EventsStream.source(s,
+        EventsStream.stageWithSentinel(s, s"$dir/events.parquet",
+          sentinelBatches = 2))
+      val views = src.withWatermark("event_ts", "1 hour")
+        .filter(col("event_type").isin("view", "sentinel"))
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("event_ts").as("view_ts"))
+      val purchases = src.withWatermark("event_ts", "1 hour")
+        .filter(col("event_type").isin("purchase", "sentinel"))
+        .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
+          col("event_ts").as("purch_ts"))
+      val joined = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("purch_ts") >= col("view_ts") &&
+            col("purch_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("v_user").as("user_id"), col("view_id"),
+          coalesce(col("purch_id"), lit(-1L)).as("purch_id"),
+          coalesce(
+            expr("(unix_micros(purch_ts) - unix_micros(view_ts)) div 1000000"),
+            lit(-1L)).as("gap_sec"))
+      // the sentinel screen runs on the MATERIALIZED sink table: inside
+      // the streaming plan it would push below the watermark node and
+      // starve the view branch's watermark of the sentinels again
+      runToCompletion(joined, "append")
+        .filter(col("view_id") =!= 0L)
+        .orderBy("user_id", "view_id", "purch_id")
+    }, Some(
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |  CAST(coalesce(p.event_id, -1) AS BIGINT) AS purch_id,
+        |  CAST(coalesce((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000, -1)
+        |    AS BIGINT) AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND p.ts >= v.ts
+        |  AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, view_id, purch_id""".stripMargin)),
+
     // As-of join — an operator Spark lacks natively: each event picks up
     // the user's latest purchase value at-or-before its timestamp. The
     // scalable formulation is the tagged-union + running last_value window

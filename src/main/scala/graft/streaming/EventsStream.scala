@@ -88,7 +88,15 @@ object EventsStream {
     * This mirrors the standard production pattern of flushing stream
     * state with an end-of-stream marker before decommissioning a job.
     */
-  def stageWithSentinel(spark: SparkSession, srcParquet: String): String = {
+  /** @param sentinelBatches number of strictly-later sentinel FILES
+    *   (= micro-batches at maxFilesPerTrigger=1). Stateful operators
+    *   that act on a watermark computed from the PREVIOUS batch (outer
+    *   joins flushing unmatched rows) need 2: the first sentinel batch
+    *   advances the watermark, the second runs WITH it so the flush
+    *   lands inside processAllAvailable's window.
+    */
+  def stageWithSentinel(spark: SparkSession, srcParquet: String,
+                        sentinelBatches: Int = 1): String = {
     val tmp = graft.sources.Staging.scratchDir("events-sess")
     val main = tmp.resolve("events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(srcParquet), main)
@@ -104,13 +112,16 @@ object EventsStream {
     sentinel.repartition(1).write.mode("overwrite").parquet(sentDir.toString)
     val part = java.nio.file.Files.list(sentDir).toArray.map(_.toString)
       .find(_.endsWith(".parquet")).get
-    val dest = tmp.resolve("z_sentinel.parquet")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(part), dest)
-    // file source orders batches by modification time: sentinel strictly last
+    // file source orders batches by modification time: sentinels strictly last
     java.nio.file.Files.setLastModifiedTime(main,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
-    java.nio.file.Files.setLastModifiedTime(dest,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    (1 to sentinelBatches).foreach { i =>
+      val dest = tmp.resolve(s"z_sentinel_$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 60000L * i))
+    }
     tmp.toString
   }
 
