@@ -168,6 +168,51 @@ object AnalyticsQueries {
          |FROM d WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          |ORDER BY day""".stripMargin)),
 
+    // Exponential time-decay aggregate per event type (half-life = 1
+    // day): w_d = 0.5^(T−d) over the per-day exact decimal sums — the
+    // decayed-count/decayed-revenue primitive behind trending scores
+    // and freshness-weighted features (Cormode et al.'s exponential
+    // decay on streams). 0.5-powers are EXACT doubles, daily sums are
+    // exact decimals, each term rounds at 9dp before the decimal total,
+    // so the statistic is partition-order-free and oracle-exact. Same
+    // two-level shape as q66: raw events collapse to ≤365 rows/year per
+    // type before any window logic touches them.
+    Q("q159_decay_agg", (s, dir) => {
+      val daily = EventQueries.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts div $NanosPerDay").as("day"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))).as("x_d"),
+          count(lit(1)).as("n_d"))
+      val wT = Window.partitionBy("event_type")
+      daily
+        .withColumn("w", pow(lit(0.5), max("day").over(wT) - col("day")))
+        .withColumn("term",
+          round(col("w") * col("x_d").cast("double"), 9))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), max("day").as("last_day"),
+          round(sum(col("term").cast(DecimalType(20, 9))).cast("double"), 6)
+            .as("decayed_sum"),
+          round(sum(col("term").cast(DecimalType(20, 9))).cast("double") /
+            sum(round(col("w"), 9).cast(DecimalType(20, 9))).cast("double"), 6)
+            .as("decayed_avg"))
+        .orderBy("event_type")
+    }, Some(
+      s"""WITH d AS (SELECT event_type, epoch_ns(ts)//$NanosPerDay AS day,
+         |  sum(CAST(value AS DECIMAL(20,6))) AS x_d, count(*) AS n_d
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, day, x_d,
+         |        power(0.5, (max(day) OVER (PARTITION BY event_type)) - day) AS w
+         |      FROM d),
+         |r AS (SELECT event_type, day, w,
+         |        round(w * CAST(x_d AS DOUBLE), 9) AS term FROM t)
+         |SELECT event_type, count(*) AS n_days,
+         |  CAST(max(day) AS BIGINT) AS last_day,
+         |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE), 6)
+         |    AS decayed_sum,
+         |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE) /
+         |    CAST(sum(CAST(round(w, 9) AS DECIMAL(20,9))) AS DOUBLE), 6)
+         |    AS decayed_avg
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // KMV distinct-user sketch per event type (k = 32): the bounded-state
     // cardinality estimator — only ≤ k hashes per partition cross the
     // shuffle (vs distinct(), which shuffles every value). The estimate
