@@ -38,4 +38,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
   }
+
+  test("k-core peel filters edges via broadcast joins, never a theta join") {
+    val plan = executedPlan("q152_kcore")
+    // the per-round census combine is a (1×1) nested-loop cross — benign;
+    // the |E|-touching joins must all be broadcast hash joins
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("item-item CF broadcasts item counts and keeps the cohort join narrow") {
+    val plan = executedPlan("q157_itemcf_recommend")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("BM25 pushes the query-term filter into the scan side of tf") {
+    val df = SparkEntry.queries("q146_bm25")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus stats and df join as broadcasts; no quadratic fallback
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("set-similarity join verifies candidates with equi-joins only") {
+    val plan = executedPlan("q154_setsim_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
 }
