@@ -88,18 +88,23 @@ object GraphQueries {
         .select(when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
         .persist()
-      // Closing-edge probe: the wedge stream is the big side (Σ C(out,2)
-      // rows) — BROADCAST the canonical edge set so the wedges are probed
-      // map-side and never cross an exchange; the wedge self-join shuffles
-      // only the oriented edges themselves. The probe joins on the raw
-      // (u, v) pair — a two-column hash key, safe at any id range (an
-      // arithmetic u·2^32+v pack would silently collide once ids reach
-      // 2^32, exactly at the scales this orientation targets).
-      val tri = ori.as("e1").join(ori.as("e2"),
-          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-        .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
-        .join(broadcast(e), Seq("u", "v"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // Edge-iterator count: T = Σ_{(u,v)∈ori} |N⁺(u) ∩ N⁺(v)| over the
+      // oriented out-adjacency (each triangle counted once at its
+      // rank-minimal apex). The adjacency table is |V|-sized with
+      // orientation-bounded O(√m) lists — it BROADCASTS, and both
+      // probes share one aliased build plan (ReuseExchange), so the
+      // per-edge intersection runs map-side: the Σ C(out,2) wedge
+      // stream (41M rows at sf0.1) is never materialized, let alone
+      // shuffled. One groupBy(src) shuffle builds the adjacency.
+      val adj = ori.groupBy("src").agg(sort_array(collect_set("dst")).as("nbrs"))
+      val a1 = adj.as("a1")
+      val a2 = adj.as("a2")
+      val tri = ori.as("o")
+        .join(broadcast(a1), col("o.src") === col("a1.src"))
+        .join(broadcast(a2), col("o.dst") === col("a2.src"))
+        .select(size(array_intersect(col("a1.nbrs"), col("a2.nbrs")))
+          .cast("long").as("t"))
+        .agg(sum("t").as("n_triangles"))
       val wd = deg.agg(count(lit(1)).as("n_nodes"),
         sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
       val ne = e.agg(count(lit(1)).as("n_edges"))
