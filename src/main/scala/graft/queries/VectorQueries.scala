@@ -267,6 +267,125 @@ object VectorQueries {
          |FROM d ORDER BY vec_id""".stripMargin
     }),
 
+    // IVF-PQ search — the FAISS-style index shape that makes billion-
+    // vector ANN feasible: a coarse quantizer routes the query to
+    // nprobe=2 inverted lists (map-side predicate, so the scan touches
+    // only those cells), then PQ codes stand in for vectors and the
+    // query's 4×4 asymmetric-distance lookup table (16 doubles,
+    // broadcast-as-literals) prices every candidate WITHOUT touching
+    // floats — the top-10 by ADC distance is exact-reranked at the end.
+    // Coarse centroids and PQ codebook are the q122 seed rows
+    // (configuration-sized literals; at scale a trained k-means model,
+    // cf. q26's Lloyd loop); full-vector distances decompose as the sum
+    // of the 4 subspace distances, so BOTH engines reuse the identical
+    // d{m}_{c} partials for cell assignment, codes, and rerank.
+    Q("q160_ivfpq_search", { (s, dir) =>
+      val w = 16
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val seeds = emb.filter(col("vec_id") < 4).orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      def d2(m: Int, c: Int) = {
+        val cb = seeds(c).slice(m * w, m * w + w).toSeq
+        aggregate(
+          zip_with(slice(col("v"), m * w + 1, w), typedLit(cb),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+      }
+      // query = seed 0; ADC lookup table replayed with the SAME left
+      // fold the SQL's list_sum uses, so the literals are bit-identical
+      def ltVal(m: Int, c: Int): Double = {
+        var d = 0.0
+        var i = m * w
+        while (i < m * w + w) {
+          val x = seeds(0)(i) - seeds(c)(i); d += x * x; i += 1
+        }
+        d
+      }
+      val qCellDist = (0 until 4).map(c => (0 until 4).map(m => ltVal(m, c)).sum)
+      val probeCells = qCellDist.zipWithIndex.sortBy { case (d, c) => (d, c) }
+        .take(2).map(_._2)
+      val withD = (0 until 4).foldLeft(emb) { (df, m) =>
+        (0 until 4).foldLeft(df) { (d, c) =>
+          d.withColumn(s"d${m}_$c", d2(m, c))
+        }
+      }
+      def full(c: Int) = col(s"d0_$c") + col(s"d1_$c") + col(s"d2_$c") + col(s"d3_$c")
+      val cell = when(full(0) <= full(1) && full(0) <= full(2) && full(0) <= full(3), 0L)
+        .when(full(1) <= full(2) && full(1) <= full(3), 1L)
+        .when(full(2) <= full(3), 2L)
+        .otherwise(3L)
+      def code(m: Int) = {
+        def d(c: Int) = col(s"d${m}_$c")
+        when(d(0) <= d(1) && d(0) <= d(2) && d(0) <= d(3), 0L)
+          .when(d(1) <= d(2) && d(1) <= d(3), 1L)
+          .when(d(2) <= d(3), 2L)
+          .otherwise(3L)
+      }
+      val adc = (0 until 4).map(m =>
+          element_at(typedLit((0 until 4).map(c => ltVal(m, c))),
+            (code(m) + 1).cast("int")))
+        .reduce(_ + _)
+      withD.withColumn("cell", cell)
+        .filter(col("cell").isin(probeCells.map(_.toLong): _*))
+        .select(col("vec_id"), col("cell"),
+          round(adc, 6).as("approx_d2"), round(full(0), 6).as("exact_d2"))
+        .orderBy(asc("approx_d2"), asc("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(asc("approx_d2"), asc("vec_id"))).cast("long"))
+        .select(col("rank"), col("vec_id"), col("cell"),
+          col("approx_d2"), col("exact_d2"))
+    }, Some {
+      val cb = (c: Int, m: Int) =>
+        s"(SELECT CAST(embedding AS DOUBLE[])[${m * 16 + 1}:${m * 16 + 16}] " +
+          s"FROM embeddings WHERE vec_id = $c)"
+      def d2(m: Int, c: Int) =
+        s"list_sum(list_transform(list_zip(v[${m * 16 + 1}:${m * 16 + 16}], " +
+          s"${cb(c, m)}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      val dcols = (for (m <- 0 until 4; c <- 0 until 4)
+        yield s"${d2(m, c)} AS d${m}_$c").mkString(",\n  ")
+      def full(c: Int) = s"(d0_$c + d1_$c + d2_$c + d3_$c)"
+      val cellSql =
+        s"CAST(CASE WHEN ${full(0)} <= ${full(1)} AND ${full(0)} <= ${full(2)} AND ${full(0)} <= ${full(3)} THEN 0 " +
+          s"WHEN ${full(1)} <= ${full(2)} AND ${full(1)} <= ${full(3)} THEN 1 " +
+          s"WHEN ${full(2)} <= ${full(3)} THEN 2 ELSE 3 END AS BIGINT)"
+      def codeCase(m: Int) =
+        s"CASE WHEN d${m}_0 <= d${m}_1 AND d${m}_0 <= d${m}_2 AND d${m}_0 <= d${m}_3 THEN 0 " +
+          s"WHEN d${m}_1 <= d${m}_2 AND d${m}_1 <= d${m}_3 THEN 1 " +
+          s"WHEN d${m}_2 <= d${m}_3 THEN 2 ELSE 3 END"
+      // the query's ADC lookup table: the d{m}_{c} row evaluated at the
+      // query vector (vec_id = 0), bound once in CTE `lt`
+      val qcells = (0 until 4)
+        .map(c => s"SELECT $c AS c, ${full(c)} AS d FROM d WHERE vec_id = 0")
+        .mkString(" UNION ALL ")
+      // per-subspace CASE picking the lt scalar by code
+      val adc = (0 until 4).map { m =>
+        val pick = (0 until 4).map(c =>
+          s"WHEN (${codeCase(m)}) = $c THEN (SELECT lt FROM lt WHERE m = $m AND c = $c)")
+          .mkString(" ")
+        s"(CASE $pick END)"
+      }.mkString(" + ")
+      val ltRows = (for (m <- 0 until 4; c <- 0 until 4)
+        yield s"SELECT $m AS m, $c AS c, d${m}_$c AS lt FROM d WHERE vec_id = 0")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS MATERIALIZED (SELECT vec_id,
+         |  $dcols
+         |FROM v),
+         |lt AS MATERIALIZED ($ltRows),
+         |qc AS ($qcells),
+         |probe AS (SELECT c FROM qc ORDER BY d, c LIMIT 2),
+         |cand AS (SELECT vec_id, $cellSql AS cell,
+         |           round($adc, 6) AS approx_d2,
+         |           round(${full(0)}, 6) AS exact_d2
+         |         FROM d WHERE $cellSql IN (SELECT c FROM probe)),
+         |top AS (SELECT * FROM cand ORDER BY approx_d2, vec_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY approx_d2, vec_id) AS BIGINT)
+         |    AS rank, vec_id, cell, approx_d2, exact_d2
+         |FROM top ORDER BY rank""".stripMargin
+    }),
+
     // Multi-query retrieval eval: MRR, AP@10 and recall@10 of the int8-
     // quantized ranking against the exact ranking (q95's quantization,
     // widened from one query to a panel of 10). Queries broadcast; the

@@ -82,6 +82,21 @@ class RetrievalSpec extends SparkSpec {
       s"bootstrap mean $boot implausibly far from exact mean $exact")
   }
 
+  test("IVF-PQ search is self-consistent: the query prices itself at zero") {
+    val rows = q("q160_ivfpq_search")
+    assert(rows.length == 10)
+    // query = seed vector 0: its own PQ codes reconstruct exactly, so it
+    // must rank first with both ADC and exact distance zero
+    val first = rows.find(_.getAs[Long]("rank") == 1L).get
+    assert(first.getAs[Long]("vec_id") == 0L)
+    assert(first.getAs[Double]("approx_d2") == 0.0)
+    assert(first.getAs[Double]("exact_d2") == 0.0)
+    // ADC ordering is monotone in rank, and candidates come from <= 2 cells
+    val byRank = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("approx_d2"))
+    assert(byRank.sameElements(byRank.sorted))
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 2)
+  }
+
   test("BM25 scores decrease with document length at equal tf") {
     // recompute one doc's score from first principles
     val rows = q("q146_bm25")
