@@ -307,5 +307,44 @@ object LayoutQueries {
         |       THEN 1 ELSE 0 END AS BIGINT) AS prune_date,
         |  CAST(CASE WHEN max(o_totalprice) <= 450000.0
         |       THEN 1 ELSE 0 END AS BIGINT) AS prune_price
-        |FROM orders GROUP BY 1, 2 ORDER BY year, month""".stripMargin)))
+        |FROM orders GROUP BY 1, 2 ORDER BY year, month""".stripMargin)),
+
+    // Small-file compaction — the operational layout problem every
+    // 100 TB lake hits: a fragmented write (repartition(64) → 64 files,
+    // round-robin so no partition is empty) is compacted with
+    // coalesce(4) (a NARROW dependency: files merge without a shuffle).
+    // The audit scans both layouts back and proves losslessness with
+    // exact counts and decimal sums; file counts are part of the
+    // contract (deterministic by construction) — the pattern behind
+    // OPTIMIZE/auto-compaction jobs.
+    Q("q161_compaction", (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val frag = Staging.scratchDir("frag").toString
+      val comp = Staging.scratchDir("comp").toString
+      li.repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(comp)
+      def audit(path: String, stage: String) =
+        s.read.parquet(path)
+          .withColumn("f", input_file_name()) // project first: not legal
+          .agg(                               // directly under the agg
+            countDistinct(col("f")).as("n_files"),
+            count(lit(1)).as("n_rows"),
+            round(sum(col("l_quantity").cast(DecimalType(20, 6)))
+              .cast("double"), 4).as("total_qty"))
+          .select(lit(stage).as("stage"), col("n_files"), col("n_rows"),
+            col("total_qty"))
+      audit(frag, "1_fragmented").unionByName(audit(comp, "2_compacted"))
+        .orderBy("stage")
+    }, Some(
+      """SELECT '1_fragmented' AS stage, CAST(64 AS BIGINT) AS n_files,
+        |  count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 4)
+        |    AS total_qty
+        |FROM lineitem
+        |UNION ALL
+        |SELECT '2_compacted', CAST(4 AS BIGINT), count(*),
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 4)
+        |FROM lineitem
+        |ORDER BY stage""".stripMargin)))
 }
