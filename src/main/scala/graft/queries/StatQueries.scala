@@ -365,6 +365,103 @@ object StatQueries {
         |FROM events e JOIN md USING (event_type)
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin)),
 
+    // Seasonal-baseline anomaly screen: hourly event counts compared to
+    // the hour-of-day seasonal profile (median ± 3·MAD per (type,
+    // hour-of-day) — q103's robust screen lifted onto a seasonal key).
+    // The monitoring shape for cyclic traffic: raw events collapse to
+    // the (type, hour) grid FIRST (≤ 24·types·days rows at any scale),
+    // the 24-row-per-type profile broadcasts back, and anomalous hours
+    // are exact-integer comparisons against rounded robust bounds.
+    Q("q162_seasonal_anomaly", (s, dir) => {
+      val NanosPerHour = 3600L * 1000000000L
+      val hourly = EventQueries.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts div $NanosPerHour").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", pmod(col("hour"), lit(24L)))
+      val med = hourly.groupBy("event_type", "hod")
+        .agg(percentile(col("n"), lit(0.5)).as("med"))
+      val prof = hourly.join(broadcast(med), Seq("event_type", "hod"))
+        .groupBy("event_type", "hod")
+        .agg(min("med").as("med"),
+          percentile(abs(col("n") - col("med")), lit(0.5)).as("mad"))
+      hourly.join(broadcast(prof), Seq("event_type", "hod"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n_hours"),
+          round(min("med"), 6).as("med"), round(min("mad"), 6).as("mad"),
+          sum(when(abs(col("n") - col("med")) > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anomalous"))
+        .orderBy("event_type", "hod")
+    }, Some {
+      val nph = 3600L * 1000000000L
+      s"""WITH h AS (SELECT event_type, epoch_ns(ts)//$nph AS hour, count(*) AS n
+         |           FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type, hour, n, hour % 24 AS hod FROM h),
+         |m AS (SELECT event_type, hod, quantile_cont(n, 0.5) AS med
+         |      FROM g GROUP BY 1, 2),
+         |p AS (SELECT g.event_type, g.hod, min(m.med) AS med,
+         |        quantile_cont(abs(g.n - m.med), 0.5) AS mad
+         |      FROM g JOIN m USING (event_type, hod) GROUP BY 1, 2)
+         |SELECT g.event_type AS event_type, g.hod AS hod,
+         |  count(*) AS n_hours, round(min(p.med), 6) AS med,
+         |  round(min(p.mad), 6) AS mad,
+         |  CAST(count(*) FILTER (WHERE abs(g.n - p.med) > 3.0 * p.mad)
+         |    AS BIGINT) AS n_anomalous
+         |FROM g JOIN p USING (event_type, hod)
+         |GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin
+    }),
+
+    // Functional-dependency profile: for candidate determinant →
+    // dependent pairs, count violating keys (determinant values with
+    // >1 distinct dependent) and the violation rows — the data-
+    // profiling primitive behind constraint discovery (cf. q124's
+    // declared-constraint suite; this DISCOVERS them). Each pair costs
+    // one (determinant, dependent) distinct + one regroup, both
+    // map-side-combinable; the union of per-pair summaries is tiny.
+    Q("q163_fd_profile", (s, dir) => {
+      def fd(df: org.apache.spark.sql.DataFrame, name: String,
+             det: Column, dep: Column) = {
+        val pairs = df.select(det.cast("string").as("k"),
+          dep.cast("string").as("v")).distinct()
+        pairs.groupBy("k").agg(countDistinct("v").as("nv"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+            sum(when(col("nv") > 1, col("nv")).otherwise(0L))
+              .as("n_violating_values"))
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating_keys"),
+            col("n_violating_values"))
+      }
+      fd(Tables.nation(s, dir), "1_nationkey_to_regionkey",
+          col("n_nationkey"), col("n_regionkey"))
+        .unionByName(fd(Tables.customer(s, dir), "2_nationkey_to_mktsegment",
+          col("c_nationkey"), col("c_mktsegment")))
+        .unionByName(fd(Tables.part(s, dir), "3_brand_to_type",
+          col("p_brand"), col("p_type")))
+        .orderBy("fd")
+    }, Some(
+      """WITH f1 AS (SELECT CAST(n_nationkey AS VARCHAR) AS k,
+        |              CAST(n_regionkey AS VARCHAR) AS v FROM nation GROUP BY 1, 2),
+        |f2 AS (SELECT CAST(c_nationkey AS VARCHAR) AS k, c_mktsegment AS v
+        |       FROM customer GROUP BY 1, 2),
+        |f3 AS (SELECT p_brand AS k, p_type AS v FROM part GROUP BY 1, 2),
+        |a1 AS (SELECT k, count(DISTINCT v) AS nv FROM f1 GROUP BY k),
+        |a2 AS (SELECT k, count(DISTINCT v) AS nv FROM f2 GROUP BY k),
+        |a3 AS (SELECT k, count(DISTINCT v) AS nv FROM f3 GROUP BY k)
+        |SELECT fd, n_keys, n_violating_keys, n_violating_values FROM (
+        |  SELECT '1_nationkey_to_regionkey' AS fd, count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating_keys,
+        |    CAST(sum(CASE WHEN nv > 1 THEN nv ELSE 0 END) AS BIGINT)
+        |      AS n_violating_values FROM a1
+        |  UNION ALL
+        |  SELECT '2_nationkey_to_mktsegment', count(*),
+        |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN nv > 1 THEN nv ELSE 0 END) AS BIGINT) FROM a2
+        |  UNION ALL
+        |  SELECT '3_brand_to_type', count(*),
+        |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN nv > 1 THEN nv ELSE 0 END) AS BIGINT) FROM a3)
+        |ORDER BY fd""".stripMargin)),
+
     // Chi-square independence test of event_type × user cohort (the A/B
     // significance primitive): observed cells from one groupBy, expected
     // = row·col/n from exact integer marginals, χ² as a sum of 9dp-
