@@ -150,7 +150,7 @@ object ScaleQueries {
     Q("q158_stream_outer_join", (s, dir) => {
       val src = EventsStream.source(s,
         EventsStream.stageWithSentinel(s, s"$dir/events.parquet",
-          sentinelBatches = 2))
+          sentinelBatches = 2, perUser = false))
       val views = src.withWatermark("event_ts", "1 hour")
         .filter(col("event_type").isin("view", "sentinel"))
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),

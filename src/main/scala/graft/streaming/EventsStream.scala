@@ -95,15 +95,25 @@ object EventsStream {
     *   advances the watermark, the second runs WITH it so the flush
     *   lands inside processAllAvailable's window.
     */
+  /** @param perUser one sentinel row per distinct user (needed when the
+    *   sentinel must CLOSE per-key state, e.g. q35's sessions); false =
+    *   a single row, enough when it only needs to advance the watermark
+    *   (e.g. q158's outer-join flush) — skips the distinct job and
+    *   keeps sentinel join state O(1).
+    */
   def stageWithSentinel(spark: SparkSession, srcParquet: String,
-                        sentinelBatches: Int = 1): String = {
+                        sentinelBatches: Int = 1,
+                        perUser: Boolean = true): String = {
     val tmp = graft.sources.Staging.scratchDir("events-sess")
     val main = tmp.resolve("events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(srcParquet), main)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(srcParquet)
     val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-    val sentinel = ev.select(col("user_id")).distinct()
+    val users =
+      if (perUser) ev.select(col("user_id")).distinct()
+      else ev.sparkSession.range(1).select(lit(0L).as("user_id"))
+    val sentinel = users
       .select(lit(0L).as("event_id"),
         lit(maxTs + 86400L * 1000000000L * 100L).as("ts"),
         col("user_id"), lit("sentinel").as("event_type"),
