@@ -234,5 +234,68 @@ object PruneQueries {
          |    / ln(CAST(tot.vocab AS DOUBLE)), 6) AS norm_entropy
          |FROM e JOIN tot USING (source)
          |GROUP BY e.source, tot.total, tot.vocab ORDER BY source""".stripMargin
+    }),
+
+    // Deterministic corpus shuffle + shard manifest: every training run
+    // needs the corpus SHUFFLED (de-correlated from crawl/source order)
+    // and SHARDED with a verifiable manifest. Shard = hash(doc_id) mod 8
+    // and position-in-shard = rank by (hash, doc_id) — a reproducible
+    // permutation with no RNG, stable under retries and partitioning
+    // (the q56/q79 hash-bucket discipline applied to ORDER). The
+    // manifest row per shard carries exact counts, chars, the q108
+    // mod-2^64 content fingerprint, and the first three doc ids in
+    // shuffle order (rank-filtered BEFORE the collect, so group state
+    // stays O(3) at any corpus size).
+    Q("q164_corpus_shuffle", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val M64 = BigDecimal("18446744073709551616")
+      val h = StableHash64(concat(lit("sh:"), col("doc_id").cast("string")))
+      val fp = StableHash64(concat(col("doc_id").cast("string"), lit(":"),
+        md5(col("text"))))
+      val uns = fp.cast(DecimalType(38, 0)) +
+        when(fp < 0, lit(M64)).otherwise(lit(BigDecimal(0)))
+      val ranked = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), h.as("h"), uns.as("u"))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("h", "doc_id")).cast("long"))
+      val heads = ranked.filter(col("pos") <= 3)
+        .groupBy("shard")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), "|").as("head_docs"))
+      ranked.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+          floor(pmod(sum("u"), lit(M64)) / lit(BigDecimal(4294967296L)))
+            .cast("long").as("fp_hi"),
+          pmod(sum("u"), lit(BigDecimal(4294967296L))).cast("long").as("fp_lo"))
+        .join(heads, "shard")
+        .orderBy("shard")
+    }, Some {
+      val sh = StableHash.hashes64Sql("['sh:' || CAST(doc_id AS VARCHAR)]") + "[1]"
+      val fp = StableHash.hashes64Sql(
+        "[CAST(doc_id AS VARCHAR) || ':' || md5(text)]") + "[1]"
+      s"""WITH r AS (SELECT doc_id, n_chars,
+         |    CAST(CASE WHEN $sh >= 9223372036854775808
+         |      THEN $sh - 18446744073709551616 ELSE $sh END AS BIGINT) AS h,
+         |    $fp AS u
+         |  FROM documents),
+         |p AS (SELECT doc_id, n_chars, u, ((h % 8) + 8) % 8 AS shard, h,
+         |        row_number() OVER (PARTITION BY ((h % 8) + 8) % 8
+         |          ORDER BY h, doc_id) AS pos
+         |      FROM r),
+         |heads AS (SELECT shard,
+         |    string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY pos) AS head_docs
+         |  FROM p WHERE pos <= 3 GROUP BY shard),
+         |man AS (SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    CAST((sum(u) % 18446744073709551616::HUGEINT) // 4294967296 AS BIGINT)
+         |      AS fp_hi,
+         |    CAST(sum(u) % 4294967296 AS BIGINT) AS fp_lo
+         |  FROM p GROUP BY shard)
+         |SELECT CAST(man.shard AS BIGINT) AS shard, n_docs, n_chars,
+         |  fp_hi, fp_lo, head_docs
+         |FROM man JOIN heads ON man.shard = heads.shard
+         |ORDER BY shard""".stripMargin
     }))
 }
