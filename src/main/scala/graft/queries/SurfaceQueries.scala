@@ -177,7 +177,45 @@ object SurfaceQueries {
       s"""SELECT o_orderpriority, ${dsumSql("l_extendedprice")} AS revenue,
          |  count(*) AS n_items
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // The custom-Expression SQL surface: `stable_hash64` and
+    // `cosine_sim` (native codegen Catalyst expressions, normally
+    // injected via GraftExtensions / spark.sql.extensions) invoked from
+    // PLAIN SQL TEXT — the migration contract that a warehouse user's
+    // SQL keeps working once the two scalar functions are registered.
+    // The oracle replays both from their generated DuckDB twins, so the
+    // SQL-registered kernels are hash-checked end to end.
+    Q("q165_sql_functions", (s, dir) => {
+      graft.vector.CosineSim.register(s)
+      graft.text.StableHash64.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+      Tables.embeddings(s, dir).createOrReplaceTempView("g_embeddings")
+      s.sql(
+        """WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+          |           FROM g_embeddings WHERE vec_id = 0)
+          |SELECT d.doc_id, stable_hash64(d.text) AS text_hash,
+          |  round(cosine_sim(CAST(e.embedding AS ARRAY<DOUBLE>), q.qv), 6)
+          |    AS sim
+          |FROM g_documents d
+          |JOIN g_embeddings e ON e.vec_id = d.doc_id
+          |CROSS JOIN q
+          |ORDER BY d.doc_id""".stripMargin)
+    }, Some {
+      val th = graft.text.StableHash.hashes64Sql("[text]") + "[1]"
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id = 0)
+         |SELECT d.doc_id AS doc_id,
+         |  CAST(CASE WHEN $th >= 9223372036854775808
+         |    THEN $th - 18446744073709551616 ELSE $th END AS BIGINT)
+         |    AS text_hash,
+         |  round(${cosineSql("CAST(e.embedding AS DOUBLE[])", "q.qv")}, 6)
+         |    AS sim
+         |FROM documents d
+         |JOIN embeddings e ON e.vec_id = d.doc_id
+         |CROSS JOIN q
+         |ORDER BY d.doc_id""".stripMargin
+    }))
 
   // def, not val: referenced from `all`'s initializer above
   private def GroupingSetsSql: String =
