@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object SurfaceQueries {
   import Helpers._
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = Seq(q166) ++ Seq(
 
     // Ranking-window portfolio: dense_rank, ntile(4), percent_rank,
     // cume_dist over acctbal within each market segment (order tie-broken
@@ -216,6 +216,55 @@ object SurfaceQueries {
          |CROSS JOIN q
          |ORDER BY d.doc_id""".stripMargin
     }))
+
+  // Null-semantics surface: the SQL corner every migration trips on —
+  // null-safe equality (`<=>` / IS NOT DISTINCT FROM) vs `=` in a join,
+  // explicit NULLS FIRST ordering, and the coalesce/nullif family —
+  // exercised over metaAnalog's deterministic null patterns (rating
+  // null on id%5=0, price on id%7=0). A self-join on rating compares
+  // the two equality semantics: `=` drops all null-rating rows, `<=>`
+  // matches them to each other; the census counts both, exactly.
+  private def q166: Q = Q("q166_null_semantics", (s, dir) => {
+    val m = Helpers.metaAnalog(Tables.documents(s, dir))
+      .select(col("id"), col("rating"), col("price"))
+    val bucket = coalesce(col("rating").cast("string"), lit("(null)")).as("rating_key")
+    val a = m.select(col("id").as("ia"), col("rating").as("ra"))
+    val b = m.select(col("id").as("ib"), col("rating").as("rb"))
+    val eqJoin = a.join(b, col("ra") === col("rb") && col("ia") < col("ib"))
+      .agg(count(lit(1)).as("n_eq_pairs"))
+    val nsJoin = a.join(b, col("ra") <=> col("rb") && col("ia") < col("ib"))
+      .agg(count(lit(1)).as("n_nullsafe_pairs"))
+    val census = m.groupBy(bucket)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("price").isNull, 1L).otherwise(0L)).as("n_null_price"),
+        round(sum(coalesce(col("price"), lit(0.0))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6))).cast("double"), 4)
+          .as("price_sum"),
+        sum(when(nullif(col("rating"), lit(5.0)).isNull &&
+          col("rating").isNotNull, 1L).otherwise(0L)).as("n_rating_5"))
+    census.crossJoin(broadcast(eqJoin)).crossJoin(broadcast(nsJoin))
+      .orderBy(asc_nulls_first("rating_key"))
+  }, Some(
+    """WITH m AS (SELECT id, rating, price FROM meta),
+      |eq AS (SELECT count(*) AS n_eq_pairs FROM m a JOIN m b
+      |       ON a.rating = b.rating AND a.id < b.id),
+      |ns AS (SELECT count(*) AS n_nullsafe_pairs FROM m a JOIN m b
+      |       ON a.rating IS NOT DISTINCT FROM b.rating AND a.id < b.id),
+      |c AS (SELECT coalesce(CAST(rating AS VARCHAR), '(null)') AS rating_key,
+      |        count(*) AS n,
+      |        CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_null_price,
+      |        round(CAST(sum(CAST(coalesce(price, 0.0) AS DECIMAL(20,6)))
+      |          AS DOUBLE), 4) AS price_sum,
+      |        CAST(sum(CASE WHEN nullif(rating, 5.0) IS NULL
+      |          AND rating IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_rating_5
+      |      FROM m GROUP BY 1)
+      |SELECT rating_key, n, n_null_price, price_sum, n_rating_5,
+      |  eq.n_eq_pairs, ns.n_nullsafe_pairs
+      |FROM c CROSS JOIN eq CROSS JOIN ns
+      |ORDER BY rating_key NULLS FIRST"""
+      .stripMargin.replace("FROM meta", s"FROM (${Helpers.metaAnalogSql}) meta")))
 
   // def, not val: referenced from `all`'s initializer above
   private def GroupingSetsSql: String =
