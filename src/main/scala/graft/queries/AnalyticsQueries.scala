@@ -275,6 +275,100 @@ object AnalyticsQueries {
          |  FROM documents) d
          |JOIN r USING (source) WHERE bucket < thr ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-balanced source sampling (w_s ∝ n_s^0.7 — the
+    // multilingual/multi-domain rebalancing rule from the multilingual-
+    // LM literature): the temperature flattens the source distribution
+    // so small sources aren't drowned, unlike q68's fixed proportions.
+    // Weights round at 6dp before the exact-decimal normalizer (no
+    // fold-order drift), quotas are integer floors of a 1000-doc
+    // budget, and selection replays q68's hash-threshold machinery —
+    // one broadcast of the per-source rates, one map-side predicate.
+    Q("q167_temperature_mix", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", round(pow(col("n").cast("double"), lit(0.7)), 6))
+      val tot = counts.agg(
+        sum(col("w").cast(DecimalType(20, 6))).cast("double").as("wsum"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("share", round(col("w") / col("wsum"), 6))
+        .withColumn("quota", floor(col("share") * 1000).cast("long"))
+        .withColumn("thr", floor(least(lit(1.0),
+          col("quota").cast("double") / col("n")) * lit(1000000.0))
+          .cast("long"))
+      val h = StableHash64(concat(lit("tmix:"), col("doc_id").cast("string")))
+      // unsigned mod 1e6 in column form: 2^64 ≡ 551616 (mod 1e6)
+      val bucket = pmod(
+        pmod(h, lit(1000000L)) + when(h < 0, lit(551616L)).otherwise(lit(0L)),
+        lit(1000000L))
+      val sel = docs.select(col("doc_id"), col("source"))
+        .withColumn("bucket", bucket)
+        .join(broadcast(rates.select("source", "thr")), "source")
+        .filter(col("bucket") < col("thr"))
+        .groupBy("source").agg(count(lit(1)).as("n_selected"))
+      rates.join(sel, Seq("source"), "left")
+        .select(col("source"), col("n"), col("w"), col("share"), col("quota"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+        .orderBy("source")
+    }, Some(
+      s"""WITH c AS (SELECT source, count(*) AS n,
+         |    round(power(count(*), 0.7), 6) AS w
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(CAST(w AS DECIMAL(20,6))) AS DOUBLE) AS wsum
+         |      FROM c),
+         |r AS (SELECT source, n, w, round(w / wsum, 6) AS share,
+         |    CAST(floor(round(w / wsum, 6) * 1000) AS BIGINT) AS quota
+         |  FROM c, t),
+         |r2 AS (SELECT source, n, w, share, quota,
+         |    CAST(floor(least(1.0, CAST(quota AS DOUBLE) / n) * 1000000.0)
+         |      AS BIGINT) AS thr
+         |  FROM r),
+         |sel AS (SELECT source, count(*) AS n_selected FROM (
+         |    SELECT doc_id, source,
+         |      ${StableHash.hashes64Sql("['tmix:' || CAST(doc_id AS VARCHAR)]")}[1]
+         |        % 1000000 AS bucket
+         |    FROM documents) d
+         |  JOIN r2 USING (source) WHERE bucket < thr GROUP BY source)
+         |SELECT r2.source AS source, n, w, share, quota,
+         |  coalesce(sel.n_selected, 0) AS n_selected
+         |FROM r2 LEFT JOIN sel ON r2.source = sel.source
+         |ORDER BY source""".stripMargin)),
+
+    // Filter-cascade audit: the keep/drop decision of a corpus filter
+    // stack (length, token-count, language, source blocklist) recorded
+    // as a REASON BITMAP per doc, then a census per bitmap value — the
+    // release artifact that says not just HOW MANY documents dropped
+    // but WHY, including multi-rule overlaps that per-rule counters
+    // miss. One scan, map-side flags, one tiny groupBy.
+    Q("q168_filter_cascade", (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("r1", when(col("n_chars") < 100, 1L).otherwise(0L))
+        .withColumn("r2",
+          when(size(split(col("text"), " ")) < 20, 1L).otherwise(0L))
+        .withColumn("r3", when(col("lang") =!= "en", 1L).otherwise(0L))
+        .withColumn("r4",
+          when(col("source").isin("src0", "src13"), 1L).otherwise(0L))
+        .withColumn("reasons",
+          col("r1") + col("r2") * 2 + col("r3") * 4 + col("r4") * 8)
+      d.groupBy("reasons")
+        .agg(count(lit(1)).as("n_docs"),
+          max("r1").as("too_short"), max("r2").as("too_few_tokens"),
+          max("r3").as("non_english"), max("r4").as("blocked_source"))
+        .orderBy("reasons")
+    }, Some(
+      """WITH f AS (SELECT
+        |    CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS r3,
+        |    CASE WHEN source IN ('src0', 'src13') THEN 1 ELSE 0 END AS r4
+        |  FROM documents)
+        |SELECT CAST(r1 + r2*2 + r3*4 + r4*8 AS BIGINT) AS reasons,
+        |  count(*) AS n_docs,
+        |  CAST(max(r1) AS BIGINT) AS too_short,
+        |  CAST(max(r2) AS BIGINT) AS too_few_tokens,
+        |  CAST(max(r3) AS BIGINT) AS non_english,
+        |  CAST(max(r4) AS BIGINT) AS blocked_source
+        |FROM f GROUP BY 1 ORDER BY reasons""".stripMargin)),
+
     // Hard-negative mining: for every embedding, the most-similar vector
     // with a DIFFERENT label — the contrastive-training pair generator.
     // Exact n² baseline with the codegen'd cosine expression and a
