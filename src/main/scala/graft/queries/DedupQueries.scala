@@ -187,5 +187,58 @@ object DedupQueries {
          |  CAST(dup_batch AS BIGINT) AS dup_batch,
          |  CASE WHEN dup_hist = 1 THEN 'drop_vs_history'
          |       WHEN dup_batch = 1 THEN 'drop_in_batch' ELSE 'keep' END AS verdict
-         |FROM o ORDER BY doc_id""".stripMargin)))
+         |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // Canonicalization policy on top of q43's clusters: per near-dup
+    // cluster keep the BEST document (longest text, id tiebreak), not
+    // the min-id — the quality-aware representative selection a corpus
+    // release actually ships. Argmax is the two-step max-then-min-id
+    // join (identical semantics in both engines, no arg_max tie
+    // ambiguity); cluster state never exceeds one row per cluster.
+    Q("q169_dedup_keep_best", (s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      val pairs = Dedup.minHashDupPairs(corpus, "id", "text", threshold = 0.5)
+        .select("id_a", "id_b")
+      val clustered = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val withC = corpus
+        .select(col("id"), length(col("text")).cast("long").as("len"))
+        .join(clustered, Seq("id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("id")))
+      val agg = withC.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), max("len").as("keep_len"))
+      val keep = withC.join(agg, "cluster")
+        .filter(col("len") === col("keep_len"))
+        .groupBy("cluster").agg(min("id").as("keep_id"))
+      agg.join(keep, "cluster")
+        .select(col("cluster"), col("n_members"), col("keep_id"),
+          col("keep_len"), (col("n_members") - 1).as("n_dropped"))
+        .orderBy("cluster")
+    }, Some(
+      s"""WITH RECURSIVE corpus AS ($dupCorpusSql),
+         |t AS (SELECT id, ${tokensSql(cleanTextSql("text"))} AS toks FROM corpus),
+         |sh AS (SELECT id, $shinglesSql AS shingles FROM t),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sh a JOIN sh b ON a.id < b.id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM corpus
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON reach.id = e.a),
+         |cl AS (SELECT c.id, CAST(length(c.text) AS BIGINT) AS len,
+         |         m.cluster
+         |       FROM corpus c JOIN
+         |         (SELECT id, min(r) AS cluster FROM reach GROUP BY id) m
+         |         USING (id)),
+         |agg AS (SELECT cluster, count(*) AS n_members, max(len) AS keep_len
+         |        FROM cl GROUP BY cluster),
+         |keep AS (SELECT cl.cluster, min(cl.id) AS keep_id
+         |         FROM cl JOIN agg USING (cluster)
+         |         WHERE cl.len = agg.keep_len GROUP BY cl.cluster)
+         |SELECT agg.cluster AS cluster, n_members, keep_id, keep_len,
+         |  n_members - 1 AS n_dropped
+         |FROM agg JOIN keep USING (cluster) ORDER BY cluster""".stripMargin)))
 }
