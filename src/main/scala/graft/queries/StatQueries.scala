@@ -365,6 +365,115 @@ object StatQueries {
         |FROM events e JOIN md USING (event_type)
         |GROUP BY e.event_type ORDER BY event_type""".stripMargin)),
 
+    // CUPED-adjusted A/B analysis (Deng et al., WSDM'13): users split
+    // into arms by the q79 hash discipline, post-period purchase value
+    // adjusted by the pre-period covariate — θ = cov(pre, post)/var(pre)
+    // pooled — cutting metric variance without touching the estimand.
+    // Every moment is an exact micro-integer sum (q44's discipline), so
+    // θ, the adjusted means, and the variance reduction are closed-form
+    // doubles over identical inputs in both engines; per-user rows
+    // never leave the first aggregation.
+    Q("q170_cuped_abtest", (s, dir) => {
+      import graft.text.StableHash64
+      val CutNs = 1705363200L * 1000000000L // 2024-01-16T00:00Z (mid-window)
+      val ev = EventQueries.events(s, dir)
+      val users = ev.select(col("user_id")).distinct()
+      val pp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < CutNs, micros(col("value")))
+          .otherwise(lit(0L))).as("xm"),
+          sum(when(col("ts") >= CutNs, micros(col("value")))
+            .otherwise(lit(0L))).as("ym"))
+      val u = users.join(pp, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("xm"), lit(0L)).as("xm"),
+          coalesce(col("ym"), lit(0L)).as("ym"))
+        .withColumn("arm", pmod(StableHash64(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      val arm = u.groupBy("arm").agg(
+        count(lit(1)).as("n"),
+        sum(col("xm").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("ym").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("xm").cast(DecimalType(38, 0)) *
+          col("ym").cast(DecimalType(38, 0)))).as("sxy"),
+        sum((col("xm").cast(DecimalType(38, 0)) *
+          col("xm").cast(DecimalType(38, 0)))).as("sxx"),
+        sum((col("ym").cast(DecimalType(38, 0)) *
+          col("ym").cast(DecimalType(38, 0)))).as("syy"))
+      val tot = arm.agg(sum("n").as("tn"), sum("sx").as("tsx"),
+        sum("sy").as("tsy"), sum("sxy").as("tsxy"), sum("sxx").as("tsxx"))
+      val (tn, tsx, tsy, tsxy, tsxx) = (col("tn").cast("double"),
+        col("tsx").cast("double"), col("tsy").cast("double"),
+        col("tsxy").cast("double"), col("tsxx").cast("double"))
+      val theta = (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+      val (n, sx, sy, sxy, sxx, syy) = (col("n").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"),
+        col("syy").cast("double"))
+      val meanPre = sx / n / 1e6
+      val meanPost = sy / n / 1e6
+      val varPost = (syy / n - (sy / n) * (sy / n)) / 1e12
+      val varPre = (sxx / n - (sx / n) * (sx / n)) / 1e12
+      val covA = (sxy / n - (sx / n) * (sy / n)) / 1e12
+      arm.crossJoin(broadcast(tot))
+        .withColumn("theta", theta)
+        .select(col("arm"), col("n"),
+          round(meanPre, 6).as("mean_pre"),
+          round(meanPost, 6).as("mean_post"),
+          round(meanPost - col("theta") * (meanPre - tsx / tn / 1e6), 6)
+            .as("mean_adj"),
+          round(varPost, 6).as("var_post"),
+          round(varPost + col("theta") * col("theta") * varPre -
+            lit(2.0) * col("theta") * covA, 6).as("var_adj"),
+          round(col("theta"), 6).as("theta"))
+        .orderBy("arm")
+    }, Some {
+      val uh = graft.text.StableHash.hashes64Sql(
+        "['ab:' || CAST(user_id AS VARCHAR)]") + "[1]"
+      val cut = 1705363200L * 1000000000L
+      s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+         |pp AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN epoch_ns(ts) < $cut
+         |      THEN ${microsSql("value")} ELSE 0 END) AS BIGINT) AS xm,
+         |    CAST(sum(CASE WHEN epoch_ns(ts) >= $cut
+         |      THEN ${microsSql("value")} ELSE 0 END) AS BIGINT) AS ym
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |u AS (SELECT users.user_id, coalesce(xm, 0) AS xm, coalesce(ym, 0) AS ym,
+         |    ((CAST(CASE WHEN $uh >= 9223372036854775808
+         |        THEN $uh - 18446744073709551616 ELSE $uh END AS BIGINT)
+         |      % 2) + 2) % 2 AS arm
+         |  FROM users LEFT JOIN pp USING (user_id)),
+         |a AS (SELECT arm, count(*) AS n,
+         |    sum(CAST(xm AS HUGEINT)) AS sx, sum(CAST(ym AS HUGEINT)) AS sy,
+         |    sum(CAST(xm AS HUGEINT) * CAST(ym AS HUGEINT)) AS sxy,
+         |    sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS sxx,
+         |    sum(CAST(ym AS HUGEINT) * CAST(ym AS HUGEINT)) AS syy
+         |  FROM u GROUP BY arm),
+         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(sx) AS DOUBLE) AS tsx,
+         |    CAST(sum(sy) AS DOUBLE) AS tsy, CAST(sum(sxy) AS DOUBLE) AS tsxy,
+         |    CAST(sum(sxx) AS DOUBLE) AS tsxx
+         |  FROM a),
+         |d AS (SELECT arm, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |    CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+         |    CAST(syy AS DOUBLE) AS syy,
+         |    (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS theta,
+         |    tsx / tn / 1e6 AS gmean_pre
+         |  FROM a CROSS JOIN t)
+         |SELECT arm, n,
+         |  round(sx / nd / 1e6, 6) AS mean_pre,
+         |  round(sy / nd / 1e6, 6) AS mean_post,
+         |  round(sy / nd / 1e6 - theta * (sx / nd / 1e6 - gmean_pre), 6)
+         |    AS mean_adj,
+         |  round((syy / nd - (sy / nd) * (sy / nd)) / 1e12, 6) AS var_post,
+         |  round((syy / nd - (sy / nd) * (sy / nd)) / 1e12
+         |    + theta * theta * (sxx / nd - (sx / nd) * (sx / nd)) / 1e12
+         |    - 2.0 * theta * ((sxy / nd - (sx / nd) * (sy / nd)) / 1e12), 6)
+         |    AS var_adj,
+         |  round(theta, 6) AS theta
+         |FROM d ORDER BY arm""".stripMargin
+    }),
+
     // Seasonal-baseline anomaly screen: hourly event counts compared to
     // the hour-of-day seasonal profile (median ± 3·MAD per (type,
     // hour-of-day) — q103's robust screen lifted onto a seasonal key).
