@@ -18,6 +18,8 @@ object StatQueries {
     * Sums of these are exact integers — the moment computations below are
     * then plain double arithmetic over identical inputs in both engines.
     */
+  private val NanosPerDayQ172 = 86400L * 1000000000L
+
   private def micros(c: Column): Column =
     (c.cast(DecimalType(20, 6)) * 1000000).cast("long")
 
@@ -570,6 +572,160 @@ object StatQueries {
         |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT),
         |    CAST(sum(CASE WHEN nv > 1 THEN nv ELSE 0 END) AS BIGINT) FROM a3)
         |ORDER BY fd""".stripMargin)),
+
+    // Retention half-life: the day-0 cohort's retention curve r(d)
+    // fitted with a log-linear exact-moment OLS (q149's machinery on
+    // micro-integer ln-rates) → half-life = −ln 2 / slope. The
+    // growth-metric summary every retention dashboard quotes; inputs
+    // collapse to ≤31 (offset, rate) points before the fit, so the
+    // statistic costs two narrow shuffles at any event volume.
+    Q("q173_retention_halflife", (s, dir) => {
+      val ev = EventQueries.events(s, dir)
+        .select(col("user_id"), expr(s"ts div $NanosPerDayQ172").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("d0"))
+      val gmin = first.agg(min("d0").as("gd"))
+      val cohort = first.crossJoin(broadcast(gmin))
+        .filter(col("d0") === col("gd"))
+        .select(col("user_id"), col("gd"))
+      val cs = cohort.agg(count(lit(1)).as("cohort_size"))
+      val pts = ev.join(cohort, "user_id")
+        .select(col("user_id"), (col("day") - col("gd")).as("offset"))
+        .distinct()
+        .groupBy("offset").agg(count(lit(1)).as("active"))
+        .crossJoin(broadcast(cs))
+        .filter(col("offset") >= 1)
+        .select(col("offset").as("x"),
+          micros(round(log(col("active").cast("double") /
+            col("cohort_size")), 6)).as("ym"),
+          col("cohort_size"))
+      val agg = pts.agg(count(lit(1)).as("np"), max("cohort_size").as("cohort_size"),
+        sum("x").as("sx"), sum("ym").as("sy"),
+        sum(col("x") * col("ym")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val (np, sx, sy, sxy, sxx) = (col("np").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"))
+      val slope = (np * sxy - sx * sy) / (np * sxx - sx * sx) / 1e6
+      agg.select(col("cohort_size"), col("np").as("n_points"),
+        round(slope, 6).as("slope"),
+        when(slope < 0, round(-log(lit(2.0)) / slope, 4)).otherwise(-1.0)
+          .as("half_life_days"))
+    }, Some(
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts)//$NanosPerDayQ172 AS day
+         |           FROM events),
+         |f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY user_id),
+         |g AS (SELECT min(d0) AS gd FROM f),
+         |cohort AS (SELECT f.user_id, g.gd FROM f, g WHERE f.d0 = g.gd),
+         |cs AS (SELECT count(*) AS cohort_size FROM cohort),
+         |act AS (SELECT doff, count(*) AS active FROM (
+         |    SELECT DISTINCT e.user_id, e.day - c.gd AS doff
+         |    FROM e JOIN cohort c ON e.user_id = c.user_id)
+         |  GROUP BY doff),
+         |pts AS (SELECT doff AS x,
+         |    ${microsSql("round(ln(CAST(active AS DOUBLE) / cohort_size), 6)")}
+         |      AS ym, cohort_size
+         |  FROM act CROSS JOIN cs WHERE doff >= 1),
+         |a AS (SELECT count(*) AS np,
+         |    CAST(max(cohort_size) AS BIGINT) AS cohort_size,
+         |    sum(x) AS sx, sum(ym) AS sy, sum(x*ym) AS sxy, sum(x*x) AS sxx
+         |  FROM pts),
+         |d AS (SELECT cohort_size, np, CAST(np AS DOUBLE) AS npd,
+         |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |    CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx
+         |  FROM a)
+         |SELECT cohort_size, np AS n_points,
+         |  round((npd*sxy - sx*sy) / (npd*sxx - sx*sx) / 1e6, 6) AS slope,
+         |  CASE WHEN (npd*sxy - sx*sy) / (npd*sxx - sx*sx) / 1e6 < 0
+         |    THEN round(-ln(2.0) / ((npd*sxy - sx*sy) / (npd*sxx - sx*sx) / 1e6), 4)
+         |    ELSE -1.0 END AS half_life_days
+         |FROM d""".stripMargin)),
+
+    // Classical seasonal decomposition (trend = centered 7-day moving
+    // average over exact daily decimal sums; seasonal index = per
+    // day-of-week mean of the detrended series): the additive
+    // trend/seasonal split behind every traffic-forecast baseline.
+    // Same two-level discipline as q66/q162 — raw events collapse to
+    // the ≤31-row day series before any window touches them; every
+    // window term rounds before the exact-decimal mean.
+    Q("q172_seasonal_decompose", (s, dir) => {
+      val daily = EventQueries.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(s"ts div $NanosPerDayQ172").as("day"))
+        .agg(sum(col("value").cast(DecimalType(20, 6))).as("rev_d"))
+      val w = Window.orderBy("day").rangeBetween(-3, 3)
+      daily
+        .withColumn("trend", round(
+          sum(col("rev_d")).over(w).cast("double") / count(lit(1)).over(w), 6))
+        .withColumn("detr",
+          round(col("rev_d").cast("double") - col("trend"), 6))
+        .groupBy(pmod(col("day"), lit(7L)).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          davg(col("detr")).as("seasonal_idx"),
+          davg(col("trend")).as("mean_trend"))
+        .orderBy("dow")
+    }, Some(
+      s"""WITH d AS (SELECT epoch_ns(ts)//$NanosPerDayQ172 AS day,
+         |    sum(CAST(value AS DECIMAL(20,6))) AS rev_d
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |t AS (SELECT day,
+         |    round(CAST(sum(rev_d) OVER w AS DOUBLE) / count(*) OVER w, 6)
+         |      AS trend,
+         |    rev_d
+         |  FROM d WINDOW w AS (ORDER BY day
+         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dt AS (SELECT day % 7 AS dow,
+         |    round(CAST(rev_d AS DOUBLE) - trend, 6) AS detr, trend
+         |  FROM t)
+         |SELECT CAST(dow AS BIGINT) AS dow, count(*) AS n_days,
+         |  ${davgSql("detr")} AS seasonal_idx,
+         |  ${davgSql("trend")} AS mean_trend
+         |FROM dt GROUP BY dow ORDER BY dow""".stripMargin)),
+
+    // Mutual information between event type and hour-of-day — the
+    // feature-selection / dependence-mining statistic (χ²'s
+    // information-theoretic sibling, q111): MI = Σ p_xy·ln(p_xy/(p_x·
+    // p_y)) over exact integer cell counts, each cell's contribution
+    // rounded at 12dp and decimal-summed so the total is partition-
+    // order-free. The contingency table is (types × 24)-sized — one
+    // shuffle regardless of row count — and marginals broadcast back.
+    Q("q171_mutual_information", (s, dir) => {
+      val NanosPerHour = 3600L * 1000000000L
+      val cells = EventQueries.events(s, dir)
+        .groupBy(col("event_type"),
+          pmod(expr(s"ts div $NanosPerHour"), lit(24L)).as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val mx = cells.groupBy("event_type").agg(sum("c").as("cx"))
+      val my = cells.groupBy("hod").agg(sum("c").as("cy"))
+      val tot = cells.agg(sum("c").as("n"))
+      cells.join(broadcast(mx), "event_type")
+        .join(broadcast(my), "hod")
+        .crossJoin(broadcast(tot))
+        .withColumn("term", round(
+          col("c").cast("double") / col("n") *
+            log(col("c").cast("double") * col("n") /
+              (col("cx").cast("double") * col("cy"))), 12))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(col("term").cast(DecimalType(24, 12))).cast("double"), 9)
+            .as("mi_nats"))
+    }, Some {
+      val nph = 3600L * 1000000000L
+      s"""WITH cells AS (SELECT event_type, (epoch_ns(ts)//$nph) % 24 AS hod,
+         |    count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |mx AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cx
+         |       FROM cells GROUP BY event_type),
+         |my AS (SELECT hod, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY hod),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         |terms AS (SELECT round(
+         |    CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) * n /
+         |      (CAST(cx AS DOUBLE) * cy)), 12) AS term
+         |  FROM cells JOIN mx USING (event_type) JOIN my USING (hod)
+         |  CROSS JOIN t)
+         |SELECT count(*) AS n_cells,
+         |  round(CAST(sum(CAST(term AS DECIMAL(24,12))) AS DOUBLE), 9)
+         |    AS mi_nats
+         |FROM terms""".stripMargin
+    }),
 
     // Chi-square independence test of event_type × user cohort (the A/B
     // significance primitive): observed cells from one groupBy, expected
