@@ -573,6 +573,58 @@ object StatQueries {
         |    CAST(sum(CASE WHEN nv > 1 THEN nv ELSE 0 END) AS BIGINT) FROM a3)
         |ORDER BY fd""".stripMargin)),
 
+    // Heavy-tail diagnosis: the basket-size (items per order)
+    // frequency distribution plus a log-log OLS fit of ln(count) on
+    // ln(size) — the power-law-exponent check run before choosing
+    // skew-handling strategy (a steep negative slope says the q58
+    // salting path is unnecessary; a flat one says hot keys are
+    // coming). Frequencies are exact integers; the fit reuses q149's
+    // exact micro-moment machinery over ≤ max-basket-size points.
+    Q("q174_degree_tail_fit", (s, dir) => {
+      val sizes = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("freq"))
+      val pts = sizes.select(
+        micros(round(log(col("sz").cast("double")), 6)).as("xm"),
+        micros(round(log(col("freq").cast("double")), 6)).as("ym"))
+      val agg = pts.agg(count(lit(1)).as("n_points"),
+        sum("xm").as("sx"), sum("ym").as("sy"),
+        sum((col("xm").cast(DecimalType(38, 0)) *
+          col("ym").cast(DecimalType(38, 0)))).as("sxy"),
+        sum((col("xm").cast(DecimalType(38, 0)) *
+          col("xm").cast(DecimalType(38, 0)))).as("sxx"))
+      val (np, sx, sy, sxy, sxx) = (col("n_points").cast("double"),
+        col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"))
+      val tot = sizes.agg(count(lit(1)).as("nsz"), sum("freq").as("n_orders"),
+        max("sz").as("max_size"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("n_orders"), col("max_size"), col("n_points"),
+          round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+            .as("loglog_slope"))
+    }, Some(
+      s"""WITH s AS (SELECT l_orderkey, count(*) AS sz FROM lineitem
+         |           GROUP BY l_orderkey),
+         |h AS (SELECT sz, count(*) AS freq FROM s GROUP BY sz),
+         |pts AS (SELECT
+         |    ${microsSql("round(ln(CAST(sz AS DOUBLE)), 6)")} AS xm,
+         |    ${microsSql("round(ln(CAST(freq AS DOUBLE)), 6)")} AS ym
+         |  FROM h),
+         |a AS (SELECT count(*) AS n_points, sum(xm) AS sx, sum(ym) AS sy,
+         |    sum(CAST(xm AS HUGEINT) * CAST(ym AS HUGEINT)) AS sxy,
+         |    sum(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT)) AS sxx
+         |  FROM pts),
+         |t AS (SELECT count(*) AS nsz, CAST(sum(freq) AS BIGINT) AS n_orders,
+         |    CAST(max(sz) AS BIGINT) AS max_size FROM h),
+         |d AS (SELECT n_orders, max_size, n_points,
+         |    CAST(n_points AS DOUBLE) AS npd, CAST(sx AS DOUBLE) AS sx,
+         |    CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+         |    CAST(sxx AS DOUBLE) AS sxx
+         |  FROM a CROSS JOIN t)
+         |SELECT n_orders, max_size, n_points,
+         |  round((npd*sxy - sx*sy) / (npd*sxx - sx*sx), 6) AS loglog_slope
+         |FROM d""".stripMargin)),
+
     // Retention half-life: the day-0 cohort's retention curve r(d)
     // fitted with a log-linear exact-moment OLS (q149's machinery on
     // micro-integer ln-rates) → half-life = −ln 2 / slope. The
