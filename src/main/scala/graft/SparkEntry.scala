@@ -17,7 +17,7 @@ object SparkEntry {
       AnalyticsQueries.all ++ LayoutQueries.all ++ CurationQueries.all ++
       SketchQueries.all ++ GraphQueries.all ++ PruneQueries.all ++
       SurfaceQueries.all ++ QualityQueries.all ++ EvalQueries.all ++
-      RetrievalQueries.all
+      RetrievalQueries.all ++ MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,6 +33,10 @@ object EvalQueries {
         lit(0.0), (a, x) => a + x))
   }
 
+  /** q179's (MiningQueries) view of the scorer — same plan, same CTE. */
+  def scoredDf(s: SparkSession, dir: String): DataFrame = scored(s, dir)
+  def scoredCteSql: String = scoredCte
+
   /** The matching DuckDB CTE: `sc` with (vec_id, y, z). */
   private def scoredCte: String =
     """w AS (SELECT CAST(embedding AS DOUBLE[]) AS w FROM embeddings

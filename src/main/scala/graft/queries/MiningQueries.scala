@@ -1,0 +1,273 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical-mining operators: rank correlation, inequality/Lorenz,
+  * autocorrelation, two-sample inference, and probabilistic-forecast
+  * scoring. Same exactness discipline as StatQueries — every statistic
+  * reduces to integer/decimal moments (order-independent on any
+  * partitioning, bit-equal in the DuckDB oracle); doubles appear only in
+  * the final closed-form expression over those moments.
+  */
+object MiningQueries {
+  import Helpers._
+
+  private def micros(c: Column): Column =
+    (c.cast(DecimalType(20, 6)) * 1000000).cast("long")
+
+  private def microsSql(e: String): String =
+    s"CAST(CAST(($e) AS DECIMAL(20,6)) * 1000000 AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // Spearman rank correlation (p_size vs p_retailprice): average ranks
+    // with the tie convention, then Pearson over ranks. DOUBLED average
+    // ranks are exact integers (2·r = 2·|{x'<x}| + |{x'=x}| + 1), built
+    // from per-VALUE cumulative counts — the rank table is |distinct|
+    // rows, not |rows|, and joins back value-to-value, so nothing
+    // |rows|-sized crosses a window. Doubling cancels in ρ, and all six
+    // moments are exact integers — bit-reproducible at any partitioning.
+    Q("q175_spearman_corr", (s, dir) => {
+      val p = Tables.part(s, dir).select(
+        col("p_partkey"),
+        col("p_size").cast("long").as("x"),
+        micros(col("p_retailprice")).as("y"))
+      def rank2(c: String): org.apache.spark.sql.DataFrame = {
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        p.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cle", sum("cnt").over(w))
+          .select(col(c), (lit(2) * (col("cle") - col("cnt")) + col("cnt") + 1)
+            .as(s"r_$c"))
+      }
+      val ranked = p
+        .join(broadcast(rank2("x")), "x")
+        .join(broadcast(rank2("y")), "y")
+      val agg = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("r_x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("r_y").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("r_x") * col("r_y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("r_x") * col("r_x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("r_y") * col("r_y")).cast(DecimalType(38, 0))).as("syy"))
+      val (n, sx, sy, sxy, sxx, syy) = (
+        col("n").cast("double"), col("sx").cast("double"),
+        col("sy").cast("double"), col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      agg.select(col("n"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+          .as("spearman_rho"))
+    }, Some(
+      s"""WITH p AS (SELECT CAST(p_size AS BIGINT) AS x,
+         |  ${microsSql("p_retailprice")} AS y FROM part),
+         |rx AS (SELECT x, 2 * (sum(cnt) OVER (ORDER BY x
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         |          + cnt + 1 AS r_x
+         |       FROM (SELECT x, count(*) AS cnt FROM p GROUP BY x)),
+         |ry AS (SELECT y, 2 * (sum(cnt) OVER (ORDER BY y
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         |          + cnt + 1 AS r_y
+         |       FROM (SELECT y, count(*) AS cnt FROM p GROUP BY y)),
+         |r AS (SELECT r_x, r_y FROM p JOIN rx USING (x) JOIN ry USING (y)),
+         |a AS (SELECT count(*) AS n, sum(r_x) AS sx, sum(r_y) AS sy,
+         |        sum(r_x*r_y) AS sxy, sum(r_x*r_x) AS sxx, sum(r_y*r_y) AS syy
+         |      FROM r),
+         |d AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+         |  CAST(syy AS DOUBLE) AS syy FROM a)
+         |SELECT n, round((nd*sxy - sx*sy) /
+         |  (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)), 6) AS spearman_rho
+         |FROM d""".stripMargin)),
+
+    // Gini coefficient + top-decile share of customer spend (the
+    // inequality/concentration audit for traffic, revenue, token
+    // budgets). G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spend sorted
+    // ascending — Σ i·x as one exact decimal sum over ranked rows. The
+    // global rank is the honest cost (a range-partitioned sort at
+    // 100 TB); everything after it is map-side arithmetic.
+    Q("q176_gini_spend", (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(20, 6))).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      val ranked = spend.withColumn("i", row_number().over(w))
+        .crossJoin(broadcast(spend.agg(count(lit(1)).as("nn"))))
+      val agg = ranked.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x") * col("i")).as("six"),
+        sum(when(col("i") * 10 > col("nn") * 9, col("x"))
+          .otherwise(lit(0).cast(DecimalType(20, 6)))).as("top_sx"))
+      agg.select(col("n"),
+        round(col("sx").cast("double"), 2).as("total_spend"),
+        round(lit(2.0) * col("six").cast("double") /
+          (col("n") * col("sx").cast("double")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+        round(col("top_sx").cast("double") / col("sx").cast("double"), 6)
+          .as("top_decile_share"))
+    }, Some(
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS x
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+        |        count(*) OVER () AS n FROM spend),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n, sum(x) AS sx, sum(x*i) AS six,
+        |        sum(CASE WHEN i * 10 > n * 9 THEN x
+        |            ELSE CAST(0 AS DECIMAL(20,6)) END) AS top_sx
+        |      FROM r)
+        |SELECT n, round(CAST(sx AS DOUBLE), 2) AS total_spend,
+        |  round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+        |    - (n + 1.0) / n, 6) AS gini,
+        |  round(CAST(top_sx AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+        |    AS top_decile_share
+        |FROM a""".stripMargin)),
+
+    // Sample autocorrelation of daily revenue at lags 1/2/3/7 (the
+    // seasonality detector feeding q172's decomposition). Mean-centering
+    // is done EXACTLY by scaling through n: d_t = n·x_t − Σx is an exact
+    // integer, and r_k = Σ d_t·d_{t+k} / Σ d_t² — the n² scale cancels,
+    // so no rounded mean ever enters a sum. Lag alignment is an
+    // equi-join on day index (tiny daily table), not a window.
+    Q("q177_acf_daily", (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(micros(col("o_totalprice"))).as("x"))
+      val base = daily.crossJoin(broadcast(daily.agg(
+          count(lit(1)).as("n"), sum("x").as("sx"),
+          min("day").as("d0"))))
+        .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+          (col("n") * col("x") - col("sx")).cast(DecimalType(38, 0)).as("d"))
+      val den = base.agg(sum((col("d") * col("d")).cast(DecimalType(38, 0)))
+        .as("den"))
+      val a = base.withColumn("lag", explode(typedLit(Seq(1, 2, 3, 7)))).as("a")
+      val b = base.as("b")
+      val pairs = a.join(b, col("a.idx") + col("lag") === col("b.idx"))
+      pairs.groupBy(col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("a.d") * col("b.d")).cast(DecimalType(38, 0))).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"))
+        .orderBy("lag")
+    }, Some(
+      s"""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+         |    CAST(sum(${microsSql("o_totalprice")}) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT count(*) AS n, sum(x) AS sx, min(day) AS d0 FROM daily),
+         |base AS (SELECT date_diff('day', g.d0, day) AS idx,
+         |    CAST(g.n * x - g.sx AS BIGINT) AS d
+         |  FROM daily CROSS JOIN g),
+         |den AS (SELECT sum(CAST(d AS HUGEINT) * d) AS den FROM base),
+         |pairs AS (SELECT t.lag, a.d AS da, b.d AS db
+         |  FROM base a CROSS JOIN (SELECT UNNEST([1,2,3,7]) AS lag) t
+         |  JOIN base b ON a.idx + t.lag = b.idx)
+         |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(da AS HUGEINT) * db) AS DOUBLE)
+         |    / CAST((SELECT den FROM den) AS DOUBLE), 6) AS acf
+         |FROM pairs GROUP BY lag ORDER BY lag""".stripMargin)),
+
+    // Welch's unequal-variance t-test between two deterministic order
+    // cohorts (the A/B significance gate next to q170's CUPED): per-arm
+    // n/Σ/Σ² as exact integer moments in ONE conditional aggregate (no
+    // second scan, no per-arm shuffle), t and the Welch–Satterthwaite
+    // df as closed-form doubles over them.
+    Q("q178_welch_ttest", (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        pmod(col("o_orderkey"), lit(2L)).as("arm"),
+        micros(col("o_totalprice")).as("x"))
+      val agg = o.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0L, col("x")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("s0"),
+        sum(when(col("arm") === 0L,
+          col("x").cast(DecimalType(38, 0)) * col("x"))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("ss0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1L, col("x")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("s1"),
+        sum(when(col("arm") === 1L,
+          col("x").cast(DecimalType(38, 0)) * col("x"))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("ss1"))
+      val (n0, s0, ss0) = (col("n0").cast("double"),
+        col("s0").cast("double"), col("ss0").cast("double"))
+      val (n1, s1, ss1) = (col("n1").cast("double"),
+        col("s1").cast("double"), col("ss1").cast("double"))
+      val v0 = (ss0 - s0 * s0 / n0) / (n0 - 1)
+      val v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+      val se2 = v0 / n0 + v1 / n1
+      agg.select(col("n0"), col("n1"),
+        round(s0 / n0 / 1e6, 6).as("mean0"),
+        round(s1 / n1 / 1e6, 6).as("mean1"),
+        round((s0 / n0 - s1 / n1) / sqrt(se2), 6).as("t_stat"),
+        round(se2 * se2 /
+          (v0 * v0 / (n0 * n0 * (n0 - 1)) + v1 * v1 / (n1 * n1 * (n1 - 1))), 3)
+          .as("welch_df"))
+    }, Some(
+      s"""WITH o AS (SELECT o_orderkey % 2 AS arm,
+         |  ${microsSql("o_totalprice")} AS x FROM orders),
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |  sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS s0,
+         |  sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS ss0,
+         |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS s1,
+         |  sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS ss1
+         |  FROM o),
+         |d AS (SELECT n0, n1,
+         |  CAST(n0 AS DOUBLE) AS n0d, CAST(s0 AS DOUBLE) AS s0d,
+         |  CAST(ss0 AS DOUBLE) AS ss0d, CAST(n1 AS DOUBLE) AS n1d,
+         |  CAST(s1 AS DOUBLE) AS s1d, CAST(ss1 AS DOUBLE) AS ss1d FROM a),
+         |v AS (SELECT n0, n1, n0d, n1d, s0d, s1d,
+         |  (ss0d - s0d*s0d/n0d) / (n0d - 1) AS v0,
+         |  (ss1d - s1d*s1d/n1d) / (n1d - 1) AS v1 FROM d)
+         |SELECT n0, n1,
+         |  round(s0d/n0d/1e6, 6) AS mean0, round(s1d/n1d/1e6, 6) AS mean1,
+         |  round((s0d/n0d - s1d/n1d) / sqrt(v0/n0d + v1/n1d), 6) AS t_stat,
+         |  round((v0/n0d + v1/n1d) * (v0/n0d + v1/n1d) /
+         |    (v0*v0/(n0d*n0d*(n0d-1)) + v1*v1/(n1d*n1d*(n1d-1))), 3)
+         |    AS welch_df
+         |FROM v""".stripMargin)),
+
+    // Brier score + log-loss for q138's scorer — the PROPER scoring
+    // rules that complement threshold metrics (q139) and ranking metrics
+    // (q140). Per-row contributions are rounded to 9dp (the transcendental
+    // seam: exp/ln agree across engines far below 1e-9 relative), then
+    // summed exactly — the corpus mean is order-independent.
+    Q("q179_brier_logloss", (s, dir) => {
+      val sc = EvalQueries.scoredDf(s, dir)
+      val p = lit(1.0) / (lit(1.0) + exp(-col("z")))
+      val m = (lit(2.0) * col("y") - 1) * col("z")
+      val rows = sc.select(col("y"),
+        round(pow(p - col("y"), 2), 9).as("b"),
+        // softplus(-m) = ln(1+e^{-m}), stable branch for either sign
+        round(when(col("z") * (lit(2) * col("y") - 1) >= 0,
+          log(lit(1.0) + exp(-m)))
+          .otherwise(-m + log(lit(1.0) + exp(m))), 9).as("ll"))
+      rows.agg(count(lit(1)).as("n"),
+        round(sum(col("b").cast(DecimalType(20, 12))).cast("double") /
+          count(lit(1)), 6).as("brier"),
+        round(sum(col("ll").cast(DecimalType(20, 12))).cast("double") /
+          count(lit(1)), 6).as("log_loss"))
+    }, Some(
+      s"""WITH ${EvalQueries.scoredCteSql},
+         |rows_ AS (SELECT y,
+         |    round(pow(1.0/(1.0 + exp(-z)) - y, 2), 9) AS b,
+         |    round(CASE WHEN z * (2*y - 1) >= 0
+         |      THEN ln(1.0 + exp(-((2.0*y - 1) * z)))
+         |      ELSE -((2.0*y - 1) * z) + ln(1.0 + exp((2.0*y - 1) * z)) END,
+         |      9) AS ll
+         |  FROM sc)
+         |SELECT count(*) AS n,
+         |  round(CAST(sum(CAST(b AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6)
+         |    AS brier,
+         |  round(CAST(sum(CAST(ll AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6)
+         |    AS log_loss
+         |FROM rows_""".stripMargin)))
+}
