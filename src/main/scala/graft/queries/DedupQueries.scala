@@ -204,6 +204,9 @@ object DedupQueries {
         .select(col("id"), length(col("text")).cast("long").as("len"))
         .join(clustered, Seq("id"), "left")
         .withColumn("cluster", coalesce(col("label"), col("id")))
+        // persisted: feeds both the census and the argmax probe — without
+        // it the whole LSH+connected-components pipeline runs twice
+        .persist()
       val agg = withC.groupBy("cluster")
         .agg(count(lit(1)).as("n_members"), max("len").as("keep_len"))
       val keep = withC.join(agg, "cluster")

@@ -165,8 +165,14 @@ object RankQueries {
         .join(broadcast(cnt.select(col("p").as("j"), col("n").as("nj"))), "j")
         .select(col("i"), col("j"),
           round(col("nij") / sqrt(col("ni") * col("nj")), 6).as("sim"))
-      val both = sims.unionByName(sims.select(col("j").as("i"),
-        col("i").as("j"), col("sim")))
+      // both directions via one map-side explode — a union of two reads
+      // of `sims` would execute the whole pair-count pipeline twice
+      // (Spark does not share subplans across union branches)
+      val both = sims
+        .select(explode(array(
+          struct(col("i"), col("j"), col("sim")),
+          struct(col("j").as("i"), col("i").as("j"), col("sim")))).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.sim").as("sim"))
       val targets = sets.filter(col("c") % 100 === 0)
         .select(col("c"), explode(col("ps")).as("p"))
       val scored = targets.join(both, col("p") === col("i"))

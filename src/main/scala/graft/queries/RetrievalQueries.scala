@@ -164,8 +164,11 @@ object RetrievalQueries {
     Q("q154_setsim_join", (s, dir) => {
       val theta = 0.5
       val sh = shingles(s, dir).persist()
+      // persisted: feeds the prefix-length probe AND both verification
+      // joins — unpersisted, the collect_set aggregate would run 3×
       val sets = sh.groupBy("doc_id")
         .agg(collect_set(col("h")).as("set"), count(lit(1)).as("n"))
+        .persist()
       val freq = sh.groupBy("h").agg(count(lit(1)).as("f"))
       val pfx = sh.join(freq, "h")
         .withColumn("rk", row_number().over(
