@@ -144,6 +144,61 @@ object GraphQueries {
     // the honest contract for a bounded-round distributed peel at
     // 100 TB, where iterate-to-fixpoint is a driver-side loop over
     // exactly this plan.
+    // BFS expansion layers from a deterministic hub (max-degree vertex,
+    // min-id tiebreak), 3 unrolled synchronous rounds — the distributed
+    // reachability primitive (each round = one semi-join-shaped frontier
+    // expansion against the cached edge set, exactly the Pregel
+    // superstep shape). Emits the per-layer census: frontier size and
+    // cumulative visited count — the bounded-round contract that scales,
+    // with iterate-to-fixpoint as a driver loop over this plan.
+    Q("q182_bfs_layers", (s, dir) => {
+      val e = coEdges(s, dir).persist()
+      // undirected adjacency as both directions once (map-side explode)
+      val adj = e.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .persist()
+      val deg = adj.groupBy("a").agg(count(lit(1)).as("dg"))
+      val seed = deg.orderBy(desc("dg"), asc("a")).limit(1).select(col("a").as("x"))
+      var visited = seed
+      var frontier = seed
+      val rounds = (1 to 3).map { i =>
+        val next = adj.join(broadcast(frontier), col("a") === col("x"))
+          .select(col("b").as("x")).distinct()
+          .join(broadcast(visited.select(col("x").as("vx"))),
+            col("x") === col("vx"), "left_anti")
+          .persist()
+        visited = visited.unionByName(next).persist()
+        frontier = next
+        next.agg(count(lit(1)).as("frontier_size"))
+          .crossJoin(visited.agg(count(lit(1)).as("n_visited")))
+          .select(lit(i.toLong).as("round"), col("frontier_size"),
+            col("n_visited"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }, Some(
+      s"""WITH $coEdgesCte,
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT a, count(*) AS dg FROM adj GROUP BY a),
+         |seed AS (SELECT a AS x FROM deg ORDER BY dg DESC, a LIMIT 1),
+         |f1 AS (SELECT DISTINCT b AS x FROM adj JOIN seed ON a = seed.x
+         |       WHERE b NOT IN (SELECT x FROM seed)),
+         |v1 AS (SELECT x FROM seed UNION ALL SELECT x FROM f1),
+         |f2 AS (SELECT DISTINCT b AS x FROM adj JOIN f1 ON a = f1.x
+         |       WHERE b NOT IN (SELECT x FROM v1)),
+         |v2 AS (SELECT x FROM v1 UNION ALL SELECT x FROM f2),
+         |f3 AS (SELECT DISTINCT b AS x FROM adj JOIN f2 ON a = f2.x
+         |       WHERE b NOT IN (SELECT x FROM v2)),
+         |v3 AS (SELECT x FROM v2 UNION ALL SELECT x FROM f3)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round,
+         |    (SELECT count(*) FROM f1) AS frontier_size,
+         |    (SELECT count(*) FROM v1) AS n_visited
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM f2), (SELECT count(*) FROM v2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM f3), (SELECT count(*) FROM v3))
+         |ORDER BY round""".stripMargin)),
+
     Q("q152_kcore", (s, dir) => {
       val k = 3
       val e = coEdges(s, dir).persist()

@@ -235,6 +235,173 @@ object MiningQueries {
          |    AS welch_df
          |FROM v""".stripMargin)),
 
+    // Market-basket association rules at brand granularity (Agrawal &
+    // Srikant's support/confidence frame): baskets = distinct brand sets
+    // per order, pair counts from the map-side C(n,2) adjacency
+    // expansion (bounded by basket size — the coEdges trick), brand
+    // marginals broadcast. Both rule directions derive from ONE
+    // canonical pair count via a map-side explode; support, confidence
+    // and lift are exact integer ratios rounded once. The 0.5% support
+    // floor keeps the rule table sparse at any scale.
+    Q("q181_assoc_rules", (s, dir) => {
+      val ob = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o"), col("p_brand").as("b"))
+      val baskets = ob.groupBy("o").agg(sort_array(collect_set("b")).as("bs"))
+        .persist()
+      val nOrders = baskets.agg(count(lit(1)).as("n"))
+      val marg = baskets.select(explode(col("bs")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("nb"))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs) - i - 1),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("nab"))
+      val rules = pairs
+        .select(explode(array(
+          struct(col("a").as("ante"), col("b").as("cons"), col("nab")),
+          struct(col("b").as("ante"), col("a").as("cons"), col("nab")))).as("r"))
+        .select(col("r.ante").as("ante"), col("r.cons").as("cons"), col("r.nab"))
+        .join(broadcast(marg.select(col("b").as("ante"), col("nb").as("na"))), "ante")
+        .join(broadcast(marg.select(col("b").as("cons"), col("nb").as("nc"))), "cons")
+        .crossJoin(broadcast(nOrders))
+        .filter(col("nab") * 200 >= col("n"))
+      rules.select(col("ante"), col("cons"), col("nab"),
+          round(col("nab").cast("double") / col("n"), 6).as("support"),
+          round(col("nab").cast("double") / col("na"), 6).as("confidence"),
+          round(col("nab").cast("double") * col("n") /
+            (col("na").cast("double") * col("nc")), 6).as("lift"))
+        .orderBy(desc("lift"), asc("ante"), asc("cons")).limit(10)
+    }, Some(
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT o) AS n FROM ob),
+        |marg AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+        |pr AS (SELECT x.b AS a, y.b AS b, count(*) AS nab
+        |       FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+        |       GROUP BY x.b, y.b),
+        |rules AS (SELECT a AS ante, b AS cons, nab FROM pr
+        |          UNION ALL SELECT b AS ante, a AS cons, nab FROM pr),
+        |k AS (SELECT r.ante, r.cons, r.nab, ma.nb AS na, mc.nb AS nc, n.n
+        |      FROM rules r JOIN marg ma ON ma.b = r.ante
+        |        JOIN marg mc ON mc.b = r.cons CROSS JOIN n
+        |      WHERE r.nab * 200 >= n.n)
+        |SELECT ante, cons, nab,
+        |  round(CAST(nab AS DOUBLE) / n, 6) AS support,
+        |  round(CAST(nab AS DOUBLE) / na, 6) AS confidence,
+        |  round(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nc), 6) AS lift
+        |FROM k ORDER BY lift DESC, ante, cons LIMIT 10""".stripMargin)),
+
+    // RFM (recency / frequency / monetary) quintile segmentation — the
+    // classic customer-value census. Quintiles via ntile(5) over total
+    // orders (ties broken by key, so bucket edges are deterministic in
+    // both engines); the census groups 125 possible segments into one
+    // tiny frame. The three global sorts are the honest cost (range
+    // partition at scale); everything else is map-side.
+    Q("q183_rfm_segments", (s, dir) => {
+      val maxd = Tables.orders(s, dir).agg(max(to_date(col("o_orderdate"))).as("md"))
+      val rfm = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(DecimalType(20, 6))).as("mon"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"),
+          datediff(col("md"), col("last_d")).cast("long").as("rec"),
+          col("freq"), col("mon"))
+      val scored = rfm.select(col("o_custkey"), col("mon"),
+        ntile(5).over(Window.orderBy(asc("rec"), asc("o_custkey"))).as("r"),
+        ntile(5).over(Window.orderBy(desc("freq"), asc("o_custkey"))).as("f"),
+        ntile(5).over(Window.orderBy(desc("mon"), asc("o_custkey"))).as("m"))
+      scored.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("mon").cast("double"), 2).as("segment_value"))
+        .filter(col("n_customers") >= 10)
+        .select(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+          col("m").cast("long").as("m"), col("n_customers"),
+          col("segment_value"))
+        .orderBy("r", "f", "m")
+    }, Some(
+      """WITH maxd AS (SELECT max(date_trunc('day', o_orderdate)) AS md FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |    date_diff('day', max(date_trunc('day', o_orderdate)), (SELECT md FROM maxd)) AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |sc AS (SELECT o_custkey, mon,
+        |    ntile(5) OVER (ORDER BY rec, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY mon DESC, o_custkey) AS m
+        |  FROM rfm)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m, count(*) AS n_customers,
+        |  round(CAST(sum(mon) AS DOUBLE), 2) AS segment_value
+        |FROM sc GROUP BY r, f, m HAVING count(*) >= 10
+        |ORDER BY r, f, m""".stripMargin)),
+
+    // Grid-partitioned spatial distance self-join: deterministic planar
+    // coordinates per customer, 1-unit grid cells, candidate pairs from
+    // the SAME cell or the 8 neighbors (one map-side 9-cell explode on
+    // the probe side — the standard fixed-radius near-neighbor shape:
+    // each pair is seen exactly once because the probe targets the
+    // neighbor CELL while the build side keeps its home cell), verified
+    // with EXACT decimal squared distance ≤ 0.25. No trig, no doubles
+    // until the final sqrt — cross-engine boundary ties are impossible.
+    Q("q184_grid_distance_join", (s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 1000) / lit(25.0)).cast(DecimalType(12, 2)).as("x"),
+        ((col("c_custkey") * 73 % 1000) / lit(25.0)).cast(DecimalType(12, 2)).as("y"))
+        .withColumn("cx", floor(col("x")).cast("long"))
+        .withColumn("cy", floor(col("y")).cast("long"))
+      val probe = pts
+        .withColumn("dxy", explode(typedLit(
+          for { dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1) } yield (dx, dy))))
+        .select(col("c_custkey").as("ka"), col("x").as("xa"), col("y").as("ya"),
+          (col("cx") + col("dxy._1")).as("cx"), (col("cy") + col("dxy._2")).as("cy"))
+      val close = probe.join(
+          pts.select(col("c_custkey").as("kb"), col("x").as("xb"),
+            col("y").as("yb"), col("cx"), col("cy")),
+          Seq("cx", "cy"))
+        .filter(col("ka") < col("kb"))
+        .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("d2") <= 0.25)
+      close.agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("ka")).as("n_left"),
+          // coalesce: the empty-grid case (possible at tiny SF) yields a
+          // typed 0.0, not an engine-dependent NULL double
+          coalesce(round(sum(round(sqrt(col("d2").cast("double")), 9)
+            .cast(DecimalType(20, 12))).cast("double") / count(lit(1)), 6),
+            lit(0.0)).as("avg_dist"),
+          coalesce(round(min(col("d2").cast("double")), 6), lit(0.0)).as("min_d2"))
+    }, Some(
+      """WITH pts AS (SELECT c_custkey,
+        |    CAST((c_custkey * 37 % 1000) / 25.0 AS DECIMAL(12,2)) AS x,
+        |    CAST((c_custkey * 73 % 1000) / 25.0 AS DECIMAL(12,2)) AS y
+        |  FROM customer),
+        |cells AS (SELECT c_custkey, x, y,
+        |    CAST(floor(x) AS BIGINT) AS cx, CAST(floor(y) AS BIGINT) AS cy
+        |  FROM pts),
+        |probe AS (SELECT c_custkey AS ka, x AS xa, y AS ya,
+        |    cx + d.dx AS cx, cy + d.dy AS cy
+        |  FROM cells CROSS JOIN (SELECT dx.x AS dx, dy.y AS dy
+        |    FROM (SELECT UNNEST([-1,0,1]) AS x) dx,
+        |         (SELECT UNNEST([-1,0,1]) AS y) dy) d),
+        |close_ AS (SELECT ka, b.c_custkey AS kb,
+        |    (xa - b.x) * (xa - b.x) + (ya - b.y) * (ya - b.y) AS d2
+        |  FROM probe JOIN cells b USING (cx, cy)
+        |  WHERE ka < b.c_custkey)
+        |SELECT count(*) AS n_pairs, count(DISTINCT ka) AS n_left,
+        |  coalesce(round(CAST(sum(CAST(round(sqrt(CAST(d2 AS DOUBLE)), 9)
+        |    AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6), 0.0) AS avg_dist,
+        |  coalesce(round(min(CAST(d2 AS DOUBLE)), 6), 0.0) AS min_d2
+        |FROM close_ WHERE d2 <= 0.25""".stripMargin)),
+
     // Brier score + log-loss for q138's scorer — the PROPER scoring
     // rules that complement threshold metrics (q139) and ranking metrics
     // (q140). Per-row contributions are rounded to 9dp (the transcendental

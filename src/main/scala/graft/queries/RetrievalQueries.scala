@@ -53,6 +53,52 @@ object RetrievalQueries {
        |              FROM documents)
        |        WHERE len(toks) >= 5))""".stripMargin
 
+  /** BM25-scored docs (doc_id, dl, score) for the fixed query-term set —
+    * q146's scorer, shared with q180's fusion. One aggregate over the
+    * token table for dl; the term-filtered tf/df frames and corpus
+    * stats broadcast to the scorer.
+    */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "vector", "customer")
+    val t = toks(s, dir)
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val tf = t.filter(col("term").isin(qterms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("sterm", round(
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+        6))
+      .groupBy("doc_id")
+      .agg(max("dl").as("dl"),
+        round(sum(col("sterm").cast(DecimalType(20, 6))).cast("double"), 6)
+          .as("score"))
+  }
+
+  /** The matching DuckDB CTE chain ending in `bm(doc_id, dl, score)`. */
+  private def bm25Cte: String =
+    s"""$toksCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |ts AS (SELECT tf.doc_id, dl.dl,
+       |    round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * 2.2 /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.tot_dl AS DOUBLE) / st.n_docs))),
+       |      6) AS sterm
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |bm AS (SELECT doc_id, max(dl) AS dl,
+       |    round(CAST(sum(CAST(sterm AS DECIMAL(20,6))) AS DOUBLE), 6) AS score
+       |  FROM ts GROUP BY doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Okapi BM25 over a fixed query-term set (k1=1.2, b=0.75): tf and
@@ -63,44 +109,66 @@ object RetrievalQueries {
     // for tf; df and the corpus stats broadcast to the scorer — no
     // shuffle ever carries more than (matching doc, term) rows.
     Q("q146_bm25", (s, dir) => {
-      val qterms = Seq("spark", "vector", "customer")
-      val t = toks(s, dir)
-      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
-      val tf = t.filter(col("term").isin(qterms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
-      tf.join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-        .withColumn("sterm", round(
-          col("idf") * col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
-          6))
-        .groupBy("doc_id")
-        .agg(max("dl").as("dl"),
-          round(sum(col("sterm").cast(DecimalType(20, 6))).cast("double"), 6)
-            .as("score"))
+      bm25Scored(s, dir)
         .orderBy(desc("score"), asc("doc_id")).limit(20)
         .select(col("doc_id"), col("dl"), col("score"))
     }, Some(
-      s"""WITH $toksCte,
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-         |       WHERE term IN ('spark', 'vector', 'customer') GROUP BY doc_id, term),
-         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-         |ts AS (SELECT tf.doc_id, dl.dl,
-         |    round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * 2.2 /
-         |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(st.tot_dl AS DOUBLE) / st.n_docs))),
-         |      6) AS sterm
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
-         |SELECT doc_id, max(dl) AS dl,
-         |  round(CAST(sum(CAST(sterm AS DECIMAL(20,6))) AS DOUBLE), 6) AS score
-         |FROM ts GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+      s"""WITH $bm25Cte
+         |SELECT doc_id, dl, score
+         |FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the sparse
+    // BM25 list and the dense cosine list (doc_id ≡ vec_id) — the hybrid
+    // retrieval every RAG stack runs. Each system contributes its top-50
+    // (rank 0 = absent); rrf = Σ 1/(60 + rank) over the systems that
+    // returned the doc. Ranks are integers and the fusion is exact
+    // rational arithmetic — nothing transcendental crosses engines. At
+    // scale both lists are top-k-pruned before the full-outer rank
+    // join, so fusion never touches more than k rows per system.
+    Q("q180_rrf_fusion", (s, dir) => {
+      val bmr = bm25Scored(s, dir)
+        .orderBy(desc("score"), asc("doc_id")).limit(50)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+            .cast("long").as("rb"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), graft.vector.VectorOps.asDouble(col("embedding")).as("vec"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("vec").as("qv"))
+      val csr = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.vector.VectorOps.cosine(col("vec"), col("qv")), 6).as("sim"))
+        .orderBy(desc("sim"), asc("doc_id")).limit(50)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(desc("sim"), asc("doc_id")))
+            .cast("long").as("rc"))
+      bmr.join(csr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rb"), lit(0L)).as("r_bm25"),
+          coalesce(col("rc"), lit(0L)).as("r_cos"),
+          round(
+            when(col("rb").isNull, 0.0).otherwise(lit(1.0) / (col("rb") + 60)) +
+            when(col("rc").isNull, 0.0).otherwise(lit(1.0) / (col("rc") + 60)),
+            6).as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+    }, Some(
+      s"""WITH $bm25Cte,
+         |bmr AS (SELECT doc_id, CAST(row_number() OVER
+         |          (ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+         |        FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |      WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS doc_id,
+         |         round(${cosineSql("CAST(embedding AS DOUBLE[])", "qv")}, 6) AS sim
+         |       FROM embeddings CROSS JOIN q),
+         |csr AS (SELECT doc_id, CAST(row_number() OVER
+         |          (ORDER BY sim DESC, doc_id) AS BIGINT) AS rc
+         |        FROM cs ORDER BY sim DESC, doc_id LIMIT 50),
+         |f AS (SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id, rb, rc
+         |      FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id)
+         |SELECT doc_id, coalesce(rb, 0) AS r_bm25, coalesce(rc, 0) AS r_cos,
+         |  round(CASE WHEN rb IS NULL THEN 0 ELSE 1.0/(rb + 60) END +
+         |        CASE WHEN rc IS NULL THEN 0 ELSE 1.0/(rc + 60) END, 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
 
     // Inverted-index build: term → document frequency, collection
     // frequency, and the head of the numerically-sorted posting list
