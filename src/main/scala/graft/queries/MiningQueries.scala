@@ -402,6 +402,168 @@ object MiningQueries {
         |  coalesce(round(min(CAST(d2 AS DOUBLE)), 6), 0.0) AS min_d2
         |FROM close_ WHERE d2 <= 0.25""".stripMargin)),
 
+    // Rank-1 ALS over the customer×brand purchase matrix — alternating
+    // least squares with a CLOSED-FORM half-step (rank 1: the per-row
+    // normal equation collapses to u = Σrv/Σv², no matrix solve), two
+    // full alternations unrolled from v≡1. Each half-step is one
+    // shuffle on the live side of the matrix; factors round to 9dp at
+    // every half-step and cross sums go through rounded-contribution
+    // decimals, so the trajectory is bit-reproducible on any
+    // partitioning (the honest distributed form of MLlib's ALS — same
+    // dataflow per iteration, here with an exact-arithmetic contract).
+    Q("q185_als_rank1", (s, dir) => {
+      val r = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+        .agg(count(lit(1)).as("r"))
+        .persist()
+      def dsum12(c: Column): Column =
+        sum(round(c, 9).cast(DecimalType(24, 12))).cast("double")
+      // u-step against a broadcast brand-factor table, v-step as a
+      // shuffle on brand (25 keys — at real scale the item side is the
+      // broadcast side and users shuffle, exactly this plan's shape)
+      val u1 = r.groupBy("c")
+        .agg(round(sum("r").cast("double") / count(lit(1)), 9).as("u"))
+      val v1 = r.join(u1, "c")
+        .groupBy("b")
+        .agg(round(dsum12(col("r") * col("u")) /
+          dsum12(col("u") * col("u")), 9).as("v"))
+      val u2 = r.join(broadcast(v1), "b")
+        .groupBy("c")
+        .agg(round(dsum12(col("r") * col("v")) /
+          dsum12(col("v") * col("v")), 9).as("u"))
+      val v2 = r.join(u2, "c")
+        .groupBy("b")
+        .agg(round(dsum12(col("r") * col("u")) /
+          dsum12(col("u") * col("u")), 9).as("v"))
+      val nb = r.groupBy("b").agg(count(lit(1)).as("n_raters"))
+      v1.select(col("b"), col("v").as("v_1"))
+        .join(v2.select(col("b"), col("v").as("v_2")), "b")
+        .join(broadcast(nb), "b")
+        .select(col("b").as("brand"), col("n_raters"),
+          round(col("v_1"), 6).as("v_iter1"), round(col("v_2"), 6).as("v_iter2"))
+        .orderBy("brand")
+    }, Some {
+      def dsum12(e: String): String =
+        s"CAST(sum(CAST(round($e, 9) AS DECIMAL(24,12))) AS DOUBLE)"
+      s"""WITH r AS (SELECT o_custkey AS c, p_brand AS b, count(*) AS r
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |    JOIN part ON p_partkey = l_partkey
+         |  GROUP BY o_custkey, p_brand),
+         |u1 AS (SELECT c, round(CAST(sum(r) AS DOUBLE) / count(*), 9) AS u
+         |       FROM r GROUP BY c),
+         |v1 AS (SELECT b, round(${dsum12("r.r * u1.u")} /
+         |         ${dsum12("u1.u * u1.u")}, 9) AS v
+         |       FROM r JOIN u1 USING (c) GROUP BY b),
+         |u2 AS (SELECT c, round(${dsum12("r.r * v1.v")} /
+         |         ${dsum12("v1.v * v1.v")}, 9) AS u
+         |       FROM r JOIN v1 USING (b) GROUP BY c),
+         |v2 AS (SELECT b, round(${dsum12("r.r * u2.u")} /
+         |         ${dsum12("u2.u * u2.u")}, 9) AS v
+         |       FROM r JOIN u2 USING (c) GROUP BY b),
+         |nb AS (SELECT b, count(*) AS n_raters FROM r GROUP BY b)
+         |SELECT b AS brand, n_raters,
+         |  round(v1.v, 6) AS v_iter1, round(v2.v, 6) AS v_iter2
+         |FROM v1 JOIN v2 USING (b) JOIN nb USING (b) ORDER BY brand""".stripMargin
+    }),
+
+    // Herfindahl–Hirschman concentration of brand purchases per nation —
+    // the mixture-concentration audit (same family as q68's domain mix):
+    // HHI = Σ n_b² / (Σ n_b)² as EXACT integer arithmetic (no per-share
+    // rounding enters the sum), effective-brand count = 1/HHI. One
+    // shuffle on (nation, brand); dims broadcast.
+    Q("q186_hhi_concentration", (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("c_nationkey"), col("p_brand"))
+        .agg(count(lit(1)).as("nb"))
+      cells.groupBy("c_nationkey")
+        .agg(sum("nb").as("n"), sum(col("nb") * col("nb")).as("ssq"),
+          count(lit(1)).as("n_brands"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n").as("n_lineitems"),
+          col("n_brands"),
+          round(col("ssq").cast("double") / (col("n") * col("n")), 6).as("hhi"),
+          round(col("n").cast("double") * col("n") / col("ssq"), 4)
+            .as("effective_brands"))
+        .orderBy("nation")
+    }, Some(
+      """WITH cells AS (SELECT c_nationkey, p_brand, count(*) AS nb
+        |  FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN part ON p_partkey = l_partkey
+        |  GROUP BY c_nationkey, p_brand),
+        |h AS (SELECT c_nationkey, CAST(sum(nb) AS BIGINT) AS n,
+        |    CAST(sum(nb * nb) AS BIGINT) AS ssq, count(*) AS n_brands
+        |  FROM cells GROUP BY c_nationkey)
+        |SELECT n_name AS nation, n AS n_lineitems, n_brands,
+        |  round(CAST(ssq AS DOUBLE) / (n * n), 6) AS hhi,
+        |  round(CAST(n AS DOUBLE) * n / ssq, 4) AS effective_brands
+        |FROM h JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY nation""".stripMargin)),
+
+    // Winsorized and trimmed means of order value (the robust-location
+    // estimators next to q103's MAD screen): exact p5/p95 interpolated
+    // bounds broadcast once; winsorizing clips each row (6dp-rounded
+    // contributions, exact sum), trimming keeps the closed interval and
+    // sums raw decimals exactly. One scan + one tiny percentile pass —
+    // no sort of the full table.
+    Q("q187_winsorized_mean", (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(20, 6)).as("v"))
+      val bounds = o.agg(
+        percentile(col("v").cast("double"), lit(0.05)).as("p05"),
+        percentile(col("v").cast("double"), lit(0.95)).as("p95"))
+      val w = o.crossJoin(broadcast(bounds))
+      w.agg(
+          count(lit(1)).as("n"),
+          round(sum("v").cast("double") / count(lit(1)), 6).as("mean_raw"),
+          round(sum(round(least(greatest(col("v").cast("double"), col("p05")),
+              col("p95")), 6).cast(DecimalType(20, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_winsorized"),
+          round(sum(when(col("v").cast("double").between(col("p05"), col("p95")),
+              col("v")).otherwise(lit(0).cast(DecimalType(20, 6))))
+              .cast("double") /
+            sum(when(col("v").cast("double").between(col("p05"), col("p95")), 1L)
+              .otherwise(0L)), 6).as("mean_trimmed"),
+          sum(when(col("v").cast("double").between(col("p05"), col("p95")), 1L)
+            .otherwise(0L)).as("n_kept"))
+    }, Some(
+      """WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(20,6)) AS v
+        |           FROM orders),
+        |b AS (SELECT quantile_cont(CAST(v AS DOUBLE), 0.05) AS p05,
+        |        quantile_cont(CAST(v AS DOUBLE), 0.95) AS p95 FROM o),
+        |w AS (SELECT v, p05, p95 FROM o CROSS JOIN b)
+        |SELECT count(*) AS n,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_raw,
+        |  round(CAST(sum(CAST(round(least(greatest(CAST(v AS DOUBLE), p05), p95), 6)
+        |    AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_winsorized,
+        |  round(CAST(sum(CASE WHEN CAST(v AS DOUBLE) BETWEEN p05 AND p95
+        |    THEN v ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) /
+        |    CAST(sum(CASE WHEN CAST(v AS DOUBLE) BETWEEN p05 AND p95
+        |      THEN 1 ELSE 0 END) AS BIGINT), 6) AS mean_trimmed,
+        |  CAST(sum(CASE WHEN CAST(v AS DOUBLE) BETWEEN p05 AND p95
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM w""".stripMargin)),
+
     // Brier score + log-loss for q138's scorer — the PROPER scoring
     // rules that complement threshold metrics (q139) and ranking metrics
     // (q140). Per-row contributions are rounded to 9dp (the transcendental
