@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics over the co-purchase graph (parts co-ordered within
   * an order), complementing the PageRank of q84: exact triangle counting
@@ -21,7 +22,10 @@ object GraphQueries {
     * C(items, 2) — bounded by basket size, not graph degree, so no
     * salting is needed at 100 TB.
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame =
+  /** Per-order C(n,2) pair stream (one (u,v) row per co-purchasing
+    * order) — multiplicity = co-purchase support.
+    */
+  private def coPairs(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
@@ -30,7 +34,9 @@ object GraphQueries {
           |  transform(slice(ps, i + 2, size(ps) - i - 1),
           |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("uv"))
       .select(col("uv.u").as("u"), col("uv.v").as("v"))
-      .distinct()
+
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    coPairs(s, dir).distinct()
 
   private def coEdgesCte: String =
     """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -198,6 +204,103 @@ object GraphQueries {
          |  UNION ALL SELECT 2, (SELECT count(*) FROM f2), (SELECT count(*) FROM v2)
          |  UNION ALL SELECT 3, (SELECT count(*) FROM f3), (SELECT count(*) FROM v3))
          |ORDER BY round""".stripMargin)),
+
+    // Label-propagation communities (2 synchronous min-label rounds —
+    // deterministic, unlike classic LPA's random tie-breaks) + the
+    // MODULARITY of the resulting partition: Q = Σ_c(e_c/m − (d_c/2m)²)
+    // from exact integer census terms (internal edges, degree mass per
+    // community). Each round is one broadcast of the |V|-sized label
+    // table against the cached edge set; the census is two tiny
+    // aggregates. Emits the top-10 communities by size.
+    Q("q190_label_propagation", (s, dir) => {
+      // support-≥2 edge floor: the raw co-purchase graph is near-complete
+      // and min-label floods it to one community in a round — the floor
+      // keeps only repeated co-purchases (the same sparsifier as q157's
+      // similarity floor), giving a partition worth a census
+      val e = coPairs(s, dir)
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select("u", "v")
+        .persist()
+      val adj = e.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .persist()
+      var lab = adj.select(col("a").as("x")).distinct()
+        .withColumn("l", col("x"))
+      for (_ <- 1 to 2) {
+        val nbrMin = adj
+          .join(broadcast(lab.select(col("x").as("b2"), col("l").as("lb"))),
+            col("b") === col("b2"))
+          .groupBy(col("a").as("x")).agg(min("lb").as("nl"))
+        lab = lab.join(nbrMin, Seq("x"), "left")
+          .select(col("x"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+          .persist()
+      }
+      val m = e.agg(count(lit(1)).as("m"))
+      val lu = lab.select(col("x").as("u"), col("l").as("lu"))
+      val lv = lab.select(col("x").as("v"), col("l").as("lv"))
+      val etab = e.join(broadcast(lu), "u").join(broadcast(lv), "v").persist()
+      val ein = etab.filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("l")).agg(count(lit(1)).as("e_in"))
+      val degc = etab
+        .select(explode(array(col("lu"), col("lv"))).as("l"))
+        .groupBy("l").agg(count(lit(1)).as("d_c"))
+      val sizes = lab.groupBy("l").agg(count(lit(1)).as("size"))
+      val comm = sizes
+        .join(broadcast(ein), Seq("l"), "left")
+        .join(broadcast(degc), Seq("l"), "left")
+        .select(col("l"), col("size"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"),
+          coalesce(col("d_c"), lit(0L)).as("d_c"))
+        .persist()
+      val mod = comm.crossJoin(broadcast(m))
+        .select(round(
+          (col("e_in").cast("double") / col("m")) -
+            (col("d_c").cast("double") / (lit(2.0) * col("m"))) *
+            (col("d_c").cast("double") / (lit(2.0) * col("m"))), 9).as("t"))
+        .agg(round(sum(col("t").cast(DecimalType(38, 12))).cast("double"), 6)
+          .as("modularity"))
+      comm.orderBy(desc("size"), asc("l")).limit(10)
+        .crossJoin(broadcast(mod))
+        .select(col("l").as("community"), col("size"), col("e_in"), col("d_c"),
+          col("modularity"))
+        .orderBy(desc("size"), asc("community"))
+    }, Some(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (SELECT a.p AS u, b.p AS v
+         |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |      GROUP BY a.p, b.p HAVING count(*) >= 2),
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |n0 AS (SELECT DISTINCT a AS x FROM adj),
+         |l0 AS (SELECT x, x AS l FROM n0),
+         |l1 AS (SELECT l0.x, least(l0.l, coalesce(min(nb.l), l0.l)) AS l
+         |       FROM l0 LEFT JOIN adj ON adj.a = l0.x
+         |         LEFT JOIN l0 nb ON nb.x = adj.b
+         |       GROUP BY l0.x, l0.l),
+         |l2 AS (SELECT l1.x, least(l1.l, coalesce(min(nb.l), l1.l)) AS l
+         |       FROM l1 LEFT JOIN adj ON adj.a = l1.x
+         |         LEFT JOIN l1 nb ON nb.x = adj.b
+         |       GROUP BY l1.x, l1.l),
+         |m AS (SELECT count(*) AS m FROM e),
+         |et AS (SELECT lu.l AS lu, lv.l AS lv FROM e
+         |       JOIN l2 lu ON lu.x = e.u JOIN l2 lv ON lv.x = e.v),
+         |ein AS (SELECT lu AS l, count(*) AS e_in FROM et WHERE lu = lv GROUP BY lu),
+         |degc AS (SELECT l, count(*) AS d_c FROM
+         |           (SELECT lu AS l FROM et UNION ALL SELECT lv FROM et)
+         |         GROUP BY l),
+         |sizes AS (SELECT l, count(*) AS size FROM l2 GROUP BY l),
+         |comm AS (SELECT sizes.l, sizes.size,
+         |    coalesce(ein.e_in, 0) AS e_in, coalesce(degc.d_c, 0) AS d_c
+         |  FROM sizes LEFT JOIN ein USING (l) LEFT JOIN degc USING (l)),
+         |mod_ AS (SELECT round(CAST(sum(CAST(round(
+         |      CAST(e_in AS DOUBLE) / m.m -
+         |      (CAST(d_c AS DOUBLE) / (2.0 * m.m)) * (CAST(d_c AS DOUBLE) / (2.0 * m.m)),
+         |      9) AS DECIMAL(38,12))) AS DOUBLE), 6) AS modularity
+         |  FROM comm CROSS JOIN m)
+         |SELECT comm.l AS community, size, e_in, d_c, mod_.modularity
+         |FROM comm CROSS JOIN mod_
+         |ORDER BY size DESC, community LIMIT 10""".stripMargin)),
 
     Q("q152_kcore", (s, dir) => {
       val k = 3

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import graft.text.TextOps
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -563,6 +564,177 @@ object MiningQueries {
         |  CAST(sum(CASE WHEN CAST(v AS DOUBLE) BETWEEN p05 AND p95
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM w""".stripMargin)),
+
+    // CUSUM changepoint screen on the daily order-count series: the
+    // cumulative drift statistic S_t = Σ_{i≤t}(n·c_i − Σc) is an exact
+    // integer for every prefix (mean-centering scaled through n, q177's
+    // trick), the changepoint is the |S| argmax (min-day tiebreak), and
+    // the before/after means certify the level shift. One tiny daily
+    // aggregate + one window cumsum over |days| rows.
+    Q("q191_cusum_changepoint", (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val base = daily.crossJoin(broadcast(daily.agg(
+          count(lit(1)).as("n"), sum("c").as("sc"), min("day").as("d0"))))
+        .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+          col("c"), col("n"), (col("n") * col("c") - col("sc")).as("d"))
+      val wc = Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = base.withColumn("s", sum("d").over(wc))
+      val cp = cum.orderBy(abs(col("s")).desc, col("idx").asc).limit(1)
+        .select(col("idx").as("cp_idx"), col("s").as("cusum_peak"))
+      cum.crossJoin(broadcast(cp))
+        .agg(
+          first("cp_idx").as("cp_idx"), first("cusum_peak").as("cusum_peak"),
+          count(lit(1)).as("n_days"),
+          round(sum(when(col("idx") <= col("cp_idx"), col("c")).otherwise(0L))
+              .cast("double") /
+            sum(when(col("idx") <= col("cp_idx"), 1L).otherwise(0L)), 6)
+            .as("mean_before"),
+          round(sum(when(col("idx") > col("cp_idx"), col("c")).otherwise(0L))
+              .cast("double") /
+            sum(when(col("idx") > col("cp_idx"), 1L).otherwise(0L)), 6)
+            .as("mean_after"))
+    }, Some(
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+        |    count(*) AS c FROM orders GROUP BY 1),
+        |g AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sc,
+        |        min(day) AS d0 FROM daily),
+        |base AS (SELECT date_diff('day', g.d0, day) AS idx, c, g.n,
+        |    CAST(g.n * c - g.sc AS BIGINT) AS d
+        |  FROM daily CROSS JOIN g),
+        |cum AS (SELECT idx, c, CAST(sum(d) OVER (ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM base),
+        |cp AS (SELECT idx AS cp_idx, s AS cusum_peak FROM cum
+        |       ORDER BY abs(s) DESC, idx LIMIT 1)
+        |SELECT cp.cp_idx AS cp_idx, cp.cusum_peak AS cusum_peak,
+        |  count(*) AS n_days,
+        |  round(CAST(sum(CASE WHEN idx <= cp_idx THEN c ELSE 0 END) AS DOUBLE) /
+        |    sum(CASE WHEN idx <= cp_idx THEN 1 ELSE 0 END), 6) AS mean_before,
+        |  round(CAST(sum(CASE WHEN idx > cp_idx THEN c ELSE 0 END) AS DOUBLE) /
+        |    sum(CASE WHEN idx > cp_idx THEN 1 ELSE 0 END), 6) AS mean_after
+        |FROM cum CROSS JOIN cp GROUP BY cp.cp_idx, cp.cusum_peak""".stripMargin)),
+
+    // Quantile normalization across sources (the batch-effect remover):
+    // each source's documents are decile-ranked on n_chars, the
+    // cross-source REFERENCE profile is the mean of per-source decile
+    // means (rounded-contribution decimals), and each (source, decile)
+    // maps raw → reference. The per-source rank is the only sort; the
+    // profile is a 10-row broadcast.
+    Q("q192_quantile_normalize", (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val ranked = d.withColumn("dec",
+        ntile(10).over(Window.partitionBy("source")
+          .orderBy(asc("n_chars"), asc("doc_id"))).cast("long"))
+      val cell = ranked.groupBy("source", "dec")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("raw_mean"))
+      val ref = cell.groupBy("dec")
+        .agg(round(sum(col("raw_mean").cast(DecimalType(24, 10))).cast("double") /
+          count(lit(1)), 6).as("ref_mean"))
+      cell.join(broadcast(ref), "dec")
+        .select(col("source"), col("dec"), col("n"), col("raw_mean"),
+          col("ref_mean"),
+          round(col("ref_mean") - col("raw_mean"), 6).as("shift"))
+        .orderBy("source", "dec")
+    }, Some(
+      """WITH r AS (SELECT source, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS dec
+        |  FROM documents),
+        |cell AS (SELECT source, dec, count(*) AS n,
+        |    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS raw_mean
+        |  FROM r GROUP BY source, dec),
+        |ref AS (SELECT dec,
+        |    round(CAST(sum(CAST(raw_mean AS DECIMAL(24,10))) AS DOUBLE)
+        |      / count(*), 6) AS ref_mean
+        |  FROM cell GROUP BY dec)
+        |SELECT source, dec, n, raw_mean, ref_mean,
+        |  round(ref_mean - raw_mean, 6) AS shift
+        |FROM cell JOIN ref USING (dec) ORDER BY source, dec""".stripMargin)),
+
+    // Theil–Sen robust trend of daily revenue: the median of pairwise
+    // slopes over day pairs within a 120-day horizon — the estimator
+    // that shrugs off the outlier days that wreck OLS (q149). The pair
+    // table is |days|·120, NOT |rows|² — daily aggregation first makes
+    // pairwise affordable at any scale; slopes are exact-integer
+    // differences divided once, and the median is one interpolated
+    // percentile over them.
+    Q("q193_theil_sen", (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(micros(col("o_totalprice"))).as("x"))
+      val base = daily.crossJoin(broadcast(daily.agg(min("day").as("d0"))))
+        .select(datediff(col("day"), col("d0")).cast("long").as("idx"), col("x"))
+      val a = base.as("a")
+      val b = base.as("b")
+      val slopes = a.join(b,
+          col("b.idx") > col("a.idx") && col("b.idx") <= col("a.idx") + 120)
+        .select(((col("b.x") - col("a.x")).cast("double") /
+          (col("b.idx") - col("a.idx")) / 1e6).as("slope"))
+      slopes.agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)), 6).as("theil_sen_slope"),
+        round(percentile(col("slope"), lit(0.25)), 6).as("slope_p25"),
+        round(percentile(col("slope"), lit(0.75)), 6).as("slope_p75"))
+    }, Some(
+      s"""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+         |    CAST(sum(${microsSql("o_totalprice")}) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |base AS (SELECT date_diff('day',
+         |    (SELECT min(day) FROM daily), day) AS idx, x FROM daily),
+         |sl AS (SELECT (CAST(b.x - a.x AS DOUBLE) / (b.idx - a.idx)) / 1e6 AS slope
+         |  FROM base a JOIN base b
+         |    ON b.idx > a.idx AND b.idx <= a.idx + 120)
+         |SELECT count(*) AS n_pairs,
+         |  round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope,
+         |  round(quantile_cont(slope, 0.25), 6) AS slope_p25,
+         |  round(quantile_cont(slope, 0.75), 6) AS slope_p75
+         |FROM sl""".stripMargin)),
+
+    // Sorted-neighborhood dedup blocking (Hernández & Stolfo's merge/
+    // purge): sort documents by a 20-char content key, window of ±3
+    // neighbors as candidates (a map-side self-join on rank bands —
+    // candidate count is 3n, not n²), verify with bounded edit distance
+    // on the 60-char prefix. The THIRD blocking family next to LSH
+    // (q17) and id-blocking (q74) — sliding-window blocking catches
+    // near-keys that hash blocking splits. The global sort is the honest
+    // cost (range partition at scale).
+    Q("q194_sorted_neighborhood", (s, dir) => {
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
+          substring(TextOps.cleanText(col("text")), 1, 20).as("k"),
+          substring(TextOps.cleanText(col("text")), 1, 60).as("p"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(asc("k"), asc("doc_id"))).cast("long"))
+      // rank-band candidates as an EQUI-join: probe side carries rn+off
+      // for off ∈ {1,2,3} (map-side explode) — a hash join on rn, not a
+      // nested-loop range join
+      val a = keyed.withColumn("off", explode(typedLit(Seq(1L, 2L, 3L))))
+        .select(col("doc_id").as("da"), col("p").as("pa"),
+          (col("rn") + col("off")).as("rn"))
+      val b = keyed.select(col("doc_id").as("db"), col("p").as("pb"), col("rn"))
+      a.join(b, "rn")
+        .select(col("da"), col("db"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+        .filter(col("dist") <= 10)
+        .orderBy("da", "db")
+    }, Some(
+      s"""WITH keyed AS (SELECT doc_id,
+         |    substr(${cleanTextSql("text")}, 1, 20) AS k,
+         |    substr(${cleanTextSql("text")}, 1, 60) AS p
+         |  FROM documents),
+         |r AS (SELECT doc_id, p,
+         |    CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS rn
+         |  FROM keyed)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+         |FROM r a CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS o) t
+         |JOIN r b ON b.rn = a.rn + t.o
+         |WHERE levenshtein(a.p, b.p) <= 10
+         |ORDER BY da, db""".stripMargin)),
 
     // Brier score + log-loss for q138's scorer — the PROPER scoring
     // rules that complement threshold metrics (q139) and ranking metrics
