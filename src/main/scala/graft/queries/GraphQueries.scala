@@ -302,6 +302,57 @@ object GraphQueries {
          |FROM comm CROSS JOIN mod_
          |ORDER BY size DESC, community LIMIT 10""".stripMargin)),
 
+    // Adamic–Adar link prediction over the support-2 co-purchase graph:
+    // for every distance-2 pair with no existing edge, AA(u,v) =
+    // Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — each wedge center w contributes
+    // its C(d,2) neighbor pairs MAP-SIDE with a per-center rounded
+    // weight, one shuffle groups by pair, existing edges leave by
+    // anti-join against the canonical edge set. The wedge fan-out is
+    // bounded by the sparsified degree, not raw degree — the same
+    // skew discipline as q100. Top-20 predicted links.
+    Q("q197_adamic_adar", (s, dir) => {
+      val e = coPairs(s, dir)
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select("u", "v")
+        .persist()
+      val adj = e.select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      // per-center sorted neighbor list + degree: pairs expand map-side
+      val ctr = adj.groupBy(col("a").as("w"))
+        .agg(sort_array(collect_set("b")).as("nb"))
+        .withColumn("aa_w", round(lit(1.0) / log(size(col("nb"))), 9))
+        .filter(size(col("nb")) >= 2)
+      val cand = ctr.select(col("aa_w"), explode(expr(
+          """flatten(transform(nb, (x, i) ->
+            |  transform(slice(nb, i + 2, size(nb) - i - 1),
+            |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("uv"))
+        .groupBy(col("uv.u").as("u"), col("uv.v").as("v"))
+        .agg(count(lit(1)).as("n_common"),
+          round(sum(col("aa_w").cast(DecimalType(20, 12))).cast("double"), 6)
+            .as("aa"))
+      cand.join(e, Seq("u", "v"), "left_anti")
+        .orderBy(desc("aa"), asc("u"), asc("v")).limit(20)
+    }, Some(
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (SELECT a.p AS u, b.p AS v
+         |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |      GROUP BY a.p, b.p HAVING count(*) >= 2),
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT a AS w, count(*) AS d FROM adj GROUP BY a),
+         |wedge AS (SELECT x.a AS w, x.b AS u, y.b AS v
+         |  FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+         |  JOIN deg ON deg.w = x.a WHERE deg.d >= 2),
+         |sc AS (SELECT wedge.u, wedge.v, count(*) AS n_common,
+         |    round(CAST(sum(CAST(round(1.0 / ln(deg.d), 9) AS DECIMAL(20,12)))
+         |      AS DOUBLE), 6) AS aa
+         |  FROM wedge JOIN deg ON deg.w = wedge.w
+         |  GROUP BY wedge.u, wedge.v)
+         |SELECT sc.u AS u, sc.v AS v, n_common, aa FROM sc
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
+         |ORDER BY aa DESC, u, v LIMIT 20""".stripMargin)),
+
     Q("q152_kcore", (s, dir) => {
       val k = 3
       val e = coEdges(s, dir).persist()

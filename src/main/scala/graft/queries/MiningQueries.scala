@@ -736,6 +736,148 @@ object MiningQueries {
          |WHERE levenshtein(a.p, b.p) <= 10
          |ORDER BY da, db""".stripMargin)),
 
+    // Forecast backtest: naive (x_{t−1}) vs seasonal-naive (x_{t−7})
+    // daily-revenue forecasts scored over the last 28 days with
+    // MAE / RMSE / MAPE — the baseline gate every forecasting pipeline
+    // must beat. Errors are exact integer differences of daily micro
+    // sums; squares go through decimals; MAPE contributions round to
+    // 9dp then sum exactly. Lag alignment is an equi-join on day index
+    // against the tiny daily table.
+    Q("q195_forecast_backtest", (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(micros(col("o_totalprice"))).as("x"))
+      val base = daily.crossJoin(broadcast(daily.agg(
+          min("day").as("d0"), max("day").as("d1"))))
+        .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+          datediff(col("d1"), col("d0")).cast("long").as("maxidx"), col("x"))
+        .persist()
+      val eval = base.filter(col("idx") > col("maxidx") - 28)
+      def scoreLag(lag: Int, name: String) = {
+        val f = base.select((col("idx") + lag).as("idx"), col("x").as("fx"))
+        eval.join(f, "idx")
+          .select((col("x") - col("fx")).as("e"), col("x"))
+          .agg(lit(name).as("model"), count(lit(1)).as("n"),
+            round(sum(abs(col("e")).cast(DecimalType(38, 0))).cast("double") /
+              count(lit(1)) / 1e6, 4).as("mae"),
+            round(sqrt(sum((col("e").cast(DecimalType(38, 0)) * col("e")))
+              .cast("double") / count(lit(1))) / 1e6, 4).as("rmse"),
+            round(sum(round(abs(col("e")).cast("double") / col("x"), 9)
+              .cast(DecimalType(20, 12))).cast("double") / count(lit(1)), 6)
+              .as("mape"))
+      }
+      scoreLag(1, "naive").unionByName(scoreLag(7, "seasonal_naive"))
+        .orderBy("model")
+    }, Some(
+      s"""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+         |    CAST(sum(${microsSql("o_totalprice")}) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |base AS (SELECT date_diff('day', g.d0, day) AS idx,
+         |    date_diff('day', g.d0, g.d1) AS maxidx, x
+         |  FROM daily CROSS JOIN g),
+         |ev AS (SELECT * FROM base WHERE idx > maxidx - 28),
+         |sc AS (SELECT t.model, ev.x,
+         |    ev.x - f.x AS e
+         |  FROM ev CROSS JOIN (SELECT UNNEST(['naive', 'seasonal_naive']) AS model) t
+         |  JOIN base f ON f.idx = ev.idx - (CASE WHEN t.model = 'naive' THEN 1 ELSE 7 END))
+         |SELECT model, count(*) AS n,
+         |  round(CAST(sum(CAST(abs(e) AS HUGEINT)) AS DOUBLE) / count(*) / 1e6, 4)
+         |    AS mae,
+         |  round(sqrt(CAST(sum(CAST(e AS HUGEINT) * e) AS DOUBLE) / count(*)) / 1e6, 4)
+         |    AS rmse,
+         |  round(CAST(sum(CAST(round(CAST(abs(e) AS DOUBLE) / x, 9)
+         |    AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS mape
+         |FROM sc GROUP BY model ORDER BY model""".stripMargin)),
+
+    // One-way ANOVA across market segments on account balance: SSB/SSW
+    // from per-group exact integer moments (one groupBy + one 5-row
+    // fold), F statistic, degrees of freedom, and η² effect size as
+    // closed-form doubles over them — the multi-arm generalization of
+    // q178's two-sample test.
+    Q("q196_anova_f", (s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_mktsegment"),
+        micros(col("c_acctbal")).as("x"))
+      val g = c.groupBy("c_mktsegment").agg(
+        count(lit(1)).as("ng"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sg"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("ssg"))
+      val agg = g.agg(
+        count(lit(1)).as("k"), sum("ng").as("n"),
+        sum("sg").as("st"), sum("ssg").as("sst"),
+        // sg²/ng ≈ 1e23 micros²: every double that large is integral, so
+        // round(·,0) + the decimal cast is EXACT and the 5-term sum is
+        // order-free; the sub-micro² truncation is 1e-18-relative noise
+        sum(round(col("sg").cast("double") * col("sg").cast("double") /
+          col("ng"), 0).cast(DecimalType(38, 0))).as("sb"))
+      val (k, n, st, sst, sb) = (col("k").cast("double"), col("n").cast("double"),
+        col("st").cast("double"), col("sst").cast("double"),
+        col("sb").cast("double"))
+      val ssb = sb - st * st / n
+      val ssw = sst - sb
+      agg.select(col("k"), col("n"),
+        round(ssb / (k - 1) / (ssw / (n - k)), 6).as("f_stat"),
+        (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+        round(ssb / (ssb + ssw), 6).as("eta_sq"))
+    }, Some(
+      s"""WITH c AS (SELECT c_mktsegment, ${microsSql("c_acctbal")} AS x
+         |           FROM customer),
+         |g AS (SELECT c_mktsegment, count(*) AS ng,
+         |    sum(CAST(x AS HUGEINT)) AS sg, sum(CAST(x AS HUGEINT) * x) AS ssg
+         |  FROM c GROUP BY c_mktsegment),
+         |a AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+         |    sum(sg) AS st, sum(ssg) AS sst,
+         |    sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng, 0)
+         |      AS DECIMAL(38,0))) AS sb
+         |  FROM g),
+         |d AS (SELECT CAST(k AS BIGINT) AS k, n, CAST(k AS DOUBLE) AS kd,
+         |    CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS st,
+         |    CAST(sst AS DOUBLE) AS sst, CAST(sb AS DOUBLE) AS sb FROM a),
+         |e AS (SELECT k, n, kd, nd,
+         |    sb - st * st / nd AS ssb, sst - sb AS ssw FROM d)
+         |SELECT k, n, round(ssb / (kd - 1) / (ssw / (nd - kd)), 6) AS f_stat,
+         |  k - 1 AS df1, n - k AS df2,
+         |  round(ssb / (ssb + ssw), 6) AS eta_sq
+         |FROM e""".stripMargin)),
+
+    // Vocabulary-coverage curve: share of corpus tokens covered by the
+    // top-V vocabulary at V ∈ {5, 10, 20, 50} — the tokenizer-sizing
+    // curve (complements q89's OOV rate at one fixed V). Counts are one
+    // shuffle on term; the cumulative share is a window over the
+    // VOCAB-sized count table (never corpus-sized rows), checkpointed
+    // by a map-side band filter.
+    Q("q198_vocab_coverage", (s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(explode(split(TextOps.cleanText(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("term").agg(count(lit(1)).as("cf"))
+      val tot = cnt.agg(sum("cf").as("tot"), count(lit(1)).as("vocab"))
+      val w = Window.orderBy(desc("cf"), asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cnt
+        .withColumn("rn", row_number().over(Window.orderBy(desc("cf"), asc("term"))))
+        .withColumn("cum", sum("cf").over(w))
+      ranked.filter(col("rn").isin(5, 10, 20, 50))
+        .crossJoin(broadcast(tot))
+        .select(col("rn").cast("long").as("top_v"), col("vocab"),
+          col("cum").as("tokens_covered"),
+          round(col("cum").cast("double") / col("tot"), 6).as("coverage"))
+        .orderBy("top_v")
+    }, Some(
+      s"""WITH cnt AS (SELECT term, count(*) AS cf FROM (
+         |    SELECT unnest(string_split(${cleanTextSql("text")}, ' ')) AS term
+         |    FROM documents) WHERE length(term) >= 3 GROUP BY term),
+         |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS tot, count(*) AS vocab FROM cnt),
+         |r AS (SELECT term, cf,
+         |    CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rn,
+         |    CAST(sum(cf) OVER (ORDER BY cf DESC, term
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM cnt)
+         |SELECT rn AS top_v, vocab, cum AS tokens_covered,
+         |  round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
+         |FROM r CROSS JOIN tot WHERE rn IN (5, 10, 20, 50)
+         |ORDER BY top_v""".stripMargin)),
+
     // Brier score + log-loss for q138's scorer — the PROPER scoring
     // rules that complement threshold metrics (q139) and ranking metrics
     // (q140). Per-row contributions are rounded to 9dp (the transcendental
