@@ -878,6 +878,164 @@ object MiningQueries {
          |FROM r CROSS JOIN tot WHERE rn IN (5, 10, 20, 50)
          |ORDER BY top_v""".stripMargin)),
 
+    // Pairwise KS divergence matrix across sources (generalizes q94's
+    // one-pair test to the full ingest-monitoring grid): per-source
+    // CDFs are evaluated on the pooled value grid (per-source window
+    // cumsum over the |values|-sized grid, never |rows|), then one
+    // self-join on value computes sup|F_a − F_b| for all C(20,2) pairs
+    // at once. CDF values are exact rationals. Top-5 most-divergent
+    // pairs — the "which source drifted" answer in one pass.
+    Q("q199_ks_matrix", (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+      val counts = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val totals = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val values = d.select("n_chars").distinct()
+      val grid = values.crossJoin(broadcast(totals))
+        .join(counts, Seq("source", "n_chars"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wc = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid.withColumn("cum", sum("c").over(wc))
+        .select(col("source"), col("n_chars"), col("cum"), col("n"))
+      val a = cdf.as("a")
+      val b = cdf.as("b")
+      a.join(b, col("a.n_chars") === col("b.n_chars") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")))
+          .as("num"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+        .select(col("source_a"), col("source_b"),
+          round(col("num").cast("double") / (col("na") * col("nb")), 6).as("ks"))
+        .orderBy(desc("ks"), asc("source_a"), asc("source_b")).limit(5)
+    }, Some(
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |counts AS (SELECT source, n_chars, count(*) AS c
+        |           FROM d GROUP BY source, n_chars),
+        |totals AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+        |vals AS (SELECT DISTINCT n_chars FROM d),
+        |grid AS (SELECT t.source, v.n_chars, t.n, coalesce(c.c, 0) AS c
+        |  FROM vals v CROSS JOIN totals t
+        |  LEFT JOIN counts c ON c.source = t.source AND c.n_chars = v.n_chars),
+        |cdf AS (SELECT source, n_chars, n,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM grid),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    max(abs(a.cum * b.n - b.cum * a.n)) AS num,
+        |    min(a.n) AS na, min(b.n) AS nb
+        |  FROM cdf a JOIN cdf b
+        |    ON a.n_chars = b.n_chars AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT source_a, source_b,
+        |  round(CAST(num AS DOUBLE) / (na * nb), 6) AS ks
+        |FROM p ORDER BY ks DESC, source_a, source_b LIMIT 5""".stripMargin)),
+
+    // Kaplan–Meier survival of customer lifetime (first→last order
+    // span; churn event if the last order predates the 30-day horizon,
+    // else censored): Ŝ(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ) computed as
+    // exp(Σ ln(1−dᵢ/nᵢ)) — the product becomes a WINDOW CUMSUM of
+    // 9dp-rounded log terms over the |distinct lifetimes|-sized risk
+    // table, the canonical trick for distributed running products.
+    // Read out at fixed horizons {30,90,180,365}.
+    Q("q202_kaplan_meier", (s, dir) => {
+      val span = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+      val g = span.agg(max("last_d").as("gmax"))
+      val life = span.crossJoin(broadcast(g))
+        .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+          when(datediff(col("gmax"), col("last_d")) > 30, 1L).otherwise(0L)
+            .as("event"))
+      val tot = life.agg(count(lit(1)).as("n_total"))
+      // risk table: deaths at t; at-risk = those with lifetime ≥ t
+      val byT = life.groupBy("t")
+        .agg(sum("event").as("d"), count(lit(1)).as("c"))
+      val wAll = Window.orderBy(desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = byT.withColumn("n_risk", sum("c").over(wAll))
+        .filter(col("d") > 0)
+      val wS = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val surv = risk
+        // terminal event (d = n_risk): survival hits exactly 0 — a −1e6
+        // log term underflows exp() to 0.0 identically in both engines
+        .withColumn("lg", when(col("d") === col("n_risk"), lit(-1e6))
+          .otherwise(round(log(lit(1.0) - col("d").cast("double") /
+            col("n_risk")), 9)))
+        .withColumn("cuml", sum(col("lg").cast(DecimalType(20, 12))).over(wS))
+        .select(col("t"), col("d"), col("n_risk"),
+          round(exp(col("cuml").cast("double")), 6).as("s"))
+      val horizons = surv.crossJoin(broadcast(
+          s.range(1).select(explode(typedLit(Seq(30L, 90L, 180L, 365L))).as("h"))))
+        .filter(col("t") <= col("h"))
+        .groupBy("h").agg(max_by(col("s"), col("t")).as("survival"),
+          max("t").as("last_event_t"))
+      horizons.crossJoin(broadcast(tot))
+        .select(col("h").as("horizon_days"), col("survival"),
+          col("last_event_t"), col("n_total"))
+        .orderBy("horizon_days")
+    }, Some(
+      """WITH span AS (SELECT o_custkey,
+        |    min(date_trunc('day', o_orderdate)) AS first_d,
+        |    max(date_trunc('day', o_orderdate)) AS last_d
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT max(last_d) AS gmax FROM span),
+        |life AS (SELECT date_diff('day', first_d, last_d) AS t,
+        |    CASE WHEN date_diff('day', last_d, g.gmax) > 30 THEN 1 ELSE 0 END
+        |      AS event
+        |  FROM span CROSS JOIN g),
+        |tot AS (SELECT count(*) AS n_total FROM life),
+        |byt AS (SELECT t, CAST(sum(event) AS BIGINT) AS d, count(*) AS c
+        |        FROM life GROUP BY t),
+        |risk AS (SELECT t, d, CAST(sum(c) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM byt),
+        |surv AS (SELECT t, d, n_risk,
+        |    round(exp(CAST(sum(CAST(CASE WHEN d = n_risk THEN -1e6
+        |      ELSE round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9) END
+        |      AS DECIMAL(20,12))) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+        |      AS s
+        |  FROM risk WHERE d > 0),
+        |h AS (SELECT UNNEST([30, 90, 180, 365]) AS h),
+        |pick AS (SELECT h.h, max(surv.t) AS last_event_t
+        |  FROM h JOIN surv ON surv.t <= h.h GROUP BY h.h)
+        |SELECT CAST(pick.h AS BIGINT) AS horizon_days, surv.s AS survival,
+        |  pick.last_event_t AS last_event_t, tot.n_total AS n_total
+        |FROM pick JOIN surv ON surv.t = pick.last_event_t CROSS JOIN tot
+        |ORDER BY horizon_days""".stripMargin)),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // key(i) = −ln(uᵢ)/wᵢ with uᵢ a StableHash-derived uniform — the
+    // k smallest keys ARE a weighted sample, drawn in ONE distributed
+    // pass with no sequential draw loop. Deterministic: same hash, same
+    // keys, same sample in both engines. The importance-sampling
+    // primitive for value-weighted corpus subsetting.
+    Q("q203_weighted_sample", (s, dir) => {
+      import graft.text.StableHash64
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_totalprice"),
+        (pmod(StableHash64(concat(lit("ws:"), col("o_orderkey").cast("string"))),
+          lit(1000000000L)) + 1).as("hu"))
+      o.select(col("o_orderkey"), col("o_totalprice"),
+          round(-log(col("hu").cast("double") / 1.000000001e9) /
+            col("o_totalprice") * 1e6, 9).as("key"))
+        .orderBy(asc("key"), asc("o_orderkey")).limit(20)
+    }, Some {
+      val h = graft.text.StableHash.hashes64Sql(
+        "['ws:' || CAST(o_orderkey AS VARCHAR)]") + "[1]"
+      s"""WITH o AS (SELECT o_orderkey, o_totalprice,
+         |    ((CAST(CASE WHEN $h >= 9223372036854775808
+         |        THEN $h - 18446744073709551616 ELSE $h END AS BIGINT)
+         |      % 1000000000) + 1000000000) % 1000000000 + 1 AS hu
+         |  FROM orders)
+         |SELECT o_orderkey, o_totalprice,
+         |  round(-ln(CAST(hu AS DOUBLE) / 1.000000001e9) / o_totalprice * 1e6, 9)
+         |    AS key
+         |FROM o ORDER BY key, o_orderkey LIMIT 20""".stripMargin
+    }),
+
     // Brier score + log-loss for q138's scorer — the PROPER scoring
     // rules that complement threshold metrics (q139) and ranking metrics
     // (q140). Per-row contributions are rounded to 9dp (the transcendental

@@ -521,6 +521,33 @@ object ScaleQueries {
         |  CAST(sum(length(props)) AS BIGINT) AS props_len
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Plain-text (line-oriented) round trip: the lowest-common-
+    // denominator interchange format — one TSV line per document via
+    // the text sink, read back with the schemaless text source and
+    // re-parsed with split(). Lossless is the contract: the per-source
+    // census after the round trip must equal the direct aggregate
+    // (which is exactly what the oracle computes).
+    Q("q204_text_roundtrip", (s, dir) => {
+      val tmp = graft.sources.Staging.scratchDir("text-rt").toString + "/docs"
+      Tables.documents(s, dir)
+        .select(concat_ws("\t", col("doc_id"), col("source"), col("n_chars"))
+          .as("value"))
+        .write.text(tmp)
+      s.read.text(tmp)
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+          element_at(col("f"), 2).as("source"),
+          element_at(col("f"), 3).cast("long").as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("tot_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    }, Some(
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ORC round trip: the other columnar format a lakehouse ingests.
     // Write ORC, read it back, aggregate; DuckDB cannot read ORC, so the
     // oracle aggregates the source table — losslessness is the check.
