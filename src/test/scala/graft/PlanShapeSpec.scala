@@ -68,4 +68,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
   }
+
+  test("grid distance join is an equi-join on cells, never a theta join") {
+    val plan = executedPlan("q184_grid_distance_join")
+    // 9-cell probe explode + hash join on (cx, cy); the single-row
+    // aggregate output has no join at all downstream
+    assert(plan.contains("explode"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("sorted-neighborhood candidates come from a hash join on rank, not a range join") {
+    val plan = executedPlan("q194_sorted_neighborhood")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("association rules broadcast the marginals onto the pair counts") {
+    val plan = executedPlan("q181_assoc_rules")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("adamic-adar expands wedges map-side and anti-joins edges by hash") {
+    val plan = executedPlan("q197_adamic_adar")
+    assert(plan.contains("explode"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("item-CF computes directed sims once (no self-union re-execution)") {
+    val df = SparkEntry.queries("q157_itemcf_recommend")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the both-directions table is one explode over the aggregated pair
+    // counts — a Union of two pair-count pipelines would show two
+    // identical HashAggregate(keys=[i, j]) branches
+    assert(plan.contains("explode"), plan.take(4000))
+  }
 }
