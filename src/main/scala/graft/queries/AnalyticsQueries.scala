@@ -561,6 +561,71 @@ object AnalyticsQueries {
         |SELECT node, rp / 1e12 AS rank FROM r3
         |ORDER BY rank DESC, node ASC""".stripMargin)),
 
+    // HITS hub/authority over the customer↔brand purchase bipartite
+    // graph, two unrolled iterations (Kleinberg's other eigenvector,
+    // next to q84's PageRank): authority = weighted in-links from hubs,
+    // hubs = weighted out-links to authorities, MAX-normalized each
+    // half-step with the max as a one-row broadcast. Every accumulation
+    // is an exact integer sum (weights × pico-quantized scores), so the
+    // trajectory is partition-order-free; only the normalization
+    // divides, identically in both engines.
+    Q("q207_hits", (s, dir) => {
+      val w = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .persist()
+      def normPico(df: org.apache.spark.sql.DataFrame, key: String,
+                   raw: String): org.apache.spark.sql.DataFrame = {
+        val mx = df.agg(max(col(raw)).as("mx"))
+        df.crossJoin(broadcast(mx))
+          .select(col(key),
+            floor(col(raw).cast("double") / col("mx") * lit(1e12) + lit(0.5))
+              .cast("long").as("p"))
+      }
+      // hub0 ≡ 1: auth1_raw = Σ w per brand
+      val a1 = normPico(
+        w.groupBy("b").agg(sum("w").as("raw")), "b", "raw")
+      val h1 = normPico(
+        w.join(broadcast(a1), "b")
+          .groupBy("c").agg(sum(col("w") * col("p")).as("raw")), "c", "raw")
+      val a2 = normPico(
+        w.join(h1.select(col("c"), col("p").as("hp")), "c")
+          .groupBy("b").agg(sum(col("w") * col("hp")).as("raw")), "b", "raw")
+      val buyers = w.groupBy("b").agg(count(lit(1)).as("n_buyers"))
+      a2.join(broadcast(buyers), "b")
+        .select(col("b").as("brand"), col("n_buyers"),
+          round(col("p") / lit(1e12), 6).as("authority"))
+        .orderBy(desc("authority"), asc("brand")).limit(10)
+    }, Some(
+      """WITH w AS MATERIALIZED (
+        |  SELECT o_custkey AS c, p_brand AS b, count(*) AS w
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN part ON p_partkey = l_partkey
+        |  GROUP BY o_custkey, p_brand),
+        |a1r AS (SELECT b, CAST(sum(w) AS BIGINT) AS raw FROM w GROUP BY b),
+        |a1 AS MATERIALIZED (SELECT b, CAST(floor(CAST(raw AS DOUBLE) /
+        |    (SELECT max(raw) FROM a1r) * 1e12 + 0.5) AS BIGINT) AS p FROM a1r),
+        |h1r AS (SELECT c, CAST(sum(w.w * a1.p) AS BIGINT) AS raw
+        |        FROM w JOIN a1 USING (b) GROUP BY c),
+        |h1 AS MATERIALIZED (SELECT c, CAST(floor(CAST(raw AS DOUBLE) /
+        |    (SELECT max(raw) FROM h1r) * 1e12 + 0.5) AS BIGINT) AS p FROM h1r),
+        |a2r AS (SELECT b, CAST(sum(w.w * h1.p) AS BIGINT) AS raw
+        |        FROM w JOIN h1 USING (c) GROUP BY b),
+        |a2 AS (SELECT b, CAST(floor(CAST(raw AS DOUBLE) /
+        |    (SELECT max(raw) FROM a2r) * 1e12 + 0.5) AS BIGINT) AS p FROM a2r),
+        |buyers AS (SELECT b, count(*) AS n_buyers FROM w GROUP BY b)
+        |SELECT a2.b AS brand, buyers.n_buyers AS n_buyers,
+        |  round(a2.p / 1e12, 6) AS authority
+        |FROM a2 JOIN buyers USING (b)
+        |ORDER BY authority DESC, brand LIMIT 10""".stripMargin)),
+
     // Funnel latency distribution: first-view → first-qualifying-purchase
     // delay per user (the q63 staged-min-join chain), summarized as
     // p50/p90/p99 seconds. The per-user reduction happens in the keyed

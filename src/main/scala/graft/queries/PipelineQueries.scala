@@ -7,6 +7,7 @@ import graft.similarity.Knn
 import graft.sources.Tables
 import graft.text.StableHash
 import graft.vector.VectorOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pipeline extensions: ANN similarity search, multimodal decode
@@ -223,6 +224,64 @@ object PipelineQueries {
          |  max(rms) AS peak_rms,
          |  CAST(sum(CASE WHEN rms < 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
          |FROM e GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Voice-activity segmentation over q117's audio windows: the
+    // GAPS-AND-ISLANDS pattern — active windows (RMS ≥ 30) collapse
+    // into contiguous runs via island_id = win_idx − row_number()
+    // (keyed window, no self-join), then one aggregate per island and
+    // one per clip. The segment census every audio-curation pipeline
+    // needs (speech runs, longest run, active share).
+    Q("q205_vad_segments", (s, dir) => {
+      val win = Multimodal.audioWindows(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+            .filter(col("kind") === "audio"))
+        .withColumn("rms",
+          round(sqrt(col("sum_sq").cast("double") / col("n_bytes")), 6))
+      val active = win.filter(col("rms") >= 30.0)
+        .withColumn("island", col("win_idx") - row_number().over(
+          Window.partitionBy("id").orderBy("win_idx")))
+      val segs = active.groupBy("id", "island")
+        .agg(count(lit(1)).as("len"), min("win_idx").as("seg_start"))
+      val tot = win.groupBy("id").agg(count(lit(1)).as("n_windows"))
+      segs.groupBy("id")
+        .agg(count(lit(1)).as("n_segments"), max("len").as("max_seg_len"),
+          sum("len").as("active_windows"),
+          min("seg_start").as("first_active"))
+        .join(tot, "id")
+        .select(col("id"), col("n_windows"), col("n_segments"),
+          col("max_seg_len"), col("active_windows"), col("first_active"),
+          round(col("active_windows").cast("double") / col("n_windows"), 6)
+            .as("active_share"))
+        .orderBy("id")
+    }, Some(
+      s"""WITH media AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  WHERE (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'audio'),
+         |w AS (SELECT id, unnest(range(0, length(text), 256)) AS start, text
+         |      FROM media),
+         |win AS (SELECT id, start // 256 AS win_idx,
+         |          substr(text, CAST(start + 1 AS INT), 256) AS frame FROM w),
+         |e AS (SELECT id, win_idx, round(sqrt(CAST(list_sum(list_transform(
+         |          string_split(frame, ''), c -> CAST((ascii(c) - 128)
+         |            * (ascii(c) - 128) AS BIGINT))) AS DOUBLE)
+         |          / length(frame)), 6) AS rms
+         |      FROM win),
+         |act AS (SELECT id, win_idx,
+         |    win_idx - row_number() OVER (PARTITION BY id ORDER BY win_idx)
+         |      AS island
+         |  FROM e WHERE rms >= 30.0),
+         |segs AS (SELECT id, island, count(*) AS len,
+         |    CAST(min(win_idx) AS BIGINT) AS seg_start
+         |  FROM act GROUP BY id, island),
+         |tot AS (SELECT id, count(*) AS n_windows FROM e GROUP BY id),
+         |per AS (SELECT id, count(*) AS n_segments, max(len) AS max_seg_len,
+         |    CAST(sum(len) AS BIGINT) AS active_windows,
+         |    min(seg_start) AS first_active
+         |  FROM segs GROUP BY id)
+         |SELECT per.id AS id, n_windows, n_segments, max_seg_len,
+         |  active_windows, first_active,
+         |  round(CAST(active_windows AS DOUBLE) / n_windows, 6) AS active_share
+         |FROM per JOIN tot USING (id) ORDER BY id""".stripMargin)),
 
     // Offline embedding build (embed.py end-to-end): clean → len-filter →
     // hash-embed → mean-pool per source. StableHash's DuckDB mirror makes

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Helpers._
 
-  val all: Seq[Q] = Seq(q110, q125, q126) ++ Seq(
+  val all: Seq[Q] = Seq(q110, q125, q126, q206) ++ Seq(
 
     // Pricing summary (TPC-H Q1 shape): scan → filter (pushed to parquet)
     // → hash agg with map-side combine → tiny sort.
@@ -314,6 +314,44 @@ object RelationalQueries {
        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
        |GROUP BY n_name ORDER BY revenue DESC, nation""".stripMargin))
+
+  // TPC-H Q10 (returned-item reporting): customers who returned items in
+  // one quarter ranked by lost revenue — the classic fact-fact-dim star
+  // with a selective fact predicate (returnflag pushed INTO the lineitem
+  // scan) and a top-k cutoff. Catalyst broadcasts nation, shuffle-joins
+  // orders⋈lineitem on the order key; TakeOrderedAndProject caps the
+  // result without a global sort.
+  private def q206: Q = Q("q206_tpch10_returned_items", (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("nation"),
+        col("revenue"), col("n_items"))
+  }, Some(
+    s"""SELECT c_custkey, c_name, n_name AS nation,
+       | ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       | count(*) AS n_items
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
   // Bag-semantics set operations (q07 covers the DISTINCT forms):
   // INTERSECT ALL / EXCEPT ALL over the per-order priority multiset of
