@@ -1036,6 +1036,133 @@ object MiningQueries {
          |FROM o ORDER BY key, o_orderkey LIMIT 20""".stripMargin
     }),
 
+    // Forward-fill (LOCF) imputation over the gappy daily revenue
+    // series: build the dense calendar grid (q47's shape), then
+    // last_value(IGNORE NULLS) over an ordered window carries the last
+    // observation forward — the standard time-series imputation, as one
+    // window over the |days|-sized grid. Census: how many days were
+    // imputed, plus the exact filled-series total.
+    Q("q208_locf_impute", (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        // sparsify deterministically: drop ~third of days to create gaps
+        .filter(pmod(dayofmonth(col("o_orderdate")), lit(3)) =!= 0)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(micros(col("o_totalprice"))).as("x"))
+      val bounds = Tables.orders(s, dir)
+        .agg(to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+      val grid = bounds
+        .select(explode(sequence(lit(0L), datediff(col("d1"), col("d0"))))
+          .as("idx"), col("d0"))
+        .select(col("idx"), date_add(col("d0"), col("idx").cast("int")).as("day"))
+      val joined = grid.join(daily, Seq("day"), "left")
+      val w = Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = joined.withColumn("fx",
+        last(col("x"), ignoreNulls = true).over(w))
+      filled.agg(count(lit(1)).as("n_days"),
+          sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_imputed"),
+          sum(when(col("x").isNull && col("fx").isNull, 1L).otherwise(0L))
+            .as("n_unfillable"),
+          round(sum(coalesce(col("fx"), lit(0L)).cast(DecimalType(38, 0)))
+            .cast("double") / 1e6, 2).as("filled_total"))
+    }, Some(
+      s"""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+         |    CAST(sum(${microsSql("o_totalprice")}) AS BIGINT) AS x
+         |  FROM orders WHERE day(o_orderdate) % 3 <> 0 GROUP BY 1),
+         |b AS (SELECT date_trunc('day', min(o_orderdate)) AS d0,
+         |        date_trunc('day', max(o_orderdate)) AS d1 FROM orders),
+         |grid AS (SELECT u.i AS idx, d0 + to_days(CAST(u.i AS INT)) AS day
+         |  FROM b, UNNEST(range(0, date_diff('day', d0, d1) + 1)) AS u(i)),
+         |j AS (SELECT grid.idx, daily.x FROM grid LEFT JOIN daily USING (day)),
+         |f AS (SELECT idx, x, last_value(x IGNORE NULLS) OVER (ORDER BY idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fx
+         |  FROM j)
+         |SELECT count(*) AS n_days,
+         |  CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+         |  CAST(sum(CASE WHEN x IS NULL AND fx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unfillable,
+         |  round(CAST(sum(CAST(coalesce(fx, 0) AS HUGEINT)) AS DOUBLE) / 1e6, 2)
+         |    AS filled_total
+         |FROM f""".stripMargin)),
+
+    // Per-dimension embedding standardization stats (the whitening
+    // front-end of vector pipelines): posexplode to (dim, value),
+    // exact micro-integer moments per dimension, mean/σ/min/max for
+    // every coordinate — one shuffle on the 64-key dim column, counts
+    // bounded by dim × corpus. The feature-scaling audit before any
+    // distance computation.
+    Q("q209_embedding_standardize", (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(posexplode(graft.vector.VectorOps.asDouble(col("embedding")))
+          .as(Seq("pos", "v")))
+        .select(col("pos").cast("long").as("dim"),
+          (col("v").cast(DecimalType(20, 9)) * 1000000000L).cast("long").as("nv"))
+      e.groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("nv").cast(DecimalType(38, 0))).as("s"),
+          sum(col("nv").cast(DecimalType(38, 0)) * col("nv")).as("ss"),
+          min("nv").as("mn"), max("nv").as("mx"))
+        .select(col("dim"),
+          round(col("s").cast("double") / col("n") / 1e9, 6).as("mean"),
+          round(sqrt(col("ss").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) *
+            (col("s").cast("double") / col("n"))) / 1e9, 6).as("std"),
+          round(col("mn") / 1e9, 6).as("min_v"),
+          round(col("mx") / 1e9, 6).as("max_v"))
+        .orderBy("dim")
+    }, Some(
+      """WITH e AS (SELECT pos1 - 1 AS dim,
+        |    CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS nv
+        |  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |          generate_subscripts(embedding, 1) AS pos1 FROM embeddings)),
+        |a AS (SELECT dim, count(*) AS n, sum(CAST(nv AS HUGEINT)) AS s,
+        |    sum(CAST(nv AS HUGEINT) * nv) AS ss,
+        |    min(nv) AS mn, max(nv) AS mx
+        |  FROM e GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  round(CAST(s AS DOUBLE) / n / 1e9, 6) AS mean,
+        |  round(sqrt(CAST(ss AS DOUBLE) / n -
+        |    (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1e9, 6) AS std,
+        |  round(mn / 1e9, 6) AS min_v, round(mx / 1e9, 6) AS max_v
+        |FROM a ORDER BY dim""".stripMargin)),
+
+    // Burstiness / index-of-dispersion per event type: Fano factor
+    // D = Var/Mean of the per-hour event counts (D≈1 ⇒ Poisson-like,
+    // D≫1 ⇒ bursty — the traffic-shape diagnostic for capacity and
+    // anomaly work). Hourly counts are one keyed aggregate; the
+    // variance comes from exact integer moments per type.
+    Q("q210_burstiness", (s, dir) => {
+      val hourly = EventQueries.events(s, dir)
+        .groupBy(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("c"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum("c").as("s"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("event_type"), col("n_hours"),
+          col("s").as("n_events"),
+          round(col("s").cast("double") / col("n_hours"), 6).as("mean_per_hr"),
+          round((col("ss").cast("double") / col("n_hours") -
+            (col("s").cast("double") / col("n_hours")) *
+            (col("s").cast("double") / col("n_hours"))) /
+            (col("s").cast("double") / col("n_hours")), 6).as("fano"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hr,
+        |    count(*) AS c
+        |  FROM events GROUP BY event_type, hr),
+        |a AS (SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM hourly GROUP BY event_type)
+        |SELECT event_type, n_hours, s AS n_events,
+        |  round(CAST(s AS DOUBLE) / n_hours, 6) AS mean_per_hr,
+        |  round((CAST(ss AS DOUBLE) / n_hours -
+        |    (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours)) /
+        |    (CAST(s AS DOUBLE) / n_hours), 6) AS fano
+        |FROM a ORDER BY event_type""".stripMargin)),
+
     // Brier score + log-loss for q138's scorer — the PROPER scoring
     // rules that complement threshold metrics (q139) and ranking metrics
     // (q140). Per-row contributions are rounded to 9dp (the transcendental

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Helpers._
 
-  val all: Seq[Q] = Seq(q110, q125, q126, q206) ++ Seq(
+  val all: Seq[Q] = Seq(q110, q125, q126, q206, q211) ++ Seq(
 
     // Pricing summary (TPC-H Q1 shape): scan → filter (pushed to parquet)
     // → hash agg with map-side combine → tiny sort.
@@ -352,6 +352,52 @@ object RelationalQueries {
        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  // Aggregation-based top-k per group — the WINDOW-FREE top-k: rank
+  // brands per nation by purchase count via sort_array + slice over a
+  // per-group collected array of (count, brand) structs. Unlike q03/
+  // q32's row_number window (which shuffles and sorts EVERY row), the
+  // state here is bounded by the group's distinct-brand census — at
+  // 100 TB the window form needs a full repartition-sort while this
+  // form partial-aggregates map-side and moves only (group, brand)
+  // counts. Output exploded back to rows.
+  private def q211: Q = Q("q211_group_topk_agg", (s, dir) => {
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_nationkey"), col("p_brand"))
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy("c_nationkey")
+      .agg(slice(sort_array(collect_list(
+        struct((-col("cnt")).as("nc"), col("p_brand").as("b")))), 1, 3)
+        .as("top"))
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("nationkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.b").as("brand"), (-col("t.nc")).as("n_purchases"))
+      .orderBy("nationkey", "rank")
+  }, Some(
+    """WITH cells AS (SELECT c_nationkey, p_brand, count(*) AS cnt
+      |  FROM lineitem
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN customer ON c_custkey = o_custkey
+      |    JOIN part ON p_partkey = l_partkey
+      |  GROUP BY c_nationkey, p_brand),
+      |r AS (SELECT c_nationkey, p_brand, cnt, row_number() OVER
+      |    (PARTITION BY c_nationkey ORDER BY cnt DESC, p_brand) AS rk
+      |  FROM cells)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  CAST(rk AS BIGINT) AS rank, p_brand AS brand,
+      |  CAST(cnt AS BIGINT) AS n_purchases
+      |FROM r WHERE rk <= 3 ORDER BY nationkey, rank""".stripMargin))
 
   // Bag-semantics set operations (q07 covers the DISTINCT forms):
   // INTERSECT ALL / EXCEPT ALL over the per-order priority multiset of
