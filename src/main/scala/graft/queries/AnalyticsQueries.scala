@@ -570,13 +570,14 @@ object AnalyticsQueries {
     // trajectory is partition-order-free; only the normalization
     // divides, identically in both engines.
     Q("q207_hits", (s, dir) => {
+      // orders/part are fact-scaled — no broadcast hints (AQE decides)
       val w = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
-        .join(broadcast(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey"))),
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
         .agg(count(lit(1)).as("w"))

@@ -89,22 +89,32 @@ object MiningQueries {
     // Gini coefficient + top-decile share of customer spend (the
     // inequality/concentration audit for traffic, revenue, token
     // budgets). G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spend sorted
-    // ascending — Σ i·x as one exact decimal sum over ranked rows. The
-    // global rank is the honest cost (a range-partitioned sort at
-    // 100 TB); everything after it is map-side arithmetic.
+    // ascending. NO per-row rank materializes: x is constant within a
+    // tie group, so Σ i·x over the group collapses to the closed form
+    // x·(prev·cnt + cnt(cnt+1)/2), and the top-decile membership count
+    // is |{i ∈ (prev, prev+cnt] : 10i > 9n}| = clamp(cle − 9n div 10,
+    // 0, cnt) — the q175 value-rank trick. The only window runs over
+    // the |distinct spend| value census (post-aggregate), never the
+    // per-customer rows, so nothing row-granularity crosses a single
+    // partition at 100 TB.
     Q("q176_gini_spend", (s, dir) => {
       val spend = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast(DecimalType(20, 6))).as("x"))
-      val w = Window.orderBy(col("x"), col("o_custkey"))
-      val ranked = spend.withColumn("i", row_number().over(w))
+      val wv = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vals = spend.groupBy("x").agg(count(lit(1)).as("cnt"))
+        .withColumn("cle", sum("cnt").over(wv))
+        .withColumn("prev", col("cle") - col("cnt"))
         .crossJoin(broadcast(spend.agg(count(lit(1)).as("nn"))))
-      val agg = ranked.agg(
-        count(lit(1)).as("n"),
-        sum("x").as("sx"),
-        sum(col("x") * col("i")).as("six"),
-        sum(when(col("i") * 10 > col("nn") * 9, col("x"))
-          .otherwise(lit(0).cast(DecimalType(20, 6)))).as("top_sx"))
+      val agg = vals.agg(
+        sum("cnt").as("n"),
+        sum(col("x") * col("cnt")).as("sx"),
+        sum(col("x") *
+          (col("prev") * col("cnt") + expr("cnt * (cnt + 1) div 2"))).as("six"),
+        sum(col("x") *
+          greatest(lit(0L), least(col("cnt"),
+            col("cle") - expr("nn * 9 div 10")))).as("top_sx"))
       agg.select(col("n"),
         round(col("sx").cast("double"), 2).as("total_spend"),
         round(lit(2.0) * col("six").cast("double") /
@@ -299,11 +309,16 @@ object MiningQueries {
         |FROM k ORDER BY lift DESC, ante, cons LIMIT 10""".stripMargin)),
 
     // RFM (recency / frequency / monetary) quintile segmentation — the
-    // classic customer-value census. Quintiles via ntile(5) over total
-    // orders (ties broken by key, so bucket edges are deterministic in
-    // both engines); the census groups 125 possible segments into one
-    // tiny frame. The three global sorts are the honest cost (range
-    // partition at scale); everything else is map-side.
+    // classic customer-value census. ntile(5) semantics are reproduced
+    // EXACTLY without any row-granularity global sort: per dimension,
+    // the global rank of a customer decomposes into (weight of all
+    // earlier value-BUCKETS — a bounded-domain census cumsum, the q175
+    // trick) + (row_number WITHIN its bucket — a window PARTITIONED by
+    // bucket, distributed across the cluster). The quintile index then
+    // falls out of ntile's closed form (first n%5 buckets get one
+    // extra row). Buckets: rec = the day itself, freq = the count
+    // itself, mon = floor(spend) — all domain-bounded, so only
+    // post-aggregate census rows ever cross a single partition.
     Q("q183_rfm_segments", (s, dir) => {
       val maxd = Tables.orders(s, dir).agg(max(to_date(col("o_orderdate"))).as("md"))
       val rfm = Tables.orders(s, dir)
@@ -315,10 +330,38 @@ object MiningQueries {
         .select(col("o_custkey"),
           datediff(col("md"), col("last_d")).cast("long").as("rec"),
           col("freq"), col("mon"))
-      val scored = rfm.select(col("o_custkey"), col("mon"),
-        ntile(5).over(Window.orderBy(asc("rec"), asc("o_custkey"))).as("r"),
-        ntile(5).over(Window.orderBy(desc("freq"), asc("o_custkey"))).as("f"),
-        ntile(5).over(Window.orderBy(desc("mon"), asc("o_custkey"))).as("m"))
+        .persist()
+      val nn = rfm.agg(count(lit(1)).as("n"))
+      // exact distributed ntile(5) over (value dir, o_custkey asc)
+      def quint(vcol: String, descOrd: Boolean, bucket: Column,
+                out: String): org.apache.spark.sql.DataFrame = {
+        val base = rfm.select(col("o_custkey"), col(vcol),
+          bucket.cast("long").as("bk"))
+        val bOrd = if (descOrd) col("bk").desc else col("bk").asc
+        val wb = Window.orderBy(bOrd)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = base.groupBy("bk").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", sum("cnt").over(wb) - col("cnt"))
+          .select(col("bk"), col("off"))
+        val ww =
+          if (descOrd) Window.partitionBy("bk")
+            .orderBy(col(vcol).desc, col("o_custkey").asc)
+          else Window.partitionBy("bk")
+            .orderBy(col(vcol).asc, col("o_custkey").asc)
+        base.join(offs, "bk")
+          .withColumn("i", col("off") + row_number().over(ww))
+          .crossJoin(broadcast(nn))
+          .withColumn(out, expr(
+            """CASE WHEN i <= (n % 5) * (n div 5 + 1)
+              |THEN (i - 1) div (n div 5 + 1) + 1
+              |ELSE n % 5 + (i - (n % 5) * (n div 5 + 1) - 1) div (n div 5) + 1
+              |END""".stripMargin))
+          .select(col("o_custkey"), col(out))
+      }
+      val scored = rfm.select("o_custkey", "mon")
+        .join(quint("rec", descOrd = false, col("rec"), "r"), "o_custkey")
+        .join(quint("freq", descOrd = true, col("freq"), "f"), "o_custkey")
+        .join(quint("mon", descOrd = true, floor(col("mon")), "m"), "o_custkey")
       scored.groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_customers"),
           round(sum("mon").cast("double"), 2).as("segment_value"))
@@ -413,13 +456,15 @@ object MiningQueries {
     // partitioning (the honest distributed form of MLlib's ALS — same
     // dataflow per iteration, here with an exact-arithmetic contract).
     Q("q185_als_rank1", (s, dir) => {
+      // orders and part are fact-scaled — no broadcast hint; AQE
+      // broadcasts at small SF and falls back to shuffle joins at 100 TB
       val r = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
-        .join(broadcast(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey"))),
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
         .agg(count(lit(1)).as("r"))
@@ -480,16 +525,18 @@ object MiningQueries {
     // rounding enters the sum), effective-brand count = 1/HHI. One
     // shuffle on (nation, brand); dims broadcast.
     Q("q186_hhi_concentration", (s, dir) => {
+      // orders/customer/part all scale with the data — no broadcast
+      // hints (AQE decides); only nation below is a true 25-row dim
       val cells = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
-        .join(broadcast(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey"))),
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("c_nationkey"), col("p_brand"))
         .agg(count(lit(1)).as("nb"))

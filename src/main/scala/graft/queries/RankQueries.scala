@@ -137,15 +137,14 @@ object RankQueries {
       import org.apache.spark.sql.types.DecimalType
       // ONE shuffle (on customer) builds the per-user item sets —
       // collect_set dedups in the partial aggregate, so no separate
-      // distinct exchange; the order→customer mapping broadcasts (at
-      // 100 TB AQE keeps this a shuffle join co-partitioned on the
-      // order key — the hint mirrors the dim-sized projection here).
-      // Item counts, item pairs, and the target cohort all derive from
-      // the cached sets map-side.
+      // distinct exchange. orders is fact-sized (scales with the data),
+      // so NO broadcast hint: AQE picks broadcast at small SF and a
+      // co-partitioned shuffle join at 100 TB. Item counts, item pairs,
+      // and the target cohort all derive from the cached sets map-side.
       val sets = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
-        .join(broadcast(Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey"))),
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .groupBy("c").agg(sort_array(collect_set("p")).as("ps"))

@@ -362,16 +362,18 @@ object RelationalQueries {
   // form partial-aggregates map-side and moves only (group, brand)
   // counts. Output exploded back to rows.
   private def q211: Q = Q("q211_group_topk_agg", (s, dir) => {
+    // orders/customer/part are fact-scaled — no broadcast hints; AQE
+    // broadcasts when a side fits and shuffle-joins at 100 TB
     val cells = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
-      .join(broadcast(Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))),
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_brand"))),
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("c_nationkey"), col("p_brand"))
       .agg(count(lit(1)).as("cnt"))

@@ -835,20 +835,40 @@ object StatQueries {
     // Weighted median: order totalprice weighted by line-item count —
     // the first price whose cumulative weight reaches half the total
     // (lower weighted median, ties broken by key so the crossing row is
-    // unique). Exact via one ordered cumsum over per-order weights; at
-    // 100 TB the exact form gives way to the mergeable histogram (q90) —
-    // this is its audit baseline. Emitted next to the unweighted median.
+    // unique). TWO-LEVEL selection, no row-granularity global sort:
+    // (1) histogram the weights by integer price bucket (domain-bounded
+    // — the bucket census is the price RANGE, not the row count) and
+    // cumsum over that post-aggregate census to locate the single
+    // bucket containing the crossing; (2) rank only inside that one
+    // bucket (window PARTITIONED by bucket — a sliver of the data),
+    // offset by the weight of everything before it. The exact per-row
+    // crossing survives, but nothing |rows|-sized ever enters a
+    // single-partition exchange.
     Q("q129_weighted_median", (s, dir) => {
       val o = Tables.orders(s, dir).select(col("o_orderkey"),
         col("o_totalprice").cast("double").as("v"))
       val li = Tables.lineitem(s, dir)
         .groupBy("l_orderkey").agg(count(lit(1)).as("w"))
       val ow = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("b", floor(col("v")).cast("long"))
       val tot = ow.agg(sum("w").as("wt"), percentile(col("v"), lit(0.5)).as("um"))
-      val wc = Window.orderBy("v", "o_orderkey")
+      // bucket census: |distinct floor(price)| rows, then one cumsum
+      val wcb = Window.orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ow.withColumn("cum", sum("w").over(wc))
+      val bstar = ow.groupBy("b").agg(sum("w").as("wb"))
+        .withColumn("bcum", sum("wb").over(wcb))
         .crossJoin(broadcast(tot))
+        .filter(col("bcum") * 2 >= col("wt"))
+        .orderBy("b").limit(1)
+        .select(col("b"), (col("bcum") - col("wb")).as("boff"),
+          col("wt"), col("um"))
+      // rank only the median bucket's rows; global cum = bucket offset +
+      // within-bucket cumsum (floor preserves the (v, key) order across
+      // buckets, and price ties cannot straddle an integer bucket edge)
+      val wcv = Window.partitionBy("b").orderBy("v", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ow.join(broadcast(bstar), "b")
+        .withColumn("cum", col("boff") + sum("w").over(wcv))
         .filter(col("cum") * 2 >= col("wt"))
         .orderBy("v", "o_orderkey")
         .limit(1)

@@ -5,12 +5,67 @@ package graft
   * "equi-join, not a theta join", the executed plan is held to it.
   */
 class PlanShapeSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.FileSourceScanExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+  import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
   private val sf = "/root/testdata/sf0.001"
 
   private def executedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect()
     df.queryExecution.executedPlan.toString
+  }
+
+  /** The STATIC physical plan (AQE off, auto-broadcast off): the only
+    * broadcasts left are the ones the query text forces with a hint —
+    * exactly the set the scale audit is about.
+    */
+  private def staticPlan(name: String): SparkPlan = {
+    val c = spark.conf
+    val aqe = c.get("spark.sql.adaptive.enabled", "true")
+    val thr = c.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    c.set("spark.sql.adaptive.enabled", "false")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally {
+      c.set("spark.sql.adaptive.enabled", aqe)
+      c.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.catalog.clearCache()
+    }
+  }
+
+  private def hasAggregate(p: SparkPlan): Boolean =
+    p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+
+  private def fileScans(p: SparkPlan): Seq[String] =
+    p.collect { case f: FileSourceScanExec =>
+      f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+
+  /** Forced-broadcast subtrees that carry raw (un-aggregated) rows of a
+    * fact-scaled table — the pattern that pins a driver-OOM plan at
+    * 100×. Aggregated broadcast frames (one-row stats, count tables)
+    * and true dims (nation/region/supplier) are fine.
+    */
+  private def factBroadcasts(name: String): Seq[String] = {
+    val facts = Seq("orders", "customer", "part", "lineitem", "events",
+      "documents", "embeddings").map(t => s"$t.parquet")
+    staticPlan(name).collect { case b: BroadcastExchangeExec => b }
+      .filterNot(hasAggregate)
+      .flatMap(fileScans)
+      .filter(p => facts.exists(p.contains))
+  }
+
+  /** Single-partition shuffles whose input is raw row-granularity data
+    * (no aggregate below them) — the one-task global sort/window.
+    */
+  private def rowLevelSinglePartitionShuffles(name: String): Seq[String] = {
+    staticPlan(name).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.filterNot(hasAggregate).map(_.toString)
   }
 
   test("triangle count probes the closing-edge set via broadcast hash join") {
@@ -95,6 +150,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("explode"), plan.take(4000))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("no forced broadcast of fact-scaled tables in the heavy join queries") {
+    for (q <- Seq("q157_itemcf_recommend", "q185_als_rank1",
+        "q186_hhi_concentration", "q207_hits", "q211_group_topk_agg")) {
+      val bad = factBroadcasts(q)
+      assert(bad.isEmpty, s"$q forces a fact-table broadcast: $bad")
+    }
+  }
+
+  test("global rank/cumsum queries never single-partition row-granularity data") {
+    for (q <- Seq("q129_weighted_median", "q176_gini_spend",
+        "q183_rfm_segments")) {
+      val bad = rowLevelSinglePartitionShuffles(q)
+      assert(bad.isEmpty,
+        s"$q shuffles raw rows to one partition: ${bad.map(_.take(300))}")
+    }
   }
 
   test("item-CF computes directed sims once (no self-union re-execution)") {
