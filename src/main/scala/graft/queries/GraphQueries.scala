@@ -28,6 +28,12 @@ object GraphQueries {
   private def coPairs(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // shuffle BEFORE the heavy map work: per-order grouping gives no
+      // map-side-combine reduction (each order is its own group), so
+      // hash-distributing the raw 16-byte rows first keeps the
+      // collect_set + C(n,2) pair explode parallel regardless of the
+      // input file's split granularity
+      .repartition(col("o"))
       .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
@@ -158,31 +164,61 @@ object GraphQueries {
     // cumulative visited count — the bounded-round contract that scales,
     // with iterate-to-fixpoint as a driver loop over this plan.
     Q("q182_bfs_layers", (s, dir) => {
-      val e = coEdges(s, dir).persist()
-      // undirected adjacency as both directions once (map-side explode)
-      val adj = e.select(explode(array(
-          struct(col("u").as("a"), col("v").as("b")),
-          struct(col("v").as("a"), col("u").as("b")))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
+      import org.apache.spark.sql.expressions.Window
+      // Adjacency-LIST build with the shuffle placed BEFORE the heavy
+      // map work: per-order sets give no map-side-combine reduction
+      // (every order is its own group), so repartition-on-the-key first
+      // moves raw 16-byte rows instead of serializing the collect_set
+      // into however few tasks the file layout yields. The second
+      // aggregate dedups neighbor repeats IN THE PARTIAL AGGREGATE
+      // (collect_set merges map-side — per-vertex state is the distinct
+      // neighbor set, never the co-occurrence multiset) and leaves the
+      // cache hash-partitioned on the expansion key: no separate edge
+      // distinct, no extra repartition, and the edge set never
+      // re-shuffles across rounds.
+      val adjSets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o"))
+        .groupBy("o").agg(collect_set("p").as("ps"))
+        .select(explode(col("ps")).as("a"), col("ps"))
+        .select(col("a"), explode(col("ps")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a").agg(collect_set(col("b")).as("nbrs"))
         .persist()
-      val deg = adj.groupBy("a").agg(count(lit(1)).as("dg"))
-      val seed = deg.orderBy(desc("dg"), asc("a")).limit(1).select(col("a").as("x"))
+      val adj = adjSets.select(col("a"), explode(col("nbrs")).as("b"))
+      val seed = adjSets.select(col("a"), size(col("nbrs")).as("dg"))
+        .orderBy(desc("dg"), asc("a")).limit(1).select(col("a").as("x"))
       var visited = seed
       var frontier = seed
       val rounds = (1 to 3).map { i =>
-        val next = adj.join(broadcast(frontier), col("a") === col("x"))
-          .select(col("b").as("x")).distinct()
-          .join(broadcast(visited.select(col("x").as("vx"))),
-            col("x") === col("vx"), "left_anti")
+        // expansion + (dedup ∧ not-yet-visited) as ONE aggregation:
+        // candidates tagged 1, visited tagged 0 — a vertex survives iff
+        // its min tag is 1 (never seen before). Replaces the
+        // distinct-then-anti-join pair with a single exchange. No
+        // broadcast hints — frontier and visited approach |V| on a
+        // high-expansion graph; AQE broadcasts only while a side is
+        // genuinely small.
+        val next = adj.join(frontier, col("a") === col("x"))
+          .select(col("b").as("x"), lit(1).as("f"))
+          .unionByName(visited.select(col("x"), lit(0).as("f")))
+          .groupBy("x").agg(min("f").as("mf"))
+          .filter(col("mf") === 1).select("x")
           .persist()
-        visited = visited.unionByName(next).persist()
+        // visited stays an UNPERSISTED union of the persisted layers —
+        // no cache write per round; and the per-round visited count is
+        // not re-counted against the cluster at all (see cumsum below)
+        visited = visited.unionByName(next)
         frontier = next
         next.agg(count(lit(1)).as("frontier_size"))
-          .crossJoin(visited.agg(count(lit(1)).as("n_visited")))
-          .select(lit(i.toLong).as("round"), col("frontier_size"),
-            col("n_visited"))
+          .select(lit(i.toLong).as("round"), col("frontier_size"))
       }
-      rounds.reduce(_ unionByName _).orderBy("round")
+      // |visited after round i| = 1 (seed) + Σ frontier sizes ≤ i —
+      // a 3-row cumsum instead of three cluster-wide count jobs
+      val wr = Window.orderBy("round")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rounds.reduce(_ unionByName _)
+        .withColumn("n_visited", lit(1L) + sum("frontier_size").over(wr))
+        .orderBy("round")
     }, Some(
       s"""WITH $coEdgesCte,
          |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
