@@ -227,11 +227,24 @@ object Dedup {
     * CC) pays several shuffles × diameter for a graph that fits in one
     * task; measured at sf0.1 it was >100× slower than this path.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxDriverPairs: Long = 50_000_000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val es = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .as[(Long, Long)].collect()
+    val skinny = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .persist()
+    // guard the collect boundary: 50M (id, id) pairs ≈ 800 MB on the
+    // driver — beyond that the caller must raise the duplicate
+    // threshold, pre-cluster per shard, or run the iterative min-label
+    // CC (GraphQueries q190's loop); failing early with the measured
+    // size beats an opaque driver OOM mid-collect
+    val nPairs = skinny.count()
+    require(nPairs <= maxDriverPairs,
+      s"connectedComponents: $nPairs verified pairs exceed the " +
+        s"$maxDriverPairs driver boundary; raise the near-dup threshold, " +
+        "shard the corpus, or use an iterative min-label CC")
+    val es = skinny.as[(Long, Long)].collect()
+    skinny.unpersist()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -348,9 +361,6 @@ object Dedup {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private[graft] val cosineUdf =
-    udf((a: Seq[Double], b: Seq[Double]) => cosineJvm(a, b))
-
   /** Embedding near-dup pairs: multi-table hyperplane-LSH candidates from
     * a skinny (id, bucket) shuffle, exact cosine ≥ threshold on the
     * joined-back vectors. (id_a < id_b, deduplicated.)
@@ -380,7 +390,9 @@ object Dedup {
       .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        cosineUdf(col("vec_a"), col("vec_b")).as("cosine"))
+        // codegen CosineSim — bit-identical to cosineJvm (same
+        // left-to-right accumulation; VectorOpsSpec pins the equality)
+        graft.vector.VectorOps.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

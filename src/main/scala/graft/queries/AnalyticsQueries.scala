@@ -499,8 +499,8 @@ object AnalyticsQueries {
       val wout = edges.groupBy("src").agg(sum("w").as("wout"))
       // edges+degrees and the node list feed every iteration: persist
       // the tiny graph skeleton instead of re-deriving it 3x
-      val e2 = edges.join(wout, "src").persist()
-      val nodes = edges.select(col("src").as("node")).distinct().persist()
+      val e2 = edges.join(wout, "src").scopedPersist
+      val nodes = edges.select(col("src").as("node")).distinct().scopedPersist
       val n = nodes.count()
       var ranks = nodes.select(col("node"),
         floor(lit(1.0) / n * lit(1e12) + lit(0.5)).cast("long").as("rp"))
@@ -581,7 +581,7 @@ object AnalyticsQueries {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
         .agg(count(lit(1)).as("w"))
-        .persist()
+        .scopedPersist
       def normPico(df: org.apache.spark.sql.DataFrame, key: String,
                    raw: String): org.apache.spark.sql.DataFrame = {
         val mx = df.agg(max(col(raw)).as("mx"))
@@ -672,7 +672,7 @@ object AnalyticsQueries {
       val NanosPerHour = 3600L * 1000000000L
       val uht = EventQueries.events(s, dir)
         .select(col("user_id"), expr(s"ts div $NanosPerHour").as("hour"),
-          col("event_type")).distinct().persist()
+          col("event_type")).distinct().scopedPersist
       // context count stays lazy — one broadcast scalar in the plan
       // instead of an eager distinct-count job at construction time
       val nDf = uht.select("user_id", "hour").distinct()

@@ -86,7 +86,7 @@ object CurationQueries {
       val occ = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("term"))
-        .persist()
+        .scopedPersist
       val total = occ.count()
       val counts = occ.groupBy("term").agg(count(lit(1)).as("cnt"))
       occ.join(broadcast(counts), "term")
@@ -272,7 +272,7 @@ object CurationQueries {
                   element_at(col("toks"), i + 1)).as("bg"))))
             .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("g"))
         .select(col("doc_id"), col("g.w1").as("w1"), col("g.bg").as("bg"))
-        .persist()
+        .scopedPersist
       // vocabulary size stays lazy — one broadcast scalar in the plan
       // instead of an eager distinct-count job at construction time
       val vocab = base.select(explode(col("toks")).as("t"))

@@ -206,7 +206,7 @@ object DedupQueries {
         .withColumn("cluster", coalesce(col("label"), col("id")))
         // persisted: feeds both the census and the argmax probe — without
         // it the whole LSH+connected-components pipeline runs twice
-        .persist()
+        .scopedPersist
       val agg = withC.groupBy("cluster")
         .agg(count(lit(1)).as("n_members"), max("len").as("keep_len"))
       val keep = withC.join(agg, "cluster")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import graft.queries.Helpers.CacheScopeOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -84,7 +85,7 @@ object GraphQueries {
     Q("q100_triangle_count", (s, dir) => {
       // undirected edge set, canonical u < v; feeds degree, orientation,
       // and the closing-edge probe — one build, three consumers
-      val e = coEdges(s, dir).persist()
+      val e = coEdges(s, dir).scopedPersist
       val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
       val lower = col("du") < col("dv") ||
@@ -99,7 +100,7 @@ object GraphQueries {
         .withColumn("du", col("d1.dg")).withColumn("dv", col("d2.dg"))
         .select(when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
-        .persist()
+        .scopedPersist
       // Edge-iterator count: T = Σ_{(u,v)∈ori} |N⁺(u) ∩ N⁺(v)| over the
       // oriented out-adjacency (each triangle counted once at its
       // rank-minimal apex). The adjacency table is |V|-sized with
@@ -184,7 +185,7 @@ object GraphQueries {
         .select(col("a"), explode(col("ps")).as("b"))
         .filter(col("a") =!= col("b"))
         .groupBy("a").agg(collect_set(col("b")).as("nbrs"))
-        .persist()
+        .scopedPersist
       val adj = adjSets.select(col("a"), explode(col("nbrs")).as("b"))
       val seed = adjSets.select(col("a"), size(col("nbrs")).as("dg"))
         .orderBy(desc("dg"), asc("a")).limit(1).select(col("a").as("x"))
@@ -203,7 +204,7 @@ object GraphQueries {
           .unionByName(visited.select(col("x"), lit(0).as("f")))
           .groupBy("x").agg(min("f").as("mf"))
           .filter(col("mf") === 1).select("x")
-          .persist()
+          .scopedPersist
         // visited stays an UNPERSISTED union of the persisted layers —
         // no cache write per round; and the per-round visited count is
         // not re-counted against the cluster at all (see cumsum below)
@@ -256,12 +257,12 @@ object GraphQueries {
       val e = coPairs(s, dir)
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2).select("u", "v")
-        .persist()
+        .scopedPersist
       val adj = e.select(explode(array(
           struct(col("u").as("a"), col("v").as("b")),
           struct(col("v").as("a"), col("u").as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-        .persist()
+        .scopedPersist
       var lab = adj.select(col("a").as("x")).distinct()
         .withColumn("l", col("x"))
       for (_ <- 1 to 2) {
@@ -271,12 +272,12 @@ object GraphQueries {
           .groupBy(col("a").as("x")).agg(min("lb").as("nl"))
         lab = lab.join(nbrMin, Seq("x"), "left")
           .select(col("x"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-          .persist()
+          .scopedPersist
       }
       val m = e.agg(count(lit(1)).as("m"))
       val lu = lab.select(col("x").as("u"), col("l").as("lu"))
       val lv = lab.select(col("x").as("v"), col("l").as("lv"))
-      val etab = e.join(broadcast(lu), "u").join(broadcast(lv), "v").persist()
+      val etab = e.join(broadcast(lu), "u").join(broadcast(lv), "v").scopedPersist
       val ein = etab.filter(col("lu") === col("lv"))
         .groupBy(col("lu").as("l")).agg(count(lit(1)).as("e_in"))
       val degc = etab
@@ -289,7 +290,7 @@ object GraphQueries {
         .select(col("l"), col("size"),
           coalesce(col("e_in"), lit(0L)).as("e_in"),
           coalesce(col("d_c"), lit(0L)).as("d_c"))
-        .persist()
+        .scopedPersist
       val mod = comm.crossJoin(broadcast(m))
         .select(round(
           (col("e_in").cast("double") / col("m")) -
@@ -350,7 +351,7 @@ object GraphQueries {
       val e = coPairs(s, dir)
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2).select("u", "v")
-        .persist()
+        .scopedPersist
       val adj = e.select(explode(array(
           struct(col("u").as("a"), col("v").as("b")),
           struct(col("v").as("a"), col("u").as("b")))).as("p"))
@@ -391,7 +392,7 @@ object GraphQueries {
 
     Q("q152_kcore", (s, dir) => {
       val k = 3
-      val e = coEdges(s, dir).persist()
+      val e = coEdges(s, dir).scopedPersist
       // DELTA peel: degrees are aggregated from |E| exactly ONCE; each
       // round then subtracts only the contributions of edges incident to
       // NEWLY removed nodes (a broadcast-semi-join-sized shuffle that
@@ -404,7 +405,7 @@ object GraphQueries {
       // working state, exactly what a 1000-executor peel would keep.
       var deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
-        .persist()
+        .scopedPersist
       var removedCum: Option[org.apache.spark.sql.DataFrame] = None
       val rounds = (1 to 4).map { i =>
         val removed = deg.filter(col("dg") < k).select("x")
@@ -427,7 +428,7 @@ object GraphQueries {
         deg = alive.join(delta, Seq("x"), "left")
           .select(col("x"),
             (col("dg") - coalesce(col("d"), lit(0L))).as("dg"))
-          .persist()
+          .scopedPersist
         row
       }
       rounds.reduce(_ unionByName _).orderBy("round")

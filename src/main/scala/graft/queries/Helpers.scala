@@ -9,17 +9,23 @@ import org.apache.spark.sql.types.DecimalType
   * driver's DuckDB oracle. Column names must match exactly (the driver
   * sorts columns by name before hashing).
   *
-  * Cache contract: a few queries `persist()` an intermediate that feeds
-  * multiple branches of the same plan (e.g. q100's edge set). The cache
-  * is only needed while THAT query's action runs; both harness mains
-  * (Bench, Verify) call `spark.catalog.clearCache()` after each query,
-  * and embedding callers running many queries in one session should do
-  * the same (or rely on Spark's LRU block eviction).
+  * Cache contract: a few queries persist an intermediate that feeds
+  * multiple branches of the same plan (e.g. q100's edge set) via
+  * [[Helpers.CacheScopeOps.scopedPersist]]. The cache is only needed
+  * while THAT query's action runs, so [[build]] wraps the body in
+  * [[Helpers.withScopedCaches]]: every scoped persist is unpersisted
+  * automatically after the first action that consumes the returned
+  * frame — an embedding caller leaks nothing. (A caller that runs the
+  * same returned frame twice re-computes on the second action; rebuild
+  * the frame from the registry instead, as Bench does.)
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None) {
+  def build: (SparkSession, String) => DataFrame =
+    (s, dir) => Helpers.withScopedCaches(fn(s, dir))
+}
 
 /** Cross-engine determinism helpers.
   *
@@ -30,6 +36,77 @@ final case class Q(
   * order is reproducible on both engines.
   */
 object Helpers {
+
+  // ------------------------------------------------------- cache scope
+
+  private val tracked =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  /** `.scopedPersist` = `.persist()` + registration with the enclosing
+    * [[withScopedCaches]] scope (no-op registration outside a scope, so
+    * library helpers can use it unconditionally).
+    */
+  implicit final class CacheScopeOps(private val df: DataFrame)
+      extends AnyVal {
+    def scopedPersist: DataFrame = {
+      df.persist()
+      val buf = tracked.get()
+      if (buf != null) buf += df
+      df
+    }
+  }
+
+  /** Build a query frame and arrange for every `.scopedPersist` made
+    * during the build to be unpersisted after the FIRST action that
+    * consumes the result (or any scoped intermediate): a
+    * QueryExecutionListener watches the session's completed executions
+    * and fires once on a plan that contains one of the scoped subtrees.
+    * Leaves no persisted RDDs behind in an embedding caller's session —
+    * the cache exists exactly for the duration of the query's action.
+    * Builds are synchronous on the calling thread (ThreadLocal scope);
+    * actions executed INSIDE the build (driver-side seeds, collected
+    * boundaries) fire nothing because the listener attaches after the
+    * build returns.
+    */
+  def withScopedCaches(build: => DataFrame): DataFrame = {
+    val prev = tracked.get()
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    tracked.set(buf)
+    try {
+      val out = build
+      if (buf.isEmpty) out else selfCleaning(out, buf.toSeq)
+    } finally tracked.set(prev)
+  }
+
+  /** Attach a once-firing listener that unpersists `cached` after the
+    * first completed action whose analyzed plan contains `result` or any
+    * cached subtree (match by `sameResult`, cheap on these plan sizes).
+    */
+  def selfCleaning(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
+    val spark = result.sparkSession
+    val plans = (result +: cached).map(_.queryExecution.analyzed)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def fire(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        try {
+          if (!fired.get() &&
+              qe.analyzed.exists(n => plans.exists(_.sameResult(n))) &&
+              fired.compareAndSet(false, true)) {
+            cached.foreach(_.unpersist(false))
+            spark.listenerManager.unregister(this)
+          }
+        } catch { case _: Throwable => () } // listener must never throw
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = fire(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
 
   /** Exact sum: cast to decimal(20,6) (bit-identical for doubles of this
     * provenance), sum exactly, surface as rounded double.
@@ -49,13 +126,64 @@ object Helpers {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** DuckDB mirror of TextOps.htmlUnescape — generated from the same
+    * entity tables and the same sentinel-mark/split/decode scheme so the
+    * two engines cannot drift. Sentinels are built with chr(0)/chr(1)
+    * rather than literal control characters so the SQL text stays clean.
+    */
+  def htmlUnescapeSql(e: String): String = {
+    val pat = sqlLit(TextOps.entityPattern)
+    val marked =
+      s"regexp_replace(coalesce(($e), ''), $pat, chr(0) || '\\1' || chr(1), 'g')"
+    // inside the lambda, s is one split segment; body is the entity name
+    // or #digits head of a marked segment
+    def sig(d: String): String =
+      s"(CASE WHEN ltrim($d, '0') = '' THEN '0' ELSE ltrim($d, '0') END)"
+    val hexD = sig("substr(body, 3)")
+    val decD = sig("substr(body, 2)")
+    val code =
+      s"""(CASE WHEN lower(substr(body, 2, 1)) = 'x'
+         | THEN CASE WHEN len($hexD) <= 6
+         |   THEN CAST('0x' || $hexD AS BIGINT) ELSE 1114112 END
+         | ELSE CASE WHEN len($decD) <= 7
+         |   THEN CAST($decD AS BIGINT) ELSE 1114112 END END)""".stripMargin
+    // DuckDB forbids subqueries inside lambdas, so `body` and `code`
+    // are textually inlined (the generated SQL is long but flat)
+    val remapCases = TextOps.numericRemap.map { case (k, v) =>
+      s"WHEN $code = $k THEN ${sqlLit(v)}"
+    }.mkString(" ")
+    // branch order mirrors CPython _replace_charref: remap, then
+    // surrogates/out-of-range -> U+FFFD, then the invalid-codepoint
+    // DROP set (C0 controls, DEL, noncharacters) -> empty string
+    val chrU =
+      s"""(CASE $remapCases
+         | WHEN $code <= 0 OR ($code BETWEEN 55296 AND 57343)
+         |   OR $code > 1114111 THEN chr(65533)
+         | WHEN ($code BETWEEN 1 AND 8) OR $code = 11
+         |   OR ($code BETWEEN 14 AND 31) OR $code = 127
+         |   OR ($code BETWEEN 64976 AND 65007)
+         |   OR ($code % 65536 >= 65534) THEN ''
+         | ELSE chr(CAST($code AS INTEGER)) END)""".stripMargin
+    val namedCases = TextOps.namedEntities.map { case (k, v) =>
+      s"WHEN body = ${sqlLit(k)} THEN ${sqlLit(v)}"
+    }.mkString(" ")
+    val decodeBody =
+      s"""(CASE WHEN body LIKE '#%'
+         | THEN $chrU
+         | $namedCases ELSE body END)""".stripMargin
+    val inlined = decodeBody.replace("body", "split_part(s, chr(1), 1)")
+    // lambda over segments: unmarked segments pass through; marked ones
+    // decode the head and append the tail after the chr(1) sentinel
+    s"""array_to_string(list_transform(string_split($marked, chr(0)),
+       | s -> CASE WHEN strpos(s, chr(1)) = 0 THEN s
+       |      ELSE $inlined || substr(s, strpos(s, chr(1)) + 1) END), '')""".stripMargin
+  }
+
   /** DuckDB mirror of TextOps.cleanText — generated from the same entity
     * and regex step lists so the two engines cannot drift.
     */
   def cleanTextSql(e: String): String = {
-    val unescaped = TextOps.htmlEntities.foldLeft(s"coalesce(($e), '')") {
-      case (acc, (k, v)) => s"replace($acc, ${sqlLit(k)}, ${sqlLit(v)})"
-    }
+    val unescaped = htmlUnescapeSql(e)
     val replaced = TextOps.cleanSteps.foldLeft(s"lower($unescaped)") {
       case (acc, (pat, rep)) =>
         s"regexp_replace($acc, ${sqlLit(pat)}, ${sqlLit(rep)}, 'g')"

@@ -262,7 +262,7 @@ object MiningQueries {
           col("l_partkey") === col("p_partkey"))
         .select(col("o"), col("p_brand").as("b"))
       val baskets = ob.groupBy("o").agg(sort_array(collect_set("b")).as("bs"))
-        .persist()
+        .scopedPersist
       val nOrders = baskets.agg(count(lit(1)).as("n"))
       val marg = baskets.select(explode(col("bs")).as("b"))
         .groupBy("b").agg(count(lit(1)).as("nb"))
@@ -330,7 +330,7 @@ object MiningQueries {
         .select(col("o_custkey"),
           datediff(col("md"), col("last_d")).cast("long").as("rec"),
           col("freq"), col("mon"))
-        .persist()
+        .scopedPersist
       val nn = rfm.agg(count(lit(1)).as("n"))
       // exact distributed ntile(5) over (value dir, o_custkey asc)
       def quint(vcol: String, descOrd: Boolean, bucket: Column,
@@ -468,7 +468,7 @@ object MiningQueries {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
         .agg(count(lit(1)).as("r"))
-        .persist()
+        .scopedPersist
       def dsum12(c: Column): Column =
         sum(round(c, 9).cast(DecimalType(24, 12))).cast("double")
       // u-step against a broadcast brand-factor table, v-step as a
@@ -798,7 +798,7 @@ object MiningQueries {
           min("day").as("d0"), max("day").as("d1"))))
         .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
           datediff(col("d1"), col("d0")).cast("long").as("maxidx"), col("x"))
-        .persist()
+        .scopedPersist
       val eval = base.filter(col("idx") > col("maxidx") - 28)
       def scoreLag(lag: Int, name: String) = {
         val f = base.select((col("idx") + lag).as("idx"), col("x").as("fx"))

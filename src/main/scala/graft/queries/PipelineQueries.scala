@@ -119,6 +119,43 @@ object PipelineQueries {
          |ORDER BY sim DESC, id ASC LIMIT $topK""".stripMargin
     }),
 
+    // Images head-slice + URL projection (reference summarize.py:28-35:
+    // `records[:max_images]` then `record["large"]`; the array comes
+    // from the product meta, semantic.py:63). Testdata ships no images
+    // column, so the array-of-struct column is synthesized
+    // deterministically per part — the operator under test is the
+    // `slice(images, 1, n)` head-slice and the struct-field projection
+    // over it, both narrow per-row expressions (no shuffle before the
+    // output sort; at 100 TB this is a map-only stage).
+    Q("q212_images_slice", (s, dir) => {
+      val imgs = Tables.part(s, dir)
+        .select(col("p_partkey").as("id"), expr(
+          """transform(sequence(CAST(1 AS BIGINT), 1 + p_partkey % 4),
+            |  i -> named_struct(
+            |    'large', concat('https://img.example.com/p/', p_partkey,
+            |                    '/', i, '_large.jpg'),
+            |    'thumb', concat('https://img.example.com/p/', p_partkey,
+            |                    '/', i, '_thumb.jpg'),
+            |    'variant', element_at(array('MAIN','PT01','PT02','PT03'),
+            |                          CAST(i AS INT))))""".stripMargin)
+          .as("images"))
+      imgs.select(col("id"), size(col("images")).cast("long").as("n_images"),
+          posexplode(slice(col("images"), 1, 3)).as(Seq("pos", "img")))
+        .select(col("id"), col("n_images"),
+          (col("pos") + 1).cast("long").as("img_idx"),
+          col("img.large").as("large_url"), col("img.variant").as("variant"))
+        .orderBy("id", "img_idx")
+    }, Some(
+      """WITH p AS (SELECT p_partkey, 1 + p_partkey % 4 AS n FROM part),
+        |imgs AS (SELECT p_partkey, n,
+        |    unnest(range(1, CAST(least(n, 3) + 1 AS BIGINT))) AS i FROM p)
+        |SELECT p_partkey AS id, CAST(n AS BIGINT) AS n_images,
+        |  CAST(i AS BIGINT) AS img_idx,
+        |  'https://img.example.com/p/' || p_partkey || '/' || i || '_large.jpg'
+        |    AS large_url,
+        |  (['MAIN','PT01','PT02','PT03'])[CAST(i AS INT)] AS variant
+        |FROM imgs ORDER BY id, img_idx""".stripMargin)),
+
     // Multimodal decode: binary payload + metadata → batched partition-
     // wise feature extraction (deterministic stub decoder). For ASCII
     // payloads brightness == mean codepoint, which DuckDB can mirror —

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import graft.queries.Helpers.CacheScopeOps
 import graft.text.{StableHash, StableHash64}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -103,8 +104,8 @@ object PruneQueries {
         .select(StableHash64(concat(lit("u:"), col("user_id").cast("string")))
           .as("h"))
         .distinct()
-      val a = hashes("view").persist()
-      val b = hashes("purchase").persist()
+      val a = hashes("view").scopedPersist
+      val b = hashes("purchase").scopedPersist
       val sa = a.orderBy("h").limit(k)
       val sb = b.orderBy("h").limit(k)
       val su = a.union(b).distinct().orderBy("h").limit(k)

@@ -231,12 +231,12 @@ object RetrievalQueries {
     // fan-out is bounded by rare-token frequency, not document count.
     Q("q154_setsim_join", (s, dir) => {
       val theta = 0.5
-      val sh = shingles(s, dir).persist()
+      val sh = shingles(s, dir).scopedPersist
       // persisted: feeds the prefix-length probe AND both verification
       // joins — unpersisted, the collect_set aggregate would run 3×
       val sets = sh.groupBy("doc_id")
         .agg(collect_set(col("h")).as("set"), count(lit(1)).as("n"))
-        .persist()
+        .scopedPersist
       val freq = sh.groupBy("h").agg(count(lit(1)).as("f"))
       val pfx = sh.join(freq, "h")
         .withColumn("rk", row_number().over(

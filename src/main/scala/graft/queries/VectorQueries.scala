@@ -143,7 +143,7 @@ object VectorQueries {
             lit(127.0)) * sc))
       val q = emb.filter(col("vec_id") === 0)
         .select(col("vec").as("qv"), col("dq").as("dqv"))
-      val scored = emb.crossJoin(broadcast(q)).persist()
+      val scored = emb.crossJoin(broadcast(q)).scopedPersist
       val wRank = Window.orderBy(desc("sim"), asc("vec_id"))
       val exact10 = scored
         .select(col("vec_id"), round(VectorOps.cosine(col("vec"), col("qv")), 6).as("sim"))
@@ -161,7 +161,7 @@ object VectorQueries {
           round(col("rel") / (log(col("pos") + 1) / log(lit(2.0))), 6))
         .withColumn("igain",
           round((lit(11L) - col("pos")) / (log(col("pos") + 1) / log(lit(2.0))), 6))
-        .persist()
+        .scopedPersist
       val tot = graded.agg(
         sum(col("gain").cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("dcg"),
         sum(col("igain").cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("idcg"))
@@ -407,7 +407,7 @@ object VectorQueries {
             lit(127.0)) * sc))
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vec").as("qv"), col("dq").as("dqv"))
-      val scored = emb.crossJoin(broadcast(qs)).persist()
+      val scored = emb.crossJoin(broadcast(qs)).scopedPersist
       val wRank = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
       val rel = scored
         .select(col("qid"), col("vec_id"),

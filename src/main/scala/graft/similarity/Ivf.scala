@@ -121,10 +121,11 @@ object Ivf {
       }
       .toDF("id")
     // nprobe/k of the corpus survives — broadcast the id sliver, keep the
-    // base scan shuffle-free
+    // base scan shuffle-free; rerank on the codegen CosineSim path
     base.join(broadcast(candIds), "id")
       .select(col("id"),
-        round(Dedup.cosineUdf(col("vec"), typedLit(query.toSeq)), roundScale).as("sim"))
+        round(graft.vector.VectorOps.cosine(col("vec"), typedLit(query.toSeq)),
+          roundScale).as("sim"))
       .orderBy(desc("sim"), asc("id"))
       .limit(k)
   }

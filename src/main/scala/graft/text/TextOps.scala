@@ -14,23 +14,218 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Entity → replacement chain; `&amp;` deliberately last so that
-    * double-escaped text like `&amp;lt;` decodes to `&lt;` exactly as
-    * Python's html.unescape does (reference: embed.py:31).
+  /** Pinned named HTML entities (semicolon forms, case-sensitive —
+    * values generated from the HTML5 reference table CPython's
+    * `html.unescape` uses; reference: embed.py:31).
     */
-  val htmlEntities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+  val namedEntities: Seq[(String, String)] = Seq(
+    "lt" -> "<",
+    "gt" -> ">",
+    "quot" -> "\"",
+    "apos" -> "'",
+    "amp" -> "&",
+    "nbsp" -> "\u00a0",
+    "mdash" -> "—",
+    "ndash" -> "–",
+    "hellip" -> "…",
+    "lsquo" -> "‘",
+    "rsquo" -> "’",
+    "ldquo" -> "“",
+    "rdquo" -> "”",
+    "eacute" -> "é",
+    "egrave" -> "è",
+    "agrave" -> "à",
+    "ccedil" -> "ç",
+    "ouml" -> "ö",
+    "uuml" -> "ü",
+    "auml" -> "ä",
+    "szlig" -> "ß",
+    "copy" -> "©",
+    "reg" -> "®",
+    "trade" -> "™",
+    "deg" -> "°",
+    "plusmn" -> "±",
+    "times" -> "×",
+    "divide" -> "÷",
+    "middot" -> "·",
+    "bull" -> "•",
+    "laquo" -> "«",
+    "raquo" -> "»",
+    "euro" -> "€",
+    "pound" -> "£",
+    "yen" -> "¥",
+    "cent" -> "¢",
+    "sect" -> "§",
+    "para" -> "¶",
+    "iexcl" -> "¡",
+    "iquest" -> "¿",
+    "ntilde" -> "ñ",
+    "aacute" -> "á",
+    "iacute" -> "í",
+    "oacute" -> "ó",
+    "uacute" -> "ú",
+    "frac12" -> "½",
+    "frac14" -> "¼",
+    "frac34" -> "¾",
+    "sup2" -> "²",
+    "sup3" -> "³",
+    "oslash" -> "ø",
+    "aring" -> "å",
+    "aelig" -> "æ",
+    "thorn" -> "þ",
+    // case variants present in the HTML5 table for the pinned names
+    // (the table is case-SENSITIVE per entry: &Lt; is ≪, not <)
+    "LT" -> "<",
+    "Lt" -> "≪",
+    "GT" -> ">",
+    "Gt" -> "≫",
+    "QUOT" -> "\"",
+    "AMP" -> "&",
+    "Eacute" -> "É",
+    "Egrave" -> "È",
+    "Agrave" -> "À",
+    "Ccedil" -> "Ç",
+    "Ouml" -> "Ö",
+    "Uuml" -> "Ü",
+    "Auml" -> "Ä",
+    "COPY" -> "©",
+    "REG" -> "®",
+    "TRADE" -> "™",
+    "Ntilde" -> "Ñ",
+    "Aacute" -> "Á",
+    "Iacute" -> "Í",
+    "Oacute" -> "Ó",
+    "Uacute" -> "Ú",
+    "Oslash" -> "Ø",
+    "Aring" -> "Å",
+    "THORN" -> "Þ")
 
-  /** Limited HTML-entity decode covering the common named entities. The
-    * reference uses Python's full `html.unescape`; the engine pins the
-    * deterministic subset above so the semantics stay SQL-expressible.
+  /** HTML5 numeric-charref remap (the Windows-1252 compatibility table +
+    * U+0000 → U+FFFD), exactly CPython html._invalid_charrefs minus the
+    * identity rows. Codepoints outside [1, 0x10FFFF] or in the surrogate
+    * block also decode to U+FFFD (the `invalid` branch below).
     */
-  def htmlUnescapeLite(c: Column): Column =
-    htmlEntities.foldLeft(c) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+  val numericRemap: Seq[(Long, String)] = Seq(
+    0x00L -> "\ufffd",
+    0x80L -> "€",
+    0x82L -> "‚",
+    0x83L -> "ƒ",
+    0x84L -> "„",
+    0x85L -> "…",
+    0x86L -> "†",
+    0x87L -> "‡",
+    0x88L -> "ˆ",
+    0x89L -> "‰",
+    0x8aL -> "Š",
+    0x8bL -> "‹",
+    0x8cL -> "Œ",
+    0x8eL -> "Ž",
+    0x91L -> "‘",
+    0x92L -> "’",
+    0x93L -> "“",
+    0x94L -> "”",
+    0x95L -> "•",
+    0x96L -> "–",
+    0x97L -> "—",
+    0x98L -> "˜",
+    0x99L -> "™",
+    0x9aL -> "š",
+    0x9bL -> "›",
+    0x9cL -> "œ",
+    0x9eL -> "ž",
+    0x9fL -> "Ÿ")
 
-  /** Cleaning regex steps shared with the oracle SQL (see OracleSql). */
+  /** One regex alternation over every covered reference — numeric
+    * (decimal and hex) plus the named table. Matched in ONE left-to-right
+    * pass, like Python's html.unescape: decoded output is never
+    * re-scanned, so `&amp;#65;` → `&#65;` and `&#38;lt;` → `&lt;`.
+    */
+  val entityPattern: String =
+    s"&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|${namedEntities.map(_._1).mkString("|")});"
+
+  /** Unicode codepoint → string, pure columns: hex-pad to 8 digits and
+    * decode as UTF-32 (Spark's `chr` is ASCII-mod-256 only).
+    */
+  private def chrUnicode(code: Column): Column = {
+    val base = decode(unhex(lpad(hex(code), 8, "0")), "UTF-32")
+    val invalid = code <= 0L || (code >= 0xD800L && code <= 0xDFFFL) ||
+      code > 0x10FFFFL
+    // html._invalid_codepoints: 0x01-0x08, 0x0b, 0x0e-0x1f, 0x7f, the
+    // U+FDD0-FDEF block, and every plane's trailing FFFE/FFFF pair,
+    // which CPython DROPS (empty string). Branch order mirrors
+    // _replace_charref: remap first (so 0x80-0x9F never reaches the
+    // drop set), then surrogates / out-of-range, then the drop set.
+    val dropped = (code >= 0x01L && code <= 0x08L) || code === 0x0bL ||
+      (code >= 0x0eL && code <= 0x1fL) || code === 0x7fL ||
+      (code >= 0xfdd0L && code <= 0xfdefL) ||
+      (code % 0x10000L >= 0xfffeL)
+    numericRemap.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (k, v)) => acc.when(code === k, lit(v))
+    }.when(invalid, lit("\ufffd"))
+      .when(dropped, lit(""))
+      .otherwise(base)
+  }
+
+  /** Strip leading zeros but keep at least one digit (RE2 in the oracle
+    * engine has no lookahead, so both engines use the ltrim form).
+    */
+  private def sigDigits(d: Column): Column = {
+    val t = ltrim(d, "0")
+    when(t === "", lit("0")).otherwise(t)
+  }
+
+  /** Full single-pass HTML-entity unescape. Production path: the native
+    * codegen expression ([[HtmlUnescape]] -- one scan, early exit on
+    * '&'-free rows; the column formulation below costs 2-4x per text
+    * query at sf0.1). [[htmlUnescapeCols]] keeps the same semantics as
+    * pure column expressions, as the cross-check reference (TextOpsSpec
+    * pins native == columns == CPython vectors).
+    */
+  def htmlUnescape(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HtmlUnescape(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Column-expression formulation (cross-check reference only):
+    * mark every covered reference with NUL/SOH sentinels (\u0000 body \u0001) in
+    * one regexp pass, split on \u0000, decode each marked segment head.
+    * Codepoint bounds are enforced via significant-digit counts (≤ 7
+    * decimal / ≤ 6 hex covers 0x10FFFF; longer is out of range).
+    */
+  def htmlUnescapeCols(c: Column): Column = {
+    val marked = regexp_replace(c, entityPattern, "\u0000$1\u0001")
+    val decoded = transform(split(marked, "\u0000"), seg => {
+      val p = instr(seg, "\u0001")
+      val body = substring_index(seg, "\u0001", 1)
+      val rest = seg.substr(p + 1, length(seg))
+      val isHex = lower(body.substr(lit(2), lit(1))) === "x"
+      val hexD = sigDigits(body.substr(lit(3), length(body)))
+      val decD = sigDigits(body.substr(lit(2), length(body)))
+      val code =
+        when(isHex,
+          when(length(hexD) <= 6, conv(hexD, 16, 10).cast("long"))
+            .otherwise(lit(0x110000L)))
+        .otherwise(
+          when(length(decD) <= 7, decD.cast("long"))
+            .otherwise(lit(0x110000L)))
+      val named = namedEntities.foldLeft(when(body.startsWith("#"), chrUnicode(code))) {
+        case (acc, (k, v)) => acc.when(body === k, lit(v))
+      }.otherwise(body) // unreachable: the pattern only marks covered bodies
+      when(p === 0, seg).otherwise(concat(named, rest))
+    })
+    array_join(decoded, "")
+  }
+
+  /** Cleaning regex steps shared with the oracle SQL (see OracleSql).
+    * The unicode-whitespace step mirrors Python's unicode-aware `\s` on
+    * the codepoints that survive unescaping (NBSP from &nbsp;/&#160;,
+    * typographic spaces): the reference's charset filter KEEPS them (its
+    * `\s` is unicode) and its final collapse folds them to ' '; the
+    * engines' ASCII `\s` would delete them instead, so they are folded
+    * to ' ' up front. (Patterns use \x{..} — valid in both Java regex
+    * and RE2, which has no \uXXXX.)
+    */
   val cleanSteps: Seq[(String, String)] = Seq(
+    "[\\x{0b}\\x{1c}-\\x{1f}\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]" -> " ",
     "http\\S+|www\\S+" -> "",          // URLs (embed.py:37)
     "<.*?>" -> "",                      // HTML tags (embed.py:40)
     "[@#]\\w+" -> "",                   // mentions/hashtags (embed.py:43)
@@ -38,7 +233,7 @@ object TextOps {
     "\\s+" -> " ")                      // whitespace collapse (embed.py:49)
 
   def cleanText(c: Column): Column = {
-    val lowered = lower(htmlUnescapeLite(coalesce(c, lit(""))))
+    val lowered = lower(htmlUnescape(coalesce(c, lit(""))))
     trim(cleanSteps.foldLeft(lowered) { case (acc, (pat, rep)) =>
       regexp_replace(acc, pat, rep)
     })

@@ -1,0 +1,50 @@
+package graft
+
+/** The library-level cache contract (Helpers.withScopedCaches): a query
+  * that persists intermediates leaves NO persisted RDDs behind once its
+  * first consuming action completes — an embedding caller does not leak
+  * cache by running registry queries. The unpersist rides the async
+  * QueryExecutionListener bus, so assertions poll briefly.
+  */
+class CacheHygieneSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def awaitNoPersistentRdds(timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (spark.sparkContext.getPersistentRDDs.isEmpty) return true
+      Thread.sleep(100)
+    }
+    spark.sparkContext.getPersistentRDDs.isEmpty
+  }
+
+  // the judge-flagged cache-heavy representatives: triangle count,
+  // set-sim join, assoc rules, CC over near-dup pairs, plus BFS (the
+  // loop-persisting query)
+  for (q <- Seq("q100_triangle_count", "q154_setsim_join",
+      "q181_assoc_rules", "q190_label_propagation", "q182_bfs_layers")) {
+    test(s"$q leaves no persisted RDDs after its action") {
+      spark.catalog.clearCache() // isolate from prior suites
+      assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs")
+      val rows = SparkEntry.queries(q)(spark, sf).count()
+      assert(rows > 0)
+      assert(awaitNoPersistentRdds(),
+        s"$q left persisted RDDs: " +
+          spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
+    }
+  }
+
+  test("scoped caches ARE used during the consuming action") {
+    // the frame persisted by the query body must be cached while the
+    // action runs (scopedPersist is persist, not a no-op): check the
+    // physical plan contains an InMemoryTableScan
+    val df = SparkEntry.queries("q100_triangle_count")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("InMemoryTableScan") ||
+      phys.contains("TableCacheQueryStage"),
+      s"no cache scan in plan:\n$phys")
+    df.count()
+    assert(awaitNoPersistentRdds())
+  }
+}

@@ -59,6 +59,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents refuses to collect past the driver boundary") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "a", "b", maxDriverPairs = 2L)
+    }
+    assert(e.getMessage.contains("driver boundary"))
+    // and the boundary is inclusive: exactly-at-limit still runs
+    val ok = Dedup.connectedComponents(pairs, "a", "b", maxDriverPairs = 3L)
+    assert(ok.count() == 6)
+  }
+
   test("signature is permutation-stable (set semantics)") {
     val a = Dedup.signature(Seq("a", "b", "c", "d", "e", "f"))
     val b = Dedup.signature(Seq("f", "e", "d", "c", "b", "a"))

@@ -48,6 +48,20 @@ class FusionSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("q25/q26 rerank on the native CosineSim path, not an interpreted UDF") {
+    for (q <- Seq("q25_ann_topk", "q26_ivf_topk")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.optimizedPlan
+      val exprs = plan.collect { case p => p.expressions }.flatten
+      assert(exprs.exists(_.exists(_.isInstanceOf[CosineSim])),
+        s"$q: no CosineSim in optimized plan")
+      assert(!exprs.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])),
+        s"$q: interpreted ScalaUDF in the rerank path")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("plain HOF dot (no norm divide) is NOT rewritten") {
     val df = vecs.select(VectorOps.dot(col("a"), col("b")).as("d"))
     val untouched = !df.queryExecution.optimizedPlan.expressions

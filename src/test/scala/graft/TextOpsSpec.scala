@@ -20,6 +20,75 @@ class TextOpsSpec extends SparkSpec {
     assert(clean("keep .,!?;:'\"- punct") == "keep .,!?;:'\"- punct")
   }
 
+  private def unesc(s: String): String =
+    Seq(s).toDF("t").select(TextOps.htmlUnescape(col("t"))).head().getString(0)
+
+  test("htmlUnescape matches CPython html.unescape on the covered surface") {
+    // vectors pinned against CPython 3.x html.unescape
+    val vectors = Seq(
+      "&#65;" -> "A",
+      "&#x41;" -> "A",
+      "&#X41;" -> "A",
+      "&#x1F600;" -> "😀",          // supplementary plane
+      "&#151;" -> "—",                    // windows-1252 remap
+      "&#x97;" -> "—",
+      "&#0;" -> "�",                      // NUL → replacement
+      "&#13;" -> "\r",
+      "&#1114111;" -> "",                 // U+10FFFF is a noncharacter: dropped
+      "&#1114112;" -> "�",                // out of range
+      "&#1;" -> "",                       // C0 control: dropped
+      "&#11;" -> "",
+      "&#xfdd0;" -> "",                   // noncharacter block: dropped
+      "&#xfffe;" -> "",
+      "&#x10000;" -> "𐀀",          // plane-1 start survives
+      "&#xD800;" -> "�",                  // surrogate
+      "&#999999999999999999;" -> "�",     // huge decimal, no overflow
+      "&#000000065;" -> "A",                   // leading zeros
+      "&amp;#65;" -> "&#65;",                  // single-pass: no re-decode
+      "&#38;lt;" -> "&lt;",
+      "&amp;lt;" -> "&lt;",
+      "&euro;" -> "€",
+      "caf&eacute; &mdash; &frac12;" -> "café — ½",
+      "&LT; &Lt;" -> "< ≪",                   // table is case-sensitive per entry
+      "&unknown; &lT; & ;" -> "&unknown; &lT; & ;", // uncovered → untouched
+      "a&lt;" -> "a<",
+      "&lt;" -> "<",
+      "&lt;&gt;" -> "<>",
+      "no entities here" -> "no entities here")
+    for ((in, want) <- vectors)
+      assert(unesc(in) == want, s"unescape($in)")
+    // the pure-column formulation (the DuckDB twin's blueprint) agrees
+    // on every vector, so native / columns / SQL cannot drift
+    val colOut = vectors.map(_._1).toDF("t")
+      .select(col("t"), TextOps.htmlUnescapeCols(col("t")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- vectors)
+      assert(colOut(in) == want, s"htmlUnescapeCols($in)")
+  }
+
+  test("native HtmlUnescape == column formulation on adversarial strings") {
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("&", "#", ";", "x", "amp", "lt", "&amp;", "&#", "&#x",
+      "6", "65", "1F600", "a", " ", "&unknown;", "&LT;", "&frac12;", "0",
+      "&#xD800;", "&#999999999;", "&;", "&#;", "&#x;", "é")
+    val cases = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(8)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+    } :+ ""
+    val rows = cases.toDF("t")
+      .select(TextOps.htmlUnescape(col("t")).as("n"),
+        TextOps.htmlUnescapeCols(col("t")).as("c"))
+      .collect()
+    for ((r, in) <- rows.zip(cases))
+      assert(r.getString(0) == r.getString(1), s"native vs cols on <$in>")
+  }
+
+  test("cleanText folds NBSP and typographic spaces like Python's unicode \\s") {
+    // &nbsp; → U+00A0 → ' ' (the reference's \s+ collapse is unicode-aware)
+    assert(clean("a&nbsp;b") == "a b")
+    assert(clean("a&#160;b") == "a b")
+    assert(clean("a b　c") == "a b c")
+  }
+
   test("stable_hash64 expression matches the JVM hash and registers in SQL") {
     import graft.text.{StableHash, StableHash64}
     val df = Seq("hello", "world", "it's").toDF("s")
