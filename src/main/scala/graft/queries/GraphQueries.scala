@@ -266,8 +266,10 @@ object GraphQueries {
       var lab = adj.select(col("a").as("x")).distinct()
         .withColumn("l", col("x"))
       for (_ <- 1 to 2) {
+        // lab is |V|-sized (scales with the data): no broadcast hint —
+        // AQE broadcasts it while it fits and shuffle-joins at 100 TB
         val nbrMin = adj
-          .join(broadcast(lab.select(col("x").as("b2"), col("l").as("lb"))),
+          .join(lab.select(col("x").as("b2"), col("l").as("lb")),
             col("b") === col("b2"))
           .groupBy(col("a").as("x")).agg(min("lb").as("nl"))
         lab = lab.join(nbrMin, Seq("x"), "left")
@@ -277,7 +279,8 @@ object GraphQueries {
       val m = e.agg(count(lit(1)).as("m"))
       val lu = lab.select(col("x").as("u"), col("l").as("lu"))
       val lv = lab.select(col("x").as("v"), col("l").as("lv"))
-      val etab = e.join(broadcast(lu), "u").join(broadcast(lv), "v").scopedPersist
+      // lu/lv are |V|-sized too — AQE's call, not a pinned broadcast
+      val etab = e.join(lu, "u").join(lv, "v").scopedPersist
       val ein = etab.filter(col("lu") === col("lv"))
         .groupBy(col("lu").as("l")).agg(count(lit(1)).as("e_in"))
       val degc = etab
@@ -412,17 +415,20 @@ object GraphQueries {
         val alive = deg.filter(col("dg") >= k)
         removedCum = Some(removedCum.fold(removed)(_ unionByName removed))
         val rc = removedCum.get
+        // rc is the CUMULATIVE removed set — it grows toward |V| over
+        // rounds, so no pinned broadcast (q182's lesson); AQE
+        // broadcasts while it is genuinely small
         val eAlive = e
-          .join(broadcast(rc), col("u") === col("x"), "left_anti")
-          .join(broadcast(rc), col("v") === col("x"), "left_anti")
+          .join(rc, col("u") === col("x"), "left_anti")
+          .join(rc, col("v") === col("x"), "left_anti")
         val row = eAlive.agg(count(lit(1)).as("n_edges"))
           .crossJoin(alive.agg(count(lit(1)).as("n_nodes")))
           .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
         // degree update: an alive endpoint loses one per edge to a
         // newly-removed neighbor; both probes broadcast the same build
-        val dV = e.join(broadcast(removed), col("u") === col("x"), "left_semi")
+        val dV = e.join(removed, col("u") === col("x"), "left_semi")
           .select(col("v").as("x"))
-        val dU = e.join(broadcast(removed), col("v") === col("x"), "left_semi")
+        val dU = e.join(removed, col("v") === col("x"), "left_semi")
           .select(col("u").as("x"))
         val delta = dV.unionByName(dU).groupBy("x").agg(count(lit(1)).as("d"))
         deg = alive.join(delta, Seq("x"), "left")

@@ -74,7 +74,9 @@ object Helpers {
     tracked.set(buf)
     try {
       val out = build
-      if (buf.isEmpty) out else selfCleaning(out, buf.toSeq)
+      // diagnostic kill-switch: persists still happen, cleanup skipped
+      if (buf.isEmpty || sys.env.get("SPARK_GRAFT_NO_CACHE_SCOPE").contains("1")) out
+      else selfCleaning(out, buf.toSeq)
     } finally tracked.set(prev)
   }
 
