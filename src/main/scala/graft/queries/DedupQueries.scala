@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.sources.Tables
-import graft.text.{StableHash, TextOps}
+import graft.text.{StableHash, StableHash64, TextOps}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection at pipeline scale. The corpus is `documents`
@@ -243,5 +244,79 @@ object DedupQueries {
          |         WHERE cl.len = agg.keep_len GROUP BY cl.cluster)
          |SELECT agg.cluster AS cluster, n_members, keep_id, keep_len,
          |  n_members - 1 AS n_dropped
-         |FROM agg JOIN keep USING (cluster) ORDER BY cluster""".stripMargin)))
+         |FROM agg JOIN keep USING (cluster) ORDER BY cluster""".stripMargin)),
+
+    // Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better", arXiv:2107.06499 — the
+    // token-window adaptation of its suffix-array substring pass):
+    // every 8-token window is StableHash64'd (an 8-byte shuffle key
+    // instead of the gram text), windows whose hash occurs ≥2× ANYWHERE
+    // in the corpus (cross-doc or same-doc) are duplicated material,
+    // and each document reports the fraction of its tokens covered by
+    // at least one duplicated window (interval union via
+    // gaps-and-islands over a doc-partitioned window — no global sort).
+    // Scale shape: one hash-partitioned exchange builds both the
+    // occurrence counts and the semi-join probe; coverage is
+    // doc-partitioned; nothing is collected. The oracle replays the
+    // identical hash (HUGEINT mod-2^64 twin) so the duplicate classes
+    // match bit-for-bit.
+    Q("q213_substring_dedup", (s, dir) => {
+      val n = 8
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokens(TextOps.cleanText(col("text"))).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_tok"))
+      val wins = docs.filter(col("n_tok") >= n)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), (col("n_tok") - n).cast("int")),
+            i => StableHash64(array_join(slice(col("toks"), i + 1, lit(n)), " ")))))
+        .select(col("doc_id"), col("pos"), col("col").as("h"))
+        .scopedPersist
+      val dupHashes =
+        wins.groupBy("h").count().filter(col("count") >= 2).select("h")
+      val covered = wins.join(dupHashes, Seq("h"), "left_semi")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val prevEnd = max(col("pos") + lit(n - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val dupTok = covered
+        .withColumn("new_isl",
+          when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+        .withColumn("isl",
+          sum(col("new_isl")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg((max(col("pos")) + lit(n - 1) - min(col("pos")) + 1).as("ctok"))
+        .groupBy(col("doc_id")).agg(sum(col("ctok")).as("dup_tok"))
+      docs.join(dupTok, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+          round(coalesce(col("dup_tok"), lit(0L)) / col("n_tok"), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }, Some(
+      s"""WITH t AS (SELECT doc_id, ${tokensSql(cleanTextSql("text"))} AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+         |g AS (SELECT doc_id, n_tok,
+         |        list_transform(range(0, CAST(n_tok AS INTEGER) - 7),
+         |          i -> array_to_string(list_slice(toks, i+1, i+8), ' ')) AS grams
+         |      FROM d WHERE n_tok >= 8),
+         |w AS (SELECT doc_id, unnest(range(0, CAST(n_tok AS INTEGER) - 7)) AS pos,
+         |        unnest(${StableHash.hashes64Sql("grams")}) AS h FROM g),
+         |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+         |c AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM dup)),
+         |i1 AS (SELECT doc_id, pos,
+         |        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM c),
+         |i2 AS (SELECT doc_id, pos,
+         |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |       FROM i1),
+         |cov AS (SELECT doc_id, CAST(sum(ctok) AS BIGINT) AS dup_tok FROM (
+         |         SELECT doc_id, isl, max(pos) + 7 - min(pos) + 1 AS ctok
+         |         FROM i2 GROUP BY doc_id, isl) GROUP BY doc_id)
+         |SELECT d.doc_id, d.n_tok, coalesce(cov.dup_tok, 0) AS dup_tok,
+         |  round(CAST(coalesce(cov.dup_tok, 0) AS DOUBLE) / d.n_tok, 6) AS dup_frac
+         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin)))
 }
