@@ -318,5 +318,51 @@ object DedupQueries {
          |         FROM i2 GROUP BY doc_id, isl) GROUP BY doc_id)
          |SELECT d.doc_id, d.n_tok, coalesce(cov.dup_tok, 0) AS dup_tok,
          |  round(CAST(coalesce(cov.dup_tok, 0) AS DOUBLE) / d.n_tok, 6) AS dup_frac
-         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin)))
+         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // Fuzzy record linkage (the Fellegi–Sunter compare step over
+    // blocked candidates): parts are blocked on (first name token,
+    // brand) — the standard cheap blocking key — and every in-block
+    // ordered pair is scored with the native codegen'd Jaro–Winkler
+    // expression (text/JaroWinklerExpr.scala; Spark has no fuzzy match
+    // beyond levenshtein). Each part reports its best match: highest
+    // rounded similarity, smallest partkey on ties — an argmax via
+    // max(struct(...)), which partial-aggregates map-side instead of
+    // window-sorting every pair. Blocking bounds the pair count at
+    // Σ|block|² (blocks are brand × small-vocab first words, so blocks
+    // stay O(corpus/200) — no all-pairs blowup at scale). Oracle:
+    // DuckDB's built-in jaro_winkler_similarity (same Winkler 1990
+    // variant: 0.7 boost threshold, 0.1 scale, 4-char prefix cap).
+    Q("q214_fuzzy_linkage", (s, dir) => {
+      val p = Tables.part(s, dir).select(
+        col("p_partkey"), col("p_name"), col("p_brand"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+      val pairs = p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") =!= col("b.p_partkey"))
+        .select(col("a.p_partkey").as("p_partkey"),
+          col("b.p_partkey").as("bk"), col("b.p_name").as("bn"),
+          round(graft.text.JaroWinkler(col("a.p_name"), col("b.p_name")), 6)
+            .as("jw"))
+      pairs
+        .groupBy("p_partkey")
+        .agg(max(struct(col("jw"), (-col("bk")).as("nk"),
+          col("bk"), col("bn"))).as("best"))
+        .select(col("p_partkey"), col("best.bk").as("match_key"),
+          col("best.bn").as("match_name"), col("best.jw").as("jw"))
+        .orderBy("p_partkey")
+    }, Some(
+      """WITH p AS (SELECT p_partkey, p_name, p_brand,
+        |             split_part(p_name, ' ', 1) AS blk FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey, b.p_partkey AS bk, b.p_name AS bn,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM p a JOIN p b
+        |    ON a.blk = b.blk AND a.p_brand = b.p_brand
+        |    AND a.p_partkey <> b.p_partkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |        ORDER BY jw DESC, bk ASC) AS rn FROM pairs)
+        |SELECT p_partkey, bk AS match_key, bn AS match_name, jw
+        |FROM r WHERE rn = 1 ORDER BY p_partkey""".stripMargin)))
 }

@@ -119,6 +119,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(CosineSim.fnName), CosineSim.info, CosineSim.builder))
     e.injectFunction((FunctionIdentifier(graft.text.StableHash64.fnName),
       graft.text.StableHash64.info, graft.text.StableHash64.builder))
+    e.injectFunction((FunctionIdentifier(graft.text.JaroWinkler.fnName),
+      graft.text.JaroWinkler.info, graft.text.JaroWinkler.builder))
     e.injectOptimizerRule(_ => CosineFusion)
   }
 }
