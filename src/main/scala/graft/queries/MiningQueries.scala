@@ -1244,5 +1244,139 @@ object MiningQueries {
          |    AS brier,
          |  round(CAST(sum(CAST(ll AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6)
          |    AS log_loss
-         |FROM rows_""".stripMargin)))
+         |FROM rows_""".stripMargin)),
+
+    // Benford first-digit audit over order totals — the forensic
+    // data-quality screen (Benford 1938; Nigrini's fraud-detection
+    // use). The leading digit comes from the DECIMAL(18,2) string
+    // form (identical text on both engines — no log10-of-data
+    // fp hazard), and the expected Benford mass log10(1+1/d) is
+    // computed ONCE here and inlined as the same full-precision
+    // literal into both the Spark plan and the generated oracle SQL,
+    // so the chi-square arithmetic is bit-identical. One row per
+    // digit with the per-digit chi-square contribution.
+    {
+      val benford = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+      Q("q215_benford_audit", (s, dir) => {
+        val digits = Tables.orders(s, dir).select(
+          substring(col("o_totalprice").cast(DecimalType(18, 2))
+            .cast("string"), 1, 1).cast("int").as("digit"))
+        val expCol = benford.foldLeft(lit(Double.NaN): Column) {
+          case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+        }
+        val tot = digits.agg(count(lit(1)).as("tot"))
+        digits.groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("tot"), 6).as("obs_frac"),
+            round(expCol, 6).as("exp_frac"),
+            round(pow(col("n").cast("double") - col("tot") * expCol, 2)
+              / (col("tot") * expCol), 6).as("chi2_part"))
+          .orderBy("digit")
+      }, Some {
+        val expSql = "(CASE digit " + benford.map { case (d, e) =>
+          s"WHEN $d THEN CAST($e AS DOUBLE)"
+        }.mkString(" ") + " END)"
+        s"""WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders),
+           |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+           |t AS (SELECT count(*) AS tot FROM d)
+           |SELECT digit, n,
+           |  round(CAST(n AS DOUBLE) / tot, 6) AS obs_frac,
+           |  round($expSql, 6) AS exp_frac,
+           |  round(pow(CAST(n AS DOUBLE) - tot * $expSql, 2)
+           |    / (tot * $expSql), 6) AS chi2_part
+           |FROM g, t ORDER BY digit""".stripMargin
+      })
+    },
+
+    // Incremental aggregate maintenance — the pattern every 100 TB
+    // pipeline actually runs: yesterday's MATERIALIZED partial-agg
+    // state (count / exact decimal sum / min / max per day×type, a
+    // mergeable commutative monoid) is combined with a late-arriving
+    // delta batch by re-aggregating the two partial-state tables —
+    // the base fact rows are never touched again. The delta split is
+    // deterministic (event_id % 7) and deliberately overlaps every
+    // key, so the merge path is exercised on each group. The oracle
+    // recomputes from scratch over all rows: exact-decimal
+    // associativity makes merged == direct, bit-for-bit.
+    Q("q216_incremental_agg", (s, dir) => {
+      val nanosPerDay = 86400L * 1000000000L
+      val ev = EventQueries.events(s, dir).select(
+        col("event_id"), col("event_type"), col("value"),
+        (((col("ts") - pmod(col("ts"), lit(nanosPerDay))) / nanosPerDay)
+          .cast("long") * 86400).as("day_epoch"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("day_epoch", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(20, 6))).as("vsum"),
+            min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val base = partials(ev.filter(col("event_id") % 7 =!= 0))
+      val delta = partials(ev.filter(col("event_id") % 7 === 0))
+      base.unionByName(delta)
+        .groupBy("day_epoch", "event_type")
+        .agg(sum(col("n")).as("n"),
+          round(sum(col("vsum")).cast("double"), 4).as("value_sum"),
+          min(col("vmin")).as("value_min"),
+          max(col("vmax")).as("value_max"))
+        .orderBy("day_epoch", "event_type")
+    }, Some(
+      s"""SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+         |  event_type, count(*) AS n,
+         |  ${dsumSql("value")} AS value_sum,
+         |  min(value) AS value_min, max(value) AS value_max
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Kendall τ-b rank agreement between price and size within each
+    // brand (complements q175's corpus-scale Spearman): concordant /
+    // discordant / tie counts from one in-block pair scan — exact
+    // integers — then the closed-form τ-b with tie correction.
+    // Deliberately group-bounded: the pair scan is quadratic in the
+    // BLOCK size, the right tool when groups are catalog-sized; for
+    // corpus-wide rank correlation the linear-moment Spearman (q175)
+    // is the scale path.
+    Q("q217_kendall_tau", (s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
+        col("p_retailprice").as("x"), col("p_size").cast("long").as("y"))
+      val sx = signum(col("a.x") - col("b.x"))
+      val sy = signum((col("a.y") - col("b.y")).cast("double"))
+      val g = p.as("a")
+        .join(p.as("b"), col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_brand").as("p_brand"),
+          when(sx * sy > 0, 1L).otherwise(0L).as("c"),
+          when(sx * sy < 0, 1L).otherwise(0L).as("d"),
+          when(col("a.x") === col("b.x"), 1L).otherwise(0L).as("tx"),
+          when(col("a.y") === col("b.y"), 1L).otherwise(0L).as("ty"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("conc"),
+          sum(col("d")).as("disc"), sum(col("tx")).as("n1"),
+          sum(col("ty")).as("n2"))
+      g.select(col("p_brand"), col("n_pairs"), col("conc"), col("disc"),
+          when(col("n_pairs") - col("n1") > 0 && col("n_pairs") - col("n2") > 0,
+            round((col("conc") - col("disc")).cast("double") /
+              sqrt(((col("n_pairs") - col("n1")) * (col("n_pairs") - col("n2")))
+                .cast("double")), 6)).as("tau_b"))
+        .orderBy("p_brand")
+    }, Some(
+      """WITH p AS (SELECT p_brand, p_partkey, p_retailprice AS x,
+        |             CAST(p_size AS BIGINT) AS y FROM part),
+        |pr AS (SELECT a.p_brand,
+        |    CASE WHEN sign(a.x - b.x) * sign(CAST(a.y - b.y AS DOUBLE)) > 0
+        |      THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN sign(a.x - b.x) * sign(CAST(a.y - b.y AS DOUBLE)) < 0
+        |      THEN 1 ELSE 0 END AS d,
+        |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        |g AS (SELECT p_brand, count(*) AS n_pairs,
+        |        CAST(sum(c) AS BIGINT) AS conc, CAST(sum(d) AS BIGINT) AS disc,
+        |        CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2
+        |      FROM pr GROUP BY p_brand)
+        |SELECT p_brand, n_pairs, conc, disc,
+        |  CASE WHEN n_pairs - n1 > 0 AND n_pairs - n2 > 0
+        |    THEN round(CAST(conc - disc AS DOUBLE) /
+        |      sqrt(CAST((n_pairs - n1) * (n_pairs - n2) AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM g ORDER BY p_brand""".stripMargin)))
 }
