@@ -341,5 +341,60 @@ object CurationQueries {
          |      FROM p GROUP BY pair)
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
          |    AS rank, pair, cnt
-         |FROM c ORDER BY cnt DESC, pair LIMIT 10""".stripMargin)))
+         |FROM c ORDER BY cnt DESC, pair LIMIT 10""".stripMargin)),
+
+    // Deterministic negative sampling for contrastive training: each
+    // anchor (a fixed query-budget sample, doc_id % 50) draws k=5
+    // negatives from the corpus, excluding its own source (the cheap
+    // near-positive proxy). Priority = StableHash64(anchor:candidate)
+    // reduced mod the prime 1000003 (unsigned — the signed-long
+    // correction adds 2^64 ≡ 350687 mod 1000003), so the draw is a
+    // reproducible pseudo-random permutation per anchor with a DuckDB
+    // HUGEINT twin. Scale shape: the anchor list broadcasts (it is a
+    // query budget, not corpus-scaled); the corpus scan keeps only the
+    // hash sliver below an expected-50-candidates threshold computed
+    // from the corpus count, so the per-anchor top-k window sorts ~50
+    // rows, never the corpus.
+    Q("q220_negative_sampling", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val anchors = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("aid"), col("source").as("asrc"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val h = StableHash64(concat(col("aid").cast("string"), lit(":"),
+        col("doc_id").cast("string")))
+      val bucket = pmod(
+        pmod(h, lit(1000003L)) +
+          when(h < 0, lit(350687L)).otherwise(lit(0L)), lit(1000003L))
+      val sliver = docs
+        .join(broadcast(anchors),
+          col("source") =!= col("asrc") && col("doc_id") =!= col("aid"))
+        .select(col("aid"), col("doc_id").as("cid"), bucket.as("skey"))
+        .crossJoin(broadcast(nd))
+        .filter(col("skey") <
+          floor(lit(50000150.0) / col("nd")).cast("long") + 1)
+      sliver
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("aid").orderBy(col("skey"), col("cid")))
+          .cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("aid").as("anchor_id"), col("cid").as("neg_id"),
+          col("rnk"), col("skey"))
+        .orderBy("anchor_id", "rnk")
+    }, Some(
+      s"""WITH n AS (SELECT count(*) AS nd FROM documents),
+         |a AS (SELECT doc_id AS aid, source AS asrc FROM documents
+         |      WHERE doc_id % 50 = 0),
+         |c AS (SELECT a.aid, d.doc_id AS cid,
+         |        CAST(${StableHash.hashes64Sql(
+        "[CAST(a.aid AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)]")}[1]
+         |          % 1000003 AS BIGINT) AS skey
+         |      FROM a JOIN documents d
+         |        ON d.source <> a.asrc AND d.doc_id <> a.aid),
+         |f AS (SELECT aid, cid, skey FROM c, n
+         |      WHERE skey < CAST(floor(50000150.0 / nd) AS BIGINT) + 1),
+         |r AS (SELECT aid, cid, skey, row_number() OVER (
+         |        PARTITION BY aid ORDER BY skey, cid) AS rnk FROM f)
+         |SELECT aid AS anchor_id, cid AS neg_id, CAST(rnk AS BIGINT) AS rnk,
+         |  skey
+         |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin)))
 }

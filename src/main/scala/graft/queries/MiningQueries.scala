@@ -1326,6 +1326,59 @@ object MiningQueries {
          |  min(value) AS value_min, max(value) AS value_max
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Weight-of-evidence / information-value feature screen (the
+    // credit-scoring standard; Siddiqi 2006): order totals binned into
+    // population deciles (percentile bounds + one-row broadcast — the
+    // q71 shape that avoids a single-partition ntile), target =
+    // urgent-priority order. Per bin: event/non-event counts, WOE =
+    // ln((pos/POS)/(neg/NEG)), and the IV contribution
+    // (pos/POS - neg/NEG)·WOE. Counts are exact integers; WOE/IV are
+    // closed-form doubles over them, mirrored op-for-op.
+    Q("q219_woe_iv", (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          .cast("long").as("y"))
+      val b = o.agg(percentile(col("o_totalprice"),
+        lit((1 to 9).map(_ / 10.0).toArray)).as("bs"))
+      val g = o.crossJoin(broadcast(b))
+        .select((size(filter(col("bs"), x => col("o_totalprice") > x)) + 1)
+          .cast("long").as("bin"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .withColumn("neg", col("n") - col("pos"))
+      val tot = g.agg(sum("pos").as("tp"), sum("neg").as("tn"))
+      val pr = col("pos").cast("double") / col("tp")
+      val nr = col("neg").cast("double") / col("tn")
+      g.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("pos"), col("neg"),
+          when(col("pos") > 0 && col("neg") > 0,
+            round(log(pr / nr), 6)).as("woe"),
+          when(col("pos") > 0 && col("neg") > 0,
+            round((pr - nr) * log(pr / nr), 6)).as("iv_part"))
+        .orderBy("bin")
+    }, Some(
+      """WITH o AS (SELECT o_totalprice,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS y FROM orders),
+        |b AS (SELECT quantile_cont(o_totalprice,
+        |        [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM o),
+        |g AS (SELECT CAST(len(list_filter(bs, x -> o_totalprice > x)) + 1
+        |          AS BIGINT) AS bin,
+        |        count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |      FROM o, b GROUP BY 1),
+        |g2 AS (SELECT bin, n, pos, n - pos AS neg FROM g),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |        CAST(sum(neg) AS BIGINT) AS tn FROM g2)
+        |SELECT bin, n, pos, neg,
+        |  CASE WHEN pos > 0 AND neg > 0 THEN
+        |    round(ln((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)), 6)
+        |  END AS woe,
+        |  CASE WHEN pos > 0 AND neg > 0 THEN
+        |    round((CAST(pos AS DOUBLE) / tp - CAST(neg AS DOUBLE) / tn) *
+        |      ln((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)), 6)
+        |  END AS iv_part
+        |FROM g2, t ORDER BY bin""".stripMargin)),
+
     // Kendall τ-b rank agreement between price and size within each
     // brand (complements q175's corpus-scale Spearman): concordant /
     // discordant / tie counts from one in-block pair scan — exact

@@ -4,6 +4,7 @@ import graft.rank.Features
 import graft.sources.Tables
 import graft.vector.VectorOps
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector/feature operators over `embeddings` and the price columns:
   * brute-force cosine top-k (the reference's retrieval scan,
@@ -469,5 +470,76 @@ object VectorQueries {
          |    ELSE 0.0 END AS DECIMAL(20,6))) AS DOUBLE) / 10, 6) AS ap,
          |  round(CAST(sum(h) AS DOUBLE) / 10.0, 6) AS recall
          |FROM t GROUP BY qid ORDER BY qid""".stripMargin
-    }))
+    }),
+
+    // Dimension covariance + correlation matrix over the embedding
+    // corpus — the PCA / whitening front-end (the Gram-matrix pass
+    // every vector pipeline runs before dimensionality reduction).
+    // Each row expands to its d(d+1)/2 upper-triangle index pairs via
+    // a nested array transform — NO self-join of the exploded corpus:
+    // the pair stream partial-aggregates map-side onto d² bounded
+    // keys, so the shuffle moves O(d²·partitions) rows no matter how
+    // many vectors flow through (the shape that survives 100 TB).
+    // Arithmetic is q209's exact nano-integer moments (DECIMAL
+    // products, order-independent), with doubles only in the final
+    // closed form. Per-dim totals join back broadcast (d rows).
+    Q("q218_embedding_covariance", (s, dir) => {
+      val em = Tables.embeddings(s, dir).select(expr(
+        """transform(CAST(embedding AS ARRAY<DOUBLE>),
+          |  v -> CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT))"""
+          .stripMargin).as("em"))
+        .scopedPersist
+      val prods = em.select(explode(expr(
+        """flatten(transform(em, (x, i) ->
+          |  transform(slice(em, i + 1, size(em) - i),
+          |    (y, k) -> struct(i AS i, i + k AS j, x AS xm, y AS ym))))"""
+          .stripMargin)).as("p"))
+        .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p.xm").cast(DecimalType(38, 0)) * col("p.ym")).as("sxy"))
+      val dims = em.select(posexplode(col("em")).as(Seq("pos", "nv")))
+        .groupBy(col("pos").cast("long").as("dim"))
+        .agg(sum(col("nv").cast(DecimalType(38, 0))).as("s"),
+          sum(col("nv").cast(DecimalType(38, 0)) * col("nv")).as("ss"))
+      val da = dims.select(col("dim").as("i"), col("s").as("si"), col("ss").as("ssi"))
+      val db = dims.select(col("dim").as("j"), col("s").as("sj"), col("ss").as("ssj"))
+      val num = col("sxy").cast("double") / col("n") -
+        (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n"))
+      val vi = col("ssi").cast("double") / col("n") -
+        (col("si").cast("double") / col("n")) * (col("si").cast("double") / col("n"))
+      val vj = col("ssj").cast("double") / col("n") -
+        (col("sj").cast("double") / col("n")) * (col("sj").cast("double") / col("n"))
+      prods.join(broadcast(da), "i").join(broadcast(db), "j")
+        .select(col("i"), col("j"),
+          round(num / lit(1e18), 9).as("cov"),
+          when(vi > 0 && vj > 0, round(num / sqrt(vi * vj), 6)).as("corr"))
+        .orderBy("i", "j")
+    }, Some(
+      """WITH e AS (SELECT vec_id, pos1 - 1 AS dim,
+        |    CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS nv
+        |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |          generate_subscripts(embedding, 1) AS pos1 FROM embeddings)),
+        |d AS (SELECT dim, sum(CAST(nv AS HUGEINT)) AS s,
+        |        sum(CAST(nv AS HUGEINT) * nv) AS ss FROM e GROUP BY dim),
+        |p AS (SELECT a.dim AS di, b.dim AS dj, count(*) AS n,
+        |        sum(CAST(a.nv AS HUGEINT) * b.nv) AS sxy
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |      GROUP BY 1, 2)
+        |SELECT CAST(di AS BIGINT) AS i, CAST(dj AS BIGINT) AS j,
+        |  round((CAST(sxy AS DOUBLE) / n -
+        |    (CAST(da.s AS DOUBLE) / n) * (CAST(db.s AS DOUBLE) / n)) / 1e18, 9)
+        |    AS cov,
+        |  CASE WHEN (CAST(da.ss AS DOUBLE) / n -
+        |      (CAST(da.s AS DOUBLE) / n) * (CAST(da.s AS DOUBLE) / n)) > 0
+        |    AND (CAST(db.ss AS DOUBLE) / n -
+        |      (CAST(db.s AS DOUBLE) / n) * (CAST(db.s AS DOUBLE) / n)) > 0
+        |    THEN round((CAST(sxy AS DOUBLE) / n -
+        |      (CAST(da.s AS DOUBLE) / n) * (CAST(db.s AS DOUBLE) / n)) /
+        |      sqrt((CAST(da.ss AS DOUBLE) / n -
+        |        (CAST(da.s AS DOUBLE) / n) * (CAST(da.s AS DOUBLE) / n)) *
+        |        (CAST(db.ss AS DOUBLE) / n -
+        |        (CAST(db.s AS DOUBLE) / n) * (CAST(db.s AS DOUBLE) / n))), 6)
+        |  END AS corr
+        |FROM p JOIN d da ON p.di = da.dim JOIN d db ON p.dj = db.dim
+        |ORDER BY i, j""".stripMargin)))
 }
