@@ -178,4 +178,41 @@ class PlanShapeSpec extends SparkSpec {
     // identical HashAggregate(keys=[i, j]) branches
     assert(plan.contains("explode"), plan.take(4000))
   }
+
+  test("substring dedup probes duplicate windows with a semi-join, no theta join") {
+    val plan = executedPlan("q213_substring_dedup")
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("fuzzy linkage pairs come from an equi-join on the blocking key") {
+    val plan = executedPlan("q214_fuzzy_linkage")
+    // (first-token, brand) block join must stay a hash/sort-merge
+    // equi-join; the JW score and argmax run on the joined stream
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(plan.contains("jaro_winkler") || plan.contains("jarowinkler") ||
+      plan.contains("JaroWinkler"), plan.take(4000))
+  }
+
+  test("embedding covariance streams pairs map-side, never self-joins the corpus") {
+    val df = SparkEntry.queries("q218_embedding_covariance")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // pair generation is an in-row nested transform + explode feeding a
+    // partial aggregate on (i, j); the only joins are the d-row
+    // per-dim totals joined back onto d² aggregated cells
+    assert(plan.contains("explode"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
+  test("new heavy extensions force no fact-table broadcasts") {
+    for (q <- Seq("q213_substring_dedup", "q214_fuzzy_linkage",
+        "q217_kendall_tau", "q218_embedding_covariance")) {
+      val bad = factBroadcasts(q)
+      assert(bad.isEmpty, s"$q forces a fact-table broadcast: $bad")
+    }
+  }
 }
