@@ -1326,6 +1326,165 @@ object MiningQueries {
          |  min(value) AS value_min, max(value) AS value_max
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Snapshot diff — the lakehouse CDC primitive: classify every key
+    // across two table versions as added / removed / changed /
+    // unchanged with ONE full-outer shuffle join on the key, comparing
+    // the tracked columns. The "current" version is derived
+    // deterministically from `orders` (drop every 97th key, bump
+    // totalprice on every 13th, append every 101st under a shifted
+    // key) so both engines diff identical states. Census output:
+    // per-class row count + key checksum.
+    Q("q221_snapshot_diff", (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("bp"),
+          col("o_orderstatus").as("bs"))
+      val curr = base.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, col("bp") + 1000.0)
+            .otherwise(col("bp")).as("cp"),
+          col("bs").as("cs"))
+        .unionByName(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 100000000L).as("k"), col("bp").as("cp"),
+            col("bs").as("cs")))
+      base.join(curr, Seq("k"), "full_outer")
+        .select(when(col("bp").isNull, "added")
+          .when(col("cp").isNull, "removed")
+          .when(col("bp") =!= col("cp") || col("bs") =!= col("cs"), "changed")
+          .otherwise("unchanged").as("change"), col("k"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+        .orderBy("change")
+    }, Some(
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS bp,
+        |    o_orderstatus AS bs FROM orders),
+        |curr AS (
+        |  SELECT k, CASE WHEN k % 13 = 0 THEN bp + 1000.0 ELSE bp END AS cp,
+        |    bs AS cs FROM base WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000 AS k, bp AS cp, bs AS cs FROM base
+        |  WHERE k % 101 = 0),
+        |d AS (SELECT coalesce(base.k, curr.k) AS k, bp, bs, cp, cs
+        |      FROM base FULL OUTER JOIN curr ON base.k = curr.k)
+        |SELECT CASE WHEN bp IS NULL THEN 'added'
+        |    WHEN cp IS NULL THEN 'removed'
+        |    WHEN bp <> cp OR bs <> cs THEN 'changed'
+        |    ELSE 'unchanged' END AS change,
+        |  count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Calibration curve (reliability diagram) for q138's scorer — the
+    // evaluation that Brier/log-loss (q179) summarize: per 0.1-wide
+    // confidence bin, mean predicted probability vs observed positive
+    // rate and the |gap|. Probabilities are rounded to 9dp at the
+    // transcendental seam (same discipline as q179), then binned by
+    // exact double arithmetic and aggregated with exact decimal sums —
+    // one keyed aggregate over 10 bounded bins.
+    Q("q222_calibration_curve", (s, dir) => {
+      val sc = EvalQueries.scoredDf(s, dir)
+      val rows = sc.select(col("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9).as("p"))
+      rows.select(least(floor(col("p") * 10), lit(9L)).cast("long").as("bin"),
+          col("y"), col("p"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p").cast(DecimalType(20, 12))).cast("double") /
+            count(lit(1)), 6).as("conf"),
+          round(sum(col("y")).cast("double") / count(lit(1)), 6).as("acc"))
+        .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+        .orderBy("bin")
+    }, Some(
+      s"""WITH ${EvalQueries.scoredCteSql},
+         |rows_ AS (SELECT y, round(1.0/(1.0 + exp(-z)), 9) AS p FROM sc),
+         |b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, y, p
+         |      FROM rows_),
+         |g AS (SELECT bin, count(*) AS n,
+         |    round(CAST(sum(CAST(p AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6)
+         |      AS conf,
+         |    round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS acc
+         |  FROM b GROUP BY bin)
+         |SELECT bin, n, conf, acc, round(abs(conf - acc), 6) AS gap
+         |FROM g ORDER BY bin""".stripMargin)),
+
+    // Multi-touch attribution (linear + exponential time-decay,
+    // 6 h half-life) — the marketing-analytics standard: every
+    // purchase distributes one unit of credit over the user's
+    // click/view touches in the trailing 24 h; no-touch purchases
+    // credit a 'direct' channel. The purchase↔touch pairing is an
+    // equi-join on user_id with nanosecond range predicates (per-user
+    // bounded, no theta join); weights are rounded at the pow() seam
+    // (9dp) and normalized by exact per-purchase decimal sums, so
+    // credit conservation holds bit-for-bit on both engines.
+    Q("q223_attribution", (s, dir) => {
+      // micros on both sides: DuckDB truncates parquet TIMESTAMP(NANOS)
+      // to micros on read (q72's seam), so the decay exponent must too
+      val dayUs = 86400000000L
+      val ev = EventQueries.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("pts"),
+          col("event_id").as("pid"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), expr("ts div 1000").as("tts"),
+          col("event_type").as("channel"))
+      val paired = purchases.join(touches, Seq("user_id"))
+        .filter(col("tts") <= col("pts") && col("tts") > col("pts") - dayUs)
+        .select(col("pid"), col("channel"),
+          round(pow(lit(2.0),
+            -((col("pts") - col("tts")).cast("double") / lit(2.16e10))), 9)
+            .as("w"))
+        .scopedPersist
+      val perPid = paired.groupBy("pid")
+        .agg(count(lit(1)).as("k"),
+          sum(col("w").cast(DecimalType(20, 12))).as("tw"))
+      val perChan = paired.groupBy("pid", "channel")
+        .agg(count(lit(1)).as("ck"),
+          sum(col("w").cast(DecimalType(20, 12))).as("cw"))
+      val attributed = perChan.join(perPid, Seq("pid"))
+        .select(col("channel"),
+          round(col("ck").cast("double") / col("k"), 9).as("lc"),
+          round(col("cw").cast("double") / col("tw").cast("double"), 9)
+            .as("dc"),
+          col("ck"))
+        .groupBy("channel")
+        .agg(sum(col("ck")).as("n_touches"),
+          round(sum(col("lc").cast(DecimalType(20, 12))).cast("double"), 6)
+            .as("linear_credit"),
+          round(sum(col("dc").cast(DecimalType(20, 12))).cast("double"), 6)
+            .as("decay_credit"))
+      val direct = purchases.join(paired.select("pid").distinct(),
+          Seq("pid"), "left_anti")
+        .agg(count(lit(1)).as("nd"))
+        .select(lit("direct").as("channel"), lit(0L).as("n_touches"),
+          col("nd").cast("double").as("linear_credit"),
+          col("nd").cast("double").as("decay_credit"))
+      attributed.unionByName(direct).orderBy("channel")
+    }, Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS pts, event_id AS pid
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_us(ts) AS tts, event_type AS channel
+        |      FROM events WHERE event_type IN ('click', 'view')),
+        |paired AS (SELECT pid, channel,
+        |    round(pow(2.0, -(CAST(pts - tts AS DOUBLE) / 2.16e10)), 9) AS w
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND tts <= pts AND tts > pts - 86400000000),
+        |per_pid AS (SELECT pid, count(*) AS k,
+        |    sum(CAST(w AS DECIMAL(20,12))) AS tw FROM paired GROUP BY pid),
+        |per_chan AS (SELECT pid, channel, count(*) AS ck,
+        |    sum(CAST(w AS DECIMAL(20,12))) AS cw
+        |  FROM paired GROUP BY pid, channel),
+        |attributed AS (SELECT channel,
+        |    CAST(sum(ck) AS BIGINT) AS n_touches,
+        |    round(CAST(sum(CAST(round(CAST(ck AS DOUBLE) / k, 9)
+        |      AS DECIMAL(20,12))) AS DOUBLE), 6) AS linear_credit,
+        |    round(CAST(sum(CAST(round(CAST(cw AS DOUBLE) / CAST(tw AS DOUBLE), 9)
+        |      AS DECIMAL(20,12))) AS DOUBLE), 6) AS decay_credit
+        |  FROM per_chan JOIN per_pid USING (pid) GROUP BY channel),
+        |direct AS (SELECT 'direct' AS channel, CAST(0 AS BIGINT) AS n_touches,
+        |    CAST(count(*) AS DOUBLE) AS linear_credit,
+        |    CAST(count(*) AS DOUBLE) AS decay_credit
+        |  FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM paired))
+        |SELECT * FROM attributed UNION ALL SELECT * FROM direct
+        |ORDER BY channel""".stripMargin)),
+
     // Weight-of-evidence / information-value feature screen (the
     // credit-scoring standard; Siddiqi 2006): order totals binned into
     // population deciles (percentile bounds + one-row broadcast — the
