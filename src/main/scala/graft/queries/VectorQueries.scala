@@ -541,5 +541,104 @@ object VectorQueries {
         |        (CAST(db.s AS DOUBLE) / n) * (CAST(db.s AS DOUBLE) / n))), 6)
         |  END AS corr
         |FROM p JOIN d da ON p.di = da.dim JOIN d db ON p.dj = db.dim
-        |ORDER BY i, j""".stripMargin)))
+        |ORDER BY i, j""".stripMargin)),
+
+    // Principal component by power iteration — PCA's top direction
+    // extracted from the q218 covariance matrix with 3 unrolled
+    // matrix-vector iterations (v₀ = 1/√d exactly, d = 64 → 0.125).
+    // Every Σ_j C_ij·v_j and every norm is an exact decimal sum of
+    // 12dp-rounded products (order-independent on any partitioning;
+    // the DuckDB twin unrolls the same three CTE hops from the same
+    // template, so the two engines iterate bit-identically). The
+    // matrix is d², the vector d — after the one corpus pass that
+    // builds the moments, iteration cost is independent of corpus
+    // size, the shape that makes power iteration viable at 100 TB.
+    Q("q224_pca_power", (s, dir) => {
+      val em = Tables.embeddings(s, dir).select(expr(
+        """transform(CAST(embedding AS ARRAY<DOUBLE>),
+          |  v -> CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT))"""
+          .stripMargin).as("em"))
+        .scopedPersist
+      val prods = em.select(explode(expr(
+        """flatten(transform(em, (x, i) ->
+          |  transform(slice(em, i + 1, size(em) - i),
+          |    (y, k) -> struct(i AS i, i + k AS j, x AS xm, y AS ym))))"""
+          .stripMargin)).as("p"))
+        .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p.xm").cast(DecimalType(38, 0)) * col("p.ym")).as("sxy"))
+      val dims = em.select(posexplode(col("em")).as(Seq("pos", "nv")))
+        .groupBy(col("pos").cast("long").as("dim"))
+        .agg(sum(col("nv").cast(DecimalType(38, 0))).as("s"))
+        .scopedPersist
+      val da = dims.select(col("dim").as("i"), col("s").as("si"))
+      val db = dims.select(col("dim").as("j"), col("s").as("sj"))
+      val num = col("sxy").cast("double") / col("n") -
+        (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n"))
+      val upper = prods.join(broadcast(da), "i").join(broadcast(db), "j")
+        .select(col("i"), col("j"), round(num / lit(1e18), 9).as("c"))
+      val cells = upper.unionByName(
+        upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("c")))
+        .scopedPersist
+      var v = dims.select(col("dim").as("j"), lit(0.125).as("v"))
+      for (_ <- 1 to 3) {
+        val w = cells.join(v, "j").groupBy(col("i"))
+          .agg(sum(round(col("c") * col("v"), 12).cast(DecimalType(38, 18)))
+            .cast("double").as("w"))
+        val nrm = w.agg(sqrt(sum(round(col("w") * col("w"), 12)
+          .cast(DecimalType(38, 18))).cast("double")).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"), round(col("w") / col("nrm"), 9).as("v"))
+      }
+      val w4 = cells.join(v, "j").groupBy(col("i"))
+        .agg(sum(round(col("c") * col("v"), 12).cast(DecimalType(38, 18)))
+          .cast("double").as("w"))
+      val lam = w4.join(v.select(col("j").as("i"), col("v")), "i")
+        .agg(round(sum(round(col("w") * col("v"), 12)
+          .cast(DecimalType(38, 18))).cast("double"), 6).as("lambda"))
+      v.crossJoin(broadcast(lam))
+        .select(col("j").as("dim"), round(col("v"), 6).as("loading"),
+          col("lambda"))
+        .orderBy("dim")
+    }, Some {
+      val covCte =
+        """e AS (SELECT vec_id, pos1 - 1 AS dim,
+          |    CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS nv
+          |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+          |          generate_subscripts(embedding, 1) AS pos1 FROM embeddings)),
+          |d AS (SELECT dim, sum(CAST(nv AS HUGEINT)) AS s FROM e GROUP BY dim),
+          |p AS (SELECT a.dim AS di, b.dim AS dj, count(*) AS n,
+          |        sum(CAST(a.nv AS HUGEINT) * b.nv) AS sxy
+          |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          |      GROUP BY 1, 2),
+          |up AS (SELECT di AS i, dj AS j,
+          |    round((CAST(sxy AS DOUBLE) / n -
+          |      (CAST(da.s AS DOUBLE) / n) * (CAST(db.s AS DOUBLE) / n)) / 1e18, 9)
+          |      AS c
+          |  FROM p JOIN d da ON p.di = da.dim JOIN d db ON p.dj = db.dim),
+          |cf AS (SELECT i, j, c FROM up
+          |       UNION ALL SELECT j, i, c FROM up WHERE i <> j),
+          |v0 AS (SELECT dim AS j, 0.125 AS v FROM d)""".stripMargin
+      val iters = (1 to 3).map { k =>
+        s"""w$k AS (SELECT cf.i, CAST(sum(CAST(round(cf.c * v${k - 1}.v, 12)
+           |    AS DECIMAL(38,18))) AS DOUBLE) AS w
+           |  FROM cf JOIN v${k - 1} ON cf.j = v${k - 1}.j GROUP BY cf.i),
+           |n$k AS (SELECT sqrt(CAST(sum(CAST(round(w * w, 12)
+           |    AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM w$k),
+           |v$k AS (SELECT i AS j, round(w / nrm, 9) AS v FROM w$k, n$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $covCte,
+         |$iters,
+         |w4 AS (SELECT cf.i, CAST(sum(CAST(round(cf.c * v3.v, 12)
+         |    AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |  FROM cf JOIN v3 ON cf.j = v3.j GROUP BY cf.i),
+         |lam AS (SELECT round(CAST(sum(CAST(round(w4.w * v3.v, 12)
+         |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS lambda
+         |  FROM w4 JOIN v3 ON w4.i = v3.j)
+         |SELECT CAST(v3.j AS BIGINT) AS dim, round(v3.v, 6) AS loading,
+         |  lambda
+         |FROM v3, lam ORDER BY dim""".stripMargin
+    }))
 }
