@@ -350,14 +350,17 @@ object CurationQueries {
     // reduced mod the prime 1000003 (unsigned — the signed-long
     // correction adds 2^64 ≡ 350687 mod 1000003), so the draw is a
     // reproducible pseudo-random permutation per anchor with a DuckDB
-    // HUGEINT twin. Scale shape: the anchor list broadcasts (it is a
-    // query budget, not corpus-scaled); the corpus scan keeps only the
-    // hash sliver below an expected-50-candidates threshold computed
-    // from the corpus count, so the per-anchor top-k window sorts ~50
-    // rows, never the corpus.
+    // HUGEINT twin. Scale shape: the anchor list broadcasts because it
+    // is a FIXED query budget (id < 5000 cap — ≤100 anchors no matter
+    // how large the corpus grows; a %-only filter would scale with the
+    // data and pin a corpus-sized broadcast); the corpus scan keeps
+    // only the hash sliver below an expected-50-candidates threshold
+    // computed from the corpus count, so the per-anchor top-k window
+    // sorts ~50 rows, never the corpus.
     Q("q220_negative_sampling", (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val anchors = docs.filter(col("doc_id") % 50 === 0)
+      val anchors = docs
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("aid"), col("source").as("asrc"))
       val nd = docs.agg(count(lit(1)).as("nd"))
       val h = StableHash64(concat(col("aid").cast("string"), lit(":"),
@@ -383,7 +386,7 @@ object CurationQueries {
     }, Some(
       s"""WITH n AS (SELECT count(*) AS nd FROM documents),
          |a AS (SELECT doc_id AS aid, source AS asrc FROM documents
-         |      WHERE doc_id % 50 = 0),
+         |      WHERE doc_id % 50 = 0 AND doc_id < 5000),
          |c AS (SELECT a.aid, d.doc_id AS cid,
          |        CAST(${StableHash.hashes64Sql(
         "[CAST(a.aid AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)]")}[1]

@@ -1326,85 +1326,6 @@ object MiningQueries {
          |  min(value) AS value_min, max(value) AS value_max
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // Snapshot diff — the lakehouse CDC primitive: classify every key
-    // across two table versions as added / removed / changed /
-    // unchanged with ONE full-outer shuffle join on the key, comparing
-    // the tracked columns. The "current" version is derived
-    // deterministically from `orders` (drop every 97th key, bump
-    // totalprice on every 13th, append every 101st under a shifted
-    // key) so both engines diff identical states. Census output:
-    // per-class row count + key checksum.
-    Q("q221_snapshot_diff", (s, dir) => {
-      val base = Tables.orders(s, dir)
-        .select(col("o_orderkey").as("k"), col("o_totalprice").as("bp"),
-          col("o_orderstatus").as("bs"))
-      val curr = base.filter(col("k") % 97 =!= 0)
-        .select(col("k"),
-          when(col("k") % 13 === 0, col("bp") + 1000.0)
-            .otherwise(col("bp")).as("cp"),
-          col("bs").as("cs"))
-        .unionByName(base.filter(col("k") % 101 === 0)
-          .select((col("k") + 100000000L).as("k"), col("bp").as("cp"),
-            col("bs").as("cs")))
-      base.join(curr, Seq("k"), "full_outer")
-        .select(when(col("bp").isNull, "added")
-          .when(col("cp").isNull, "removed")
-          .when(col("bp") =!= col("cp") || col("bs") =!= col("cs"), "changed")
-          .otherwise("unchanged").as("change"), col("k"))
-        .groupBy("change")
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
-        .orderBy("change")
-    }, Some(
-      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS bp,
-        |    o_orderstatus AS bs FROM orders),
-        |curr AS (
-        |  SELECT k, CASE WHEN k % 13 = 0 THEN bp + 1000.0 ELSE bp END AS cp,
-        |    bs AS cs FROM base WHERE k % 97 <> 0
-        |  UNION ALL
-        |  SELECT k + 100000000 AS k, bp AS cp, bs AS cs FROM base
-        |  WHERE k % 101 = 0),
-        |d AS (SELECT coalesce(base.k, curr.k) AS k, bp, bs, cp, cs
-        |      FROM base FULL OUTER JOIN curr ON base.k = curr.k)
-        |SELECT CASE WHEN bp IS NULL THEN 'added'
-        |    WHEN cp IS NULL THEN 'removed'
-        |    WHEN bp <> cp OR bs <> cs THEN 'changed'
-        |    ELSE 'unchanged' END AS change,
-        |  count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Calibration curve (reliability diagram) for q138's scorer — the
-    // evaluation that Brier/log-loss (q179) summarize: per 0.1-wide
-    // confidence bin, mean predicted probability vs observed positive
-    // rate and the |gap|. Probabilities are rounded to 9dp at the
-    // transcendental seam (same discipline as q179), then binned by
-    // exact double arithmetic and aggregated with exact decimal sums —
-    // one keyed aggregate over 10 bounded bins.
-    Q("q222_calibration_curve", (s, dir) => {
-      val sc = EvalQueries.scoredDf(s, dir)
-      val rows = sc.select(col("y"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 9).as("p"))
-      rows.select(least(floor(col("p") * 10), lit(9L)).cast("long").as("bin"),
-          col("y"), col("p"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("p").cast(DecimalType(20, 12))).cast("double") /
-            count(lit(1)), 6).as("conf"),
-          round(sum(col("y")).cast("double") / count(lit(1)), 6).as("acc"))
-        .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
-        .orderBy("bin")
-    }, Some(
-      s"""WITH ${EvalQueries.scoredCteSql},
-         |rows_ AS (SELECT y, round(1.0/(1.0 + exp(-z)), 9) AS p FROM sc),
-         |b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, y, p
-         |      FROM rows_),
-         |g AS (SELECT bin, count(*) AS n,
-         |    round(CAST(sum(CAST(p AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6)
-         |      AS conf,
-         |    round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS acc
-         |  FROM b GROUP BY bin)
-         |SELECT bin, n, conf, acc, round(abs(conf - acc), 6) AS gap
-         |FROM g ORDER BY bin""".stripMargin)),
-
     // Multi-touch attribution (linear + exponential time-decay,
     // 6 h half-life) — the marketing-analytics standard: every
     // purchase distributes one unit of credit over the user's
