@@ -77,4 +77,31 @@ class DedupSpec extends SparkSpec {
     val c = Dedup.signature(Seq("a", "b", "c", "d", "e", "zzz"))
     assert(a.toSeq != c.toSeq)
   }
+
+  test("substring dedup matches a driver-side string-level recompute") {
+    // independent oracle: gram STRINGS (no hashes) + brute interval
+    // union — also guards against a StableHash gram collision
+    val dir = "/root/testdata/sf0.001"
+    val n = 8
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.tokens(TextOps.cleanText(col("text"))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val occurrences = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- toks; i <- 0 to ts.length - n)
+      occurrences.updateWith(ts.slice(i, i + n).mkString(" "))(
+        c => Some(c.getOrElse(0) + 1))
+    val expected = toks.map { case (id, ts) =>
+      val covered = new Array[Boolean](ts.length)
+      for (i <- 0 to ts.length - n
+           if occurrences(ts.slice(i, i + n).mkString(" ")) >= 2;
+           j <- i until i + n) covered(j) = true
+      id -> covered.count(identity).toLong
+    }
+    val got = SparkEntry.queries("q213_substring_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, dup) <- expected)
+      assert(got(id) == dup, s"doc $id: got ${got(id)}, expected $dup")
+  }
 }
