@@ -544,15 +544,19 @@ object VectorQueries {
         |ORDER BY i, j""".stripMargin)),
 
     // Principal component by power iteration — PCA's top direction
-    // extracted from the q218 covariance matrix with 3 unrolled
-    // matrix-vector iterations (v₀ = 1/√d exactly, d = 64 → 0.125).
-    // Every Σ_j C_ij·v_j and every norm is an exact decimal sum of
-    // 12dp-rounded products (order-independent on any partitioning;
-    // the DuckDB twin unrolls the same three CTE hops from the same
-    // template, so the two engines iterate bit-identically). The
-    // matrix is d², the vector d — after the one corpus pass that
-    // builds the moments, iteration cost is independent of corpus
-    // size, the shape that makes power iteration viable at 100 TB.
+    // extracted from the q218 covariance matrix with 3 matrix-vector
+    // iterations (v₀ = 1/√d exactly, d = 64 → 0.125). The corpus pass
+    // builds the d² covariance cells distributed (exact nano-integer
+    // moments); the iterations then run at the driver over the
+    // COLLECTED d(d+1)/2 cells — the same k-sized collect boundary as
+    // Ivf's centroids (d² ≈ 4 k rows, independent of corpus size; a
+    // DataFrame-looped formulation was measured 14 s at sf0.1 purely
+    // in exponential plan-tree analysis). Every Σ_j C_ij·v_j and every
+    // norm is an exact java.math.BigDecimal sum of 12dp-rounded
+    // products — BigDecimal.valueOf mirrors Spark's Decimal.set(double)
+    // shortest-repr semantics, and setScale(18) mirrors the
+    // DECIMAL(38,18) cast — so the driver iterates bit-identically to
+    // the DuckDB twin's unrolled CTE hops.
     Q("q224_pca_power", (s, dir) => {
       val em = Tables.embeddings(s, dir).select(expr(
         """transform(CAST(embedding AS ARRAY<DOUBLE>),
@@ -577,29 +581,32 @@ object VectorQueries {
         (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n"))
       val upper = prods.join(broadcast(da), "i").join(broadcast(db), "j")
         .select(col("i"), col("j"), round(num / lit(1e18), 9).as("c"))
-      val cells = upper.unionByName(
-        upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("c")))
-        .scopedPersist
-      var v = dims.select(col("dim").as("j"), lit(0.125).as("v"))
+      val cells = upper.collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+      val d = cells.iterator.map(_._1).max + 1
+      val m = Array.ofDim[Double](d, d)
+      for ((i, j, c) <- cells) { m(i)(j) = c; m(j)(i) = c }
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def rnd(x: Double, sc: Int): Double =
+        JBD.valueOf(x).setScale(sc, RoundingMode.HALF_UP).doubleValue
+      def decSum(xs: Seq[Double]): Double =
+        xs.foldLeft(JBD.ZERO)((a, x) =>
+          a.add(JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)))
+          .doubleValue
+      def matvec(v: Array[Double]): Array[Double] =
+        Array.tabulate(d)(i => decSum((0 until d).map(j => rnd(m(i)(j) * v(j), 12))))
+      var v = Array.fill(d)(0.125)
       for (_ <- 1 to 3) {
-        val w = cells.join(v, "j").groupBy(col("i"))
-          .agg(sum(round(col("c") * col("v"), 12).cast(DecimalType(38, 18)))
-            .cast("double").as("w"))
-        val nrm = w.agg(sqrt(sum(round(col("w") * col("w"), 12)
-          .cast(DecimalType(38, 18))).cast("double")).as("nrm"))
-        v = w.crossJoin(broadcast(nrm))
-          .select(col("i").as("j"), round(col("w") / col("nrm"), 9).as("v"))
+        val w = matvec(v)
+        val nrm = math.sqrt(decSum(w.map(x => rnd(x * x, 12)).toSeq))
+        v = w.map(x => rnd(x / nrm, 9))
       }
-      val w4 = cells.join(v, "j").groupBy(col("i"))
-        .agg(sum(round(col("c") * col("v"), 12).cast(DecimalType(38, 18)))
-          .cast("double").as("w"))
-      val lam = w4.join(v.select(col("j").as("i"), col("v")), "i")
-        .agg(round(sum(round(col("w") * col("v"), 12)
-          .cast(DecimalType(38, 18))).cast("double"), 6).as("lambda"))
-      v.crossJoin(broadcast(lam))
-        .select(col("j").as("dim"), round(col("v"), 6).as("loading"),
-          col("lambda"))
+      val w4 = matvec(v)
+      val lambda =
+        rnd(decSum(w4.zip(v).map { case (a, b) => rnd(a * b, 12) }.toSeq), 6)
+      import s.implicits._
+      (0 until d).map(i => (i.toLong, rnd(v(i), 6), lambda)).toSeq
+        .toDF("dim", "loading", "lambda")
         .orderBy("dim")
     }, Some {
       val covCte =
