@@ -22,8 +22,12 @@ class CacheHygieneSpec extends SparkSpec {
   // the judge-flagged cache-heavy representatives: triangle count,
   // set-sim join, assoc rules, CC over near-dup pairs, plus BFS (the
   // loop-persisting query)
+  // q213/q223: round-4 scopedPersist users; q224: persists the corpus
+  // frame but returns a LOCAL result (driver-side power iteration) —
+  // the listener must still release the build-time cache
   for (q <- Seq("q100_triangle_count", "q154_setsim_join",
-      "q181_assoc_rules", "q190_label_propagation", "q182_bfs_layers")) {
+      "q181_assoc_rules", "q190_label_propagation", "q182_bfs_layers",
+      "q213_substring_dedup", "q223_attribution", "q224_pca_power")) {
     test(s"$q leaves no persisted RDDs after its action") {
       spark.catalog.clearCache() // isolate from prior suites
       assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs")
