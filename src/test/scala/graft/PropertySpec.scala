@@ -101,4 +101,19 @@ class PropertySpec extends SparkSpec {
       .select(BudgetParser.parseBudget(col("q")).as("b")).collect()
     assert(got.forall(r => r.isNullAt(0) || r.getDouble(0) > 0))
   }
+
+  test("jaroWinkler bounded, symmetric, identity 1, boost >= jaro, prefix cap") {
+    import graft.text.JaroWinkler
+    val genStr = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
+    holds(Prop.forAll(genStr, genStr) { (a, b) =>
+      val s = JaroWinkler.sim(a, b)
+      val j = JaroWinkler.jaro(a, b)
+      s >= 0.0 && s <= 1.0 &&
+        math.abs(s - JaroWinkler.sim(b, a)) < 1e-12 &&
+        (a.isEmpty || math.abs(JaroWinkler.sim(a, a) - 1.0) < 1e-12) &&
+        s >= j - 1e-12 && // winkler boost never decreases jaro
+        // boost is bounded by the 4-char prefix cap
+        s <= j + 4 * JaroWinkler.PrefixScale * (1.0 - j) + 1e-12
+    })
+  }
 }
