@@ -322,29 +322,46 @@ object DedupQueries {
 
     // Fuzzy record linkage (the Fellegi–Sunter compare step over
     // blocked candidates): parts are blocked on (first name token,
-    // brand) — the standard cheap blocking key — and every in-block
-    // ordered pair is scored with the native codegen'd Jaro–Winkler
-    // expression (text/JaroWinklerExpr.scala; Spark has no fuzzy match
-    // beyond levenshtein). Each part reports its best match: highest
-    // rounded similarity, smallest partkey on ties — an argmax via
-    // max(struct(...)), which partial-aggregates map-side instead of
-    // window-sorting every pair. Blocking bounds the pair count at
-    // Σ|block|² (blocks are brand × small-vocab first words, so blocks
-    // stay O(corpus/200) — no all-pairs blowup at scale). Oracle:
-    // DuckDB's built-in jaro_winkler_similarity (same Winkler 1990
-    // variant: 0.7 boost threshold, 0.1 scale, 4-char prefix cap).
+    // brand), then — because that key has a FIXED vocabulary (~92
+    // first words × 25 brands), so block COUNT is constant and block
+    // SIZE grows with the corpus — candidates inside each block are
+    // capped by sorted-neighborhood rank bands (q194's merge/purge
+    // trick composed into the block): sort the block by full name,
+    // pair each part with its ±5 neighbors. Jaro–Winkler weights the
+    // shared prefix, so name-sorted neighbors are exactly the
+    // plausible fuzzy matches, and the pair count is ≤ 2·5·n — linear
+    // in the corpus, vs the Σ|block|² ∝ n²/2300 of full in-block
+    // pairing. The band join is an EQUI-join on (blk, brand, rn):
+    // the probe side explodes off ∈ 1..5 map-side, and both pair
+    // orientations come from one explode over the scored pair (JW is
+    // symmetric — no self-union re-execution). Each part reports its
+    // best candidate: highest rounded similarity, smallest partkey on
+    // ties — an argmax via max(struct(...)), which partial-aggregates
+    // map-side instead of window-sorting every pair. Oracle: DuckDB's
+    // built-in jaro_winkler_similarity (same Winkler 1990 variant:
+    // 0.7 boost threshold, 0.1 scale, 4-char prefix cap).
     Q("q214_fuzzy_linkage", (s, dir) => {
       val p = Tables.part(s, dir).select(
         col("p_partkey"), col("p_name"), col("p_brand"),
         split(col("p_name"), " ").getItem(0).as("blk"))
-      val pairs = p.as("a").join(p.as("b"),
-        col("a.blk") === col("b.blk") &&
-          col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") =!= col("b.p_partkey"))
-        .select(col("a.p_partkey").as("p_partkey"),
-          col("b.p_partkey").as("bk"), col("b.p_name").as("bn"),
-          round(graft.text.JaroWinkler(col("a.p_name"), col("b.p_name")), 6)
-            .as("jw"))
+      val keyed = p.withColumn("rn", row_number().over(
+        Window.partitionBy("blk", "p_brand")
+          .orderBy("p_name", "p_partkey")).cast("long"))
+      val a = keyed
+        .withColumn("off", explode(typedLit(Seq(1L, 2L, 3L, 4L, 5L))))
+        .select(col("blk"), col("p_brand"), col("p_partkey").as("ak"),
+          col("p_name").as("an"), (col("rn") + col("off")).as("rn"))
+      val b = keyed.select(col("blk"), col("p_brand"),
+        col("p_partkey").as("bk"), col("p_name").as("bn"), col("rn"))
+      val scored = a.join(b, Seq("blk", "p_brand", "rn"))
+        .select(col("ak"), col("an"), col("bk"), col("bn"),
+          round(graft.text.JaroWinkler(col("an"), col("bn")), 6).as("jw"))
+      val pairs = scored.select(explode(array(
+          struct(col("ak").as("p_partkey"), col("bk").as("bk"),
+            col("bn").as("bn"), col("jw").as("jw")),
+          struct(col("bk").as("p_partkey"), col("ak").as("bk"),
+            col("an").as("bn"), col("jw").as("jw")))).as("e"))
+        .select(col("e.*"))
       pairs
         .groupBy("p_partkey")
         .agg(max(struct(col("jw"), (-col("bk")).as("nk"),
@@ -355,14 +372,21 @@ object DedupQueries {
     }, Some(
       """WITH p AS (SELECT p_partkey, p_name, p_brand,
         |             split_part(p_name, ' ', 1) AS blk FROM part),
-        |pairs AS (
-        |  SELECT a.p_partkey, b.p_partkey AS bk, b.p_name AS bn,
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY blk, p_brand
+        |        ORDER BY p_name, p_partkey) AS BIGINT) AS rn FROM p),
+        |scored AS (
+        |  SELECT a.p_partkey AS ak, a.p_name AS an,
+        |    b.p_partkey AS bk, b.p_name AS bn,
         |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-        |  FROM p a JOIN p b
-        |    ON a.blk = b.blk AND a.p_brand = b.p_brand
-        |    AND a.p_partkey <> b.p_partkey),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
-        |        ORDER BY jw DESC, bk ASC) AS rn FROM pairs)
+        |  FROM r a CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS o) t
+        |  JOIN r b ON b.blk = a.blk AND b.p_brand = a.p_brand
+        |    AND b.rn = a.rn + t.o),
+        |pairs AS (
+        |  SELECT ak AS p_partkey, bk, bn, jw FROM scored
+        |  UNION ALL
+        |  SELECT bk AS p_partkey, ak AS bk, an AS bn, jw FROM scored),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |        ORDER BY jw DESC, bk ASC) AS rnk FROM pairs)
         |SELECT p_partkey, bk AS match_key, bn AS match_name, jw
-        |FROM r WHERE rn = 1 ORDER BY p_partkey""".stripMargin)))
+        |FROM best WHERE rnk = 1 ORDER BY p_partkey""".stripMargin)))
 }

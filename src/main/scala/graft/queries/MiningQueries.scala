@@ -1460,30 +1460,58 @@ object MiningQueries {
         |FROM g2, t ORDER BY bin""".stripMargin)),
 
     // Kendall τ-b rank agreement between price and size within each
-    // brand (complements q175's corpus-scale Spearman): concordant /
-    // discordant / tie counts from one in-block pair scan — exact
-    // integers — then the closed-form τ-b with tie correction.
-    // Deliberately group-bounded: the pair scan is quadratic in the
-    // BLOCK size, the right tool when groups are catalog-sized; for
-    // corpus-wide rank correlation the linear-moment Spearman (q175)
-    // is the scale path.
+    // brand (complements q175's corpus-scale Spearman). NO pair scan:
+    // everything reduces to the joint (x, y) VALUE CENSUS — the q175
+    // machinery in two dimensions. Tie counts come from the marginal
+    // censuses by inclusion–exclusion (n1 = Σ cx·(cx−1)/2 pairs tied in
+    // x, n2 likewise in y, n3 = Σ cnt·(cnt−1)/2 tied in both), so
+    // disc = n0 − n1 − n2 + n3 − conc and only the CONCORDANT count
+    // needs a 2-D dominance pass. That pass is one cumulative window:
+    // every census cell (x, y, cnt) emits a weight-cnt "source" row at
+    // each strictly greater y value present in the brand (p_size has a
+    // FIXED ≤50-value domain, so this fan-out is a bounded constant,
+    // not data growth), probes sort before sources at equal x, and the
+    // running sum per (brand, y_target) ordered by (x, tag) reads off
+    // |{x' < x, y' < y}| exactly. Work is O(|census| · |y-domain|) with
+    // ≤ brand×size (25×50) window partitions each linear in the brand's
+    // census — vs the n²/25 of the naive in-block pair scan. Exact
+    // integers throughout; τ-b is the closed form over them.
     Q("q217_kendall_tau", (s, dir) => {
-      val p = Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
+      val p = Tables.part(s, dir).select(col("p_brand"),
         col("p_retailprice").as("x"), col("p_size").cast("long").as("y"))
-      val sx = signum(col("a.x") - col("b.x"))
-      val sy = signum((col("a.y") - col("b.y")).cast("double"))
-      val g = p.as("a")
-        .join(p.as("b"), col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-        .select(col("a.p_brand").as("p_brand"),
-          when(sx * sy > 0, 1L).otherwise(0L).as("c"),
-          when(sx * sy < 0, 1L).otherwise(0L).as("d"),
-          when(col("a.x") === col("b.x"), 1L).otherwise(0L).as("tx"),
-          when(col("a.y") === col("b.y"), 1L).otherwise(0L).as("ty"))
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("conc"),
-          sum(col("d")).as("disc"), sum(col("tx")).as("n1"),
-          sum(col("ty")).as("n2"))
+      val cells = p.groupBy("p_brand", "x", "y")
+        .agg(count(lit(1)).as("cnt")).scopedPersist
+      val xTies = cells.groupBy("p_brand", "x").agg(sum("cnt").as("cx"))
+        .groupBy("p_brand").agg(sum(expr("cx * (cx - 1) div 2")).as("n1"),
+          sum("cx").as("n"))
+      val yTies = cells.groupBy("p_brand", "y").agg(sum("cnt").as("cy"))
+        .groupBy("p_brand").agg(sum(expr("cy * (cy - 1) div 2")).as("n2"))
+      val bothTies = cells.groupBy("p_brand")
+        .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n3"))
+      // dominance pass: sources fan each cell out to the strictly
+      // greater y values of its brand; probes (the cells themselves,
+      // weight 0) read the running sum = points strictly below-left
+      val yVals = cells.select(col("p_brand").as("yb"), col("y").as("yt"))
+        .distinct()
+      val sources = cells
+        .join(broadcast(yVals),
+          col("yb") === col("p_brand") && col("yt") > col("y"))
+        .select(col("p_brand"), col("yt"), col("x"),
+          col("cnt").as("w"), lit(1).as("tag"), lit(0L).as("pcnt"))
+      val probes = cells.select(col("p_brand"), col("y").as("yt"), col("x"),
+        lit(0L).as("w"), lit(0).as("tag"), col("cnt").as("pcnt"))
+      val wd = Window.partitionBy("p_brand", "yt")
+        .orderBy(col("x"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val conc = sources.unionByName(probes)
+        .withColumn("cum", sum("w").over(wd))
+        .filter(col("tag") === 0)
+        .groupBy("p_brand").agg(sum(col("pcnt") * col("cum")).as("conc"))
+      val g = xTies.join(yTies, "p_brand").join(bothTies, "p_brand")
+        .join(conc, "p_brand")
+        .withColumn("n_pairs", expr("n * (n - 1) div 2"))
+        .withColumn("disc", col("n_pairs") - col("n1") - col("n2") +
+          col("n3") - col("conc"))
       g.select(col("p_brand"), col("n_pairs"), col("conc"), col("disc"),
           when(col("n_pairs") - col("n1") > 0 && col("n_pairs") - col("n2") > 0,
             round((col("conc") - col("disc")).cast("double") /

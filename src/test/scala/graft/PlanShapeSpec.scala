@@ -196,6 +196,18 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("JaroWinkler"), plan.take(4000))
   }
 
+  test("kendall tau derives dominance from the value census, never a part self-join") {
+    val plan = staticPlan("q217_kendall_tau")
+    // every join must have the value census (an aggregate) on at least
+    // one side — the quadratic shape was a raw part ⨝ part self-join
+    val rawJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if !hasAggregate(j.left) && !hasAggregate(j.right) => j
+    }
+    assert(rawJoins.isEmpty,
+      s"q217 joins two un-aggregated inputs: ${rawJoins.map(_.nodeName)}")
+  }
+
   test("embedding covariance streams pairs map-side, never self-joins the corpus") {
     val df = SparkEntry.queries("q218_embedding_covariance")(spark, sf)
     df.collect()
