@@ -34,7 +34,19 @@ object Repl {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    run(spark,
+      dir,
+      new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+      System.out)
+    spark.stop()
+  }
 
+  /** The loop itself, with injectable streams so ReplSpec can drive a
+    * scripted stdin and assert the transcript (the reference shell's
+    * semantics, semantic.py:76-106, pinned end-to-end).
+    */
+  def run(spark: SparkSession, dir: String,
+      in: java.io.BufferedReader, out: java.io.PrintStream): Unit = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"),
         VectorOps.asDouble(col("embedding")).as("vec"))
@@ -54,27 +66,26 @@ object Repl {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val nProducts = ranked.length
 
-    println("Top Recommended Items:\n")
+    out.println("Top Recommended Items:\n")
     for ((r, idx) <- ranked.zipWithIndex)
-      println(s"Rank: ${idx + 1}, Name: ${titles(r.getLong(0))}, " +
+      out.println(s"Rank: ${idx + 1}, Name: ${titles(r.getLong(0))}, " +
         f"Score: ${r.getDouble(1)}%.6f")
-    println()
+    out.println()
 
     val chunks = Retriever.chunksFromMeta(meta, "id",
       Seq("title", "summary", "rating", "review_count", "price"))
     var focus = 0 // index into ranked
 
-    println("If you have any questions about the products, please ask.\n")
-    println(s"Now focusing on the product at rank 1, which is " +
+    out.println("If you have any questions about the products, please ask.\n")
+    out.println(s"Now focusing on the product at rank 1, which is " +
       s"${titles(ranked(0).getLong(0))}, if you want to change, please " +
       "follow this format: rank #.\n")
-    println("Or if you don't have any questions, please type 'exit' to " +
+    out.println("Or if you don't have any questions, please type 'exit' to " +
       "end this procedure.\n")
 
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     var line: String = null
     var done = false
-    while (!done && { line = { print("> "); Console.flush(); in.readLine() }
+    while (!done && { line = { out.print("> "); out.flush(); in.readLine() }
         line != null }) {
       val query = line.trim
       if (query == "exit") done = true
@@ -82,22 +93,24 @@ object Repl {
         val parts = query.split(" ")
         if (parts.length == 2 && parts(0) == "rank") {
           if (parts(1).forall(_.isDigit) && parts(1).nonEmpty) {
-            val num = parts(1).toInt
-            if (num > nProducts || num < 1)
-              println(s"Please choose a number between 1 and $nProducts.\n")
-            else {
-              focus = num - 1
-              println(s"Now focusing on the product at rank $num, which " +
-                s"is ${titles(ranked(focus).getLong(0))}.\n")
+            // toIntOption: a >Int.MaxValue digit run is out of bounds,
+            // not a crash (the reference's bignum int() hits its bounds
+            // branch the same way)
+            parts(1).toIntOption match {
+              case Some(num) if num >= 1 && num <= nProducts =>
+                focus = num - 1
+                out.println(s"Now focusing on the product at rank $num, which " +
+                  s"is ${titles(ranked(focus).getLong(0))}.\n")
+              case _ =>
+                out.println(s"Please choose a number between 1 and $nProducts.\n")
             }
-          } else println("please input a number.\n")
+          } else out.println("please input a number.\n")
         } else if (query.nonEmpty) {
-          println("RAG Answer:\n")
-          println(Retriever.answerContext(
+          out.println("RAG Answer:\n")
+          out.println(Retriever.answerContext(
             chunks, ranked(focus).getLong(0), query) + "\n")
         }
       }
     }
-    spark.stop()
   }
 }

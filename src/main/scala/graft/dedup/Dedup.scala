@@ -218,6 +218,13 @@ object Dedup {
     * to the minimum id reachable from it (the canonical representative of
     * its near-dup cluster).
     *
+    * Scope: only vertices that APPEAR in `pairs` are labeled — a vertex
+    * with no near-dup pair is its own singleton cluster and is simply
+    * absent from the output (an empty pair list yields an empty frame).
+    * Callers that need identity labels for singletons left-join the
+    * corpus against this frame and coalesce to the vertex's own id, as
+    * q43 does.
+    *
     * The verified near-dup pair list is orders of magnitude smaller than
     * the corpus (dup rate × corpus, skinny id pairs) — at 100 TB of
     * documents the pairs are gigabytes, not terabytes — so the right

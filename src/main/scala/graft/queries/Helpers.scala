@@ -80,23 +80,67 @@ object Helpers {
     } finally tracked.set(prev)
   }
 
+  /** Bounded registry of live cleanup scopes: a caller that builds a
+    * registry frame but never runs an action on it (explain-only, plan
+    * inspection, abandoned frame) would otherwise leak its persisted
+    * RDDs and its listener forever — and every later action would pay
+    * `sameResult` comparisons against the pile. Each new scope sweeps
+    * the registry: anything beyond [[MaxScopes]] or older than
+    * [[ScopeTtlNanos]] is force-released (unpersist + unregister).
+    */
+  private final class Scope(
+      val spark: SparkSession,
+      val cached: Seq[DataFrame],
+      val created: Long) {
+    @volatile var listener: org.apache.spark.sql.util.QueryExecutionListener = _
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) try {
+        cached.foreach(_.unpersist(false))
+        if (listener != null) spark.listenerManager.unregister(listener)
+      } catch { case _: Throwable => () }
+  }
+  private val scopes =
+    new java.util.concurrent.ConcurrentLinkedQueue[Scope]
+  private val MaxScopes = 16
+  private val ScopeTtlNanos = 10L * 60 * 1000 * 1000 * 1000
+
+  private def sweepScopes(): Unit = {
+    var head = scopes.peek()
+    while (head != null &&
+        (scopes.size > MaxScopes ||
+          System.nanoTime() - head.created > ScopeTtlNanos)) {
+      if (scopes.remove(head)) head.release()
+      head = scopes.peek()
+    }
+  }
+
+  /** Force-release every live scope — session-teardown hygiene for an
+    * embedding caller (and test isolation).
+    */
+  def releaseAllScopes(): Unit = {
+    var s = scopes.poll()
+    while (s != null) { s.release(); s = scopes.poll() }
+  }
+
   /** Attach a once-firing listener that unpersists `cached` after the
     * first completed action whose analyzed plan contains `result` or any
     * cached subtree (match by `sameResult`, cheap on these plan sizes).
+    * The scope also enters the bounded registry above, so a frame that
+    * never executes still gets released by a later scope's sweep.
     */
   def selfCleaning(result: DataFrame, cached: Seq[DataFrame]): DataFrame = {
     val spark = result.sparkSession
     val plans = (result +: cached).map(_.queryExecution.analyzed)
+    val scope = new Scope(spark, cached, System.nanoTime())
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def fire(
           qe: org.apache.spark.sql.execution.QueryExecution): Unit =
         try {
-          if (!fired.get() &&
-              qe.analyzed.exists(n => plans.exists(_.sameResult(n))) &&
-              fired.compareAndSet(false, true)) {
-            cached.foreach(_.unpersist(false))
-            spark.listenerManager.unregister(this)
+          if (scopes.contains(scope) &&
+              qe.analyzed.exists(n => plans.exists(_.sameResult(n)))) {
+            scopes.remove(scope)
+            scope.release()
           }
         } catch { case _: Throwable => () } // listener must never throw
       override def onSuccess(funcName: String,
@@ -106,7 +150,10 @@ object Helpers {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = fire(qe)
     }
+    scope.listener = listener
     spark.listenerManager.register(listener)
+    scopes.add(scope)
+    sweepScopes()
     result
   }
 

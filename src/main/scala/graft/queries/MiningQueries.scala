@@ -93,18 +93,31 @@ object MiningQueries {
     // tie group, so Σ i·x over the group collapses to the closed form
     // x·(prev·cnt + cnt(cnt+1)/2), and the top-decile membership count
     // is |{i ∈ (prev, prev+cnt] : 10i > 9n}| = clamp(cle − 9n div 10,
-    // 0, cnt) — the q175 value-rank trick. The only window runs over
-    // the |distinct spend| value census (post-aggregate), never the
-    // per-customer rows, so nothing row-granularity crosses a single
-    // partition at 100 TB.
+    // 0, cnt) — the q175 value-rank trick. The spend census is near-
+    // unique per customer, so its cumsum is TWO-LEVEL (q129's scheme):
+    // a single-partition prefix only over the integer-dollar BUCKET
+    // census (domain-bounded — the spend range, not the customer
+    // count), then within-bucket cumsums under a window PARTITIONED by
+    // bucket. cle per distinct value is exact and identical; nothing
+    // |customers|-sized ever crosses a single partition.
     Q("q176_gini_spend", (s, dir) => {
       val spend = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast(DecimalType(20, 6))).as("x"))
-      val wv = Window.orderBy(col("x"))
+      val census = spend.groupBy("x").agg(count(lit(1)).as("cnt"))
+        .withColumn("b", floor(col("x")).cast("long"))
+      val wb = Window.orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val vals = spend.groupBy("x").agg(count(lit(1)).as("cnt"))
-        .withColumn("cle", sum("cnt").over(wv))
+      val buckets = census.groupBy("b").agg(sum("cnt").as("wbk"))
+        .withColumn("boff", sum("wbk").over(wb) - col("wbk"))
+        .select("b", "boff")
+      // floor preserves the x-order across buckets (spend is positive)
+      // and x-ties never straddle a bucket edge, so bucket offset +
+      // within-bucket cumsum is the global cumulative count exactly
+      val wv = Window.partitionBy("b").orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vals = census.join(buckets, "b")
+        .withColumn("cle", col("boff") + sum("cnt").over(wv))
         .withColumn("prev", col("cle") - col("cnt"))
         .crossJoin(broadcast(spend.agg(count(lit(1)).as("nn"))))
       val agg = vals.agg(

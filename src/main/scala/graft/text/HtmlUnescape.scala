@@ -6,10 +6,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Un
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression for the full HTML-entity unescape
-  * (reference: embed.py:31, Python `html.unescape` semantics on the
-  * covered entity surface — see `TextOps.namedEntities` /
-  * `TextOps.numericRemap`).
+/** Native Catalyst expression for HTML-entity unescape (reference:
+  * embed.py:31, Python `html.unescape` semantics on the covered entity
+  * surface — see `TextOps.namedEntities` / `TextOps.numericRemap`).
+  *
+  * Covered surface: SEMICOLON-TERMINATED references — the ~80-entry
+  * named table plus all numeric/hex charrefs (with CPython's remap,
+  * replacement and drop tables in full). CPython additionally decodes
+  * semicolon-LESS legacy forms (`&amp` → `&`, `&#65` → `A`, longest-
+  * prefix named matching); those deliberately pass through untouched
+  * here, and TextOpsSpec pins that boundary. The DuckDB twin
+  * (`Helpers.htmlUnescapeSql`) and the column form are generated from
+  * the same tables and share the boundary exactly, so cross-engine
+  * parity holds everywhere, including where the surface diverges from
+  * CPython.
   *
   * Why native: `cleanText` runs over every document in every text query
   * (~30 registered queries), and the pure-column formulation

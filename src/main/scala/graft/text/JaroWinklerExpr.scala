@@ -20,17 +20,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * step) needs this as a native expression: codegen'd via a static
   * call, it stays inside whole-stage codegen rather than paying a UDF
   * serialization boundary per candidate pair.
+  *
+  * Comparison unit is the UTF-8 BYTE, exactly like DuckDB (which
+  * compares the raw bytes of its UTF-8 strings): on non-ASCII input
+  * the two engines agree (e.g. 'héllo'/'hállo' → 0.911111), where a
+  * UTF-16 char-level walk would drift (0.88). On ASCII the two units
+  * coincide. simU works straight off UTF8String's bytes — no String
+  * decode on the hot path.
   */
 object JaroWinkler {
   final val PrefixScale = 0.1
   final val BoostThreshold = 0.7
   final val MaxPrefix = 4
 
-  def jaro(a: String, b: String): Double = {
+  def jaroBytes(a: Array[Byte], b: Array[Byte]): Double = {
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
-    if (la == 1 && lb == 1) return if (a.charAt(0) == b.charAt(0)) 1.0 else 0.0
+    if (la == 1 && lb == 1) return if (a(0) == b(0)) 1.0 else 0.0
     val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
     val bMatch = new Array[Boolean](lb)
@@ -42,7 +49,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -57,7 +64,7 @@ object JaroWinkler {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(j)) j += 1
-        if (a.charAt(i) != b.charAt(j)) t += 1
+        if (a(i) != b(j)) t += 1
         j += 1
       }
       i += 1
@@ -66,16 +73,25 @@ object JaroWinkler {
     (md / la + md / lb + (md - t / 2) / md) / 3.0
   }
 
-  def sim(a: String, b: String): Double = {
-    val j = jaro(a, b)
+  def simBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val j = jaroBytes(a, b)
     if (j <= BoostThreshold) return j
     var l = 0
     val max = math.min(MaxPrefix, math.min(a.length, b.length))
-    while (l < max && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < max && a(l) == b(l)) l += 1
     j + l * PrefixScale * (1.0 - j)
   }
 
-  def simU(a: UTF8String, b: UTF8String): Double = sim(a.toString, b.toString)
+  def jaro(a: String, b: String): Double = jaroBytes(
+    a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def sim(a: String, b: String): Double = simBytes(
+    a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def simU(a: UTF8String, b: UTF8String): Double =
+    simBytes(a.getBytes, b.getBytes)
 
   val fnName = "jaro_winkler"
 

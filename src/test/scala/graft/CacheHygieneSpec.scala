@@ -39,6 +39,38 @@ class CacheHygieneSpec extends SparkSpec {
     }
   }
 
+  test("an abandoned scope (frame built, never executed) is swept by later scopes") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs")
+    import spark.implicits._
+    // build a scoped frame and NEVER run an action on it — the old
+    // behavior leaked its cache registration + listener forever
+    var abandoned: org.apache.spark.sql.DataFrame = null
+    queries.Helpers.withScopedCaches {
+      import queries.Helpers.CacheScopeOps
+      abandoned = Seq(1, 2, 3).toDF("v").scopedPersist
+      abandoned.select(sum("v"))
+    }
+    assert(abandoned.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "abandoned scope should still hold its cache before the sweep")
+    // 17 more ABANDONED scopes (> MaxScopes = 16): the cap sweep must
+    // force-release the oldest, including the first frame (distinct
+    // plans per iteration so each holds its own cache entry)
+    for (i <- 1 to 17) {
+      queries.Helpers.withScopedCaches {
+        import queries.Helpers.CacheScopeOps
+        Seq(i, i + 100).toDF(s"w$i").scopedPersist
+          .select(count(lit(1)))
+      }
+    }
+    assert(abandoned.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the abandoned scope survived the registry cap sweep")
+    // drain the rest (session-teardown hygiene API)
+    queries.Helpers.releaseAllScopes()
+    assert(awaitNoPersistentRdds())
+  }
+
   test("scoped caches ARE used during the consuming action") {
     // the frame persisted by the query body must be cached while the
     // action runs (scopedPersist is persist, not a no-op): check the

@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents labels only vertices present in the pair list") {
+    // scope pinned by the scaladoc: singletons (vertices with no pair)
+    // are absent from the output, and an empty pair list yields an
+    // empty frame — callers coalesce identity labels themselves (q43)
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() == 0)
+    val one = Seq((7L, 3L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(one, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 7L -> 3L)) // no label for any other id
+  }
+
   test("connectedComponents refuses to collect past the driver boundary") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {

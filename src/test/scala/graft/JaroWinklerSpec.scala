@@ -30,7 +30,15 @@ class JaroWinklerSpec extends AnyFunSuite {
     ("a", "b", 0.0),
     ("", "", 0.0), // DuckDB convention: empty is never similar
     ("abc", "", 0.0),
-    ("aaaa", "aaaa", 1.0))
+    ("aaaa", "aaaa", 1.0),
+    // non-ASCII: the comparison unit is the UTF-8 BYTE, like DuckDB —
+    // a UTF-16 char walk gives 0.88 on the first pair, not 0.9111…
+    ("héllo", "hállo", 0.9111111111111112),
+    ("café", "cafe", 0.8483333333333334),
+    ("naïve", "naive", 0.8577777777777779),
+    ("über", "uber", 0.7833333333333333),
+    ("日本語", "日本誤", 0.9555555555555556),
+    ("Müller", "Mueller", 0.8285714285714287))
 
   test("sim matches DuckDB jaro_winkler_similarity on the pinned set") {
     pinned.foreach { case (a, b, expect) =>

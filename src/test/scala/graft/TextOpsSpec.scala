@@ -54,7 +54,17 @@ class TextOpsSpec extends SparkSpec {
       "a&lt;" -> "a<",
       "&lt;" -> "<",
       "&lt;&gt;" -> "<>",
-      "no entities here" -> "no entities here")
+      "no entities here" -> "no entities here",
+      // SPEC-LOCKED surface boundary: the covered surface is
+      // SEMICOLON-TERMINATED refs only. CPython additionally decodes
+      // semicolon-less legacy forms ("&amp" → "&", "&#65" → "A"); here
+      // they deliberately pass through untouched — the DuckDB twin and
+      // the column form share this boundary, so parity holds engine-
+      // to-engine even where it diverges from CPython.
+      "&amp" -> "&amp",
+      "&#65" -> "&#65",
+      "&#x41" -> "&#x41",
+      "&amp x" -> "&amp x")
     for ((in, want) <- vectors)
       assert(unesc(in) == want, s"unescape($in)")
     // the pure-column formulation (the DuckDB twin's blueprint) agrees
