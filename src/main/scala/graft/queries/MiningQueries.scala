@@ -23,6 +23,59 @@ object MiningQueries {
   private def microsSql(e: String): String =
     s"CAST(CAST(($e) AS DECIMAL(20,6)) * 1000000 AS BIGINT)"
 
+  /** Kendall τ-b rank agreement per group from the joint (x, y) VALUE
+    * CENSUS — no pair scan (see q217's Scaladoc for the derivation):
+    * tie counts n1/n2/n3 come from the marginal censuses, the
+    * concordant count from one cumulative-dominance window (each cell
+    * fans out to the strictly greater y values of its group — y should
+    * come from a bounded domain, since the fan-out is |y-domain| per
+    * cell), and disc = n0 − n1 − n2 + n3 − conc. All counts are exact
+    * integers; work is O(|census| · |y-domain|) with group × y-value
+    * window partitions.
+    *
+    * Output columns: (g, n_pairs, conc, disc, tau_b) with `g` keeping
+    * the caller's group column name; tau_b is null when either
+    * marginal is fully tied (n_pairs = n1 or n_pairs = n2).
+    */
+  def kendallTauB(df: org.apache.spark.sql.DataFrame,
+      g: String, x: String, y: String): org.apache.spark.sql.DataFrame = {
+    val p = df.select(col(g).as("_g"), col(x).as("_x"), col(y).as("_y"))
+    val cells = p.groupBy("_g", "_x", "_y")
+      .agg(count(lit(1)).as("cnt")).scopedPersist
+    val xTies = cells.groupBy("_g", "_x").agg(sum("cnt").as("cx"))
+      .groupBy("_g").agg(sum(expr("cx * (cx - 1) div 2")).as("n1"),
+        sum("cx").as("n"))
+    val yTies = cells.groupBy("_g", "_y").agg(sum("cnt").as("cy"))
+      .groupBy("_g").agg(sum(expr("cy * (cy - 1) div 2")).as("n2"))
+    val bothTies = cells.groupBy("_g")
+      .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n3"))
+    val yVals = cells.select(col("_g").as("_yb"), col("_y").as("_yt"))
+      .distinct()
+    val sources = cells
+      .join(broadcast(yVals),
+        col("_yb") === col("_g") && col("_yt") > col("_y"))
+      .select(col("_g"), col("_yt"), col("_x"),
+        col("cnt").as("w"), lit(1).as("tag"), lit(0L).as("pcnt"))
+    val probes = cells.select(col("_g"), col("_y").as("_yt"), col("_x"),
+      lit(0L).as("w"), lit(0).as("tag"), col("cnt").as("pcnt"))
+    val wd = Window.partitionBy("_g", "_yt")
+      .orderBy(col("_x"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = sources.unionByName(probes)
+      .withColumn("cum", sum("w").over(wd))
+      .filter(col("tag") === 0)
+      .groupBy("_g").agg(sum(col("pcnt") * col("cum")).as("conc"))
+    xTies.join(yTies, "_g").join(bothTies, "_g").join(conc, "_g")
+      .withColumn("n_pairs", expr("n * (n - 1) div 2"))
+      .withColumn("disc", col("n_pairs") - col("n1") - col("n2") +
+        col("n3") - col("conc"))
+      .select(col("_g").as(g), col("n_pairs"), col("conc"), col("disc"),
+        when(col("n_pairs") - col("n1") > 0 && col("n_pairs") - col("n2") > 0,
+          round((col("conc") - col("disc")).cast("double") /
+            sqrt(((col("n_pairs") - col("n1")) * (col("n_pairs") - col("n2")))
+              .cast("double")), 6)).as("tau_b"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Spearman rank correlation (p_size vs p_retailprice): average ranks
@@ -1492,45 +1545,7 @@ object MiningQueries {
     Q("q217_kendall_tau", (s, dir) => {
       val p = Tables.part(s, dir).select(col("p_brand"),
         col("p_retailprice").as("x"), col("p_size").cast("long").as("y"))
-      val cells = p.groupBy("p_brand", "x", "y")
-        .agg(count(lit(1)).as("cnt")).scopedPersist
-      val xTies = cells.groupBy("p_brand", "x").agg(sum("cnt").as("cx"))
-        .groupBy("p_brand").agg(sum(expr("cx * (cx - 1) div 2")).as("n1"),
-          sum("cx").as("n"))
-      val yTies = cells.groupBy("p_brand", "y").agg(sum("cnt").as("cy"))
-        .groupBy("p_brand").agg(sum(expr("cy * (cy - 1) div 2")).as("n2"))
-      val bothTies = cells.groupBy("p_brand")
-        .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n3"))
-      // dominance pass: sources fan each cell out to the strictly
-      // greater y values of its brand; probes (the cells themselves,
-      // weight 0) read the running sum = points strictly below-left
-      val yVals = cells.select(col("p_brand").as("yb"), col("y").as("yt"))
-        .distinct()
-      val sources = cells
-        .join(broadcast(yVals),
-          col("yb") === col("p_brand") && col("yt") > col("y"))
-        .select(col("p_brand"), col("yt"), col("x"),
-          col("cnt").as("w"), lit(1).as("tag"), lit(0L).as("pcnt"))
-      val probes = cells.select(col("p_brand"), col("y").as("yt"), col("x"),
-        lit(0L).as("w"), lit(0).as("tag"), col("cnt").as("pcnt"))
-      val wd = Window.partitionBy("p_brand", "yt")
-        .orderBy(col("x"), col("tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val conc = sources.unionByName(probes)
-        .withColumn("cum", sum("w").over(wd))
-        .filter(col("tag") === 0)
-        .groupBy("p_brand").agg(sum(col("pcnt") * col("cum")).as("conc"))
-      val g = xTies.join(yTies, "p_brand").join(bothTies, "p_brand")
-        .join(conc, "p_brand")
-        .withColumn("n_pairs", expr("n * (n - 1) div 2"))
-        .withColumn("disc", col("n_pairs") - col("n1") - col("n2") +
-          col("n3") - col("conc"))
-      g.select(col("p_brand"), col("n_pairs"), col("conc"), col("disc"),
-          when(col("n_pairs") - col("n1") > 0 && col("n_pairs") - col("n2") > 0,
-            round((col("conc") - col("disc")).cast("double") /
-              sqrt(((col("n_pairs") - col("n1")) * (col("n_pairs") - col("n2")))
-                .cast("double")), 6)).as("tau_b"))
-        .orderBy("p_brand")
+      kendallTauB(p, "p_brand", "x", "y").orderBy("p_brand")
     }, Some(
       """WITH p AS (SELECT p_brand, p_partkey, p_retailprice AS x,
         |             CAST(p_size AS BIGINT) AS y FROM part),

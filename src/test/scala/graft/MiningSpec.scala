@@ -46,6 +46,52 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(got - expected) < 2e-6, s"got $got expected $expected")
   }
 
+  test("kendallTauB census equals a brute-force pair scan on tie-heavy random data") {
+    import spark.implicits._
+    // the census/dominance formulation must agree with the O(n²)
+    // definition on every tie structure: per-seed random frames cover
+    // singleton groups, all-tied-x, all-tied-y, all-tied-both, and
+    // dense mixed ties (tiny value domains force collisions)
+    def brute(rows: Seq[(Int, Double, Long)]) =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val n = rs.length.toLong
+        val n0 = n * (n - 1) / 2
+        var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+        for (i <- rs.indices; j <- i + 1 until rs.length) {
+          val sx = java.lang.Double.compare(rs(i)._2, rs(j)._2)
+          val sy = java.lang.Long.compare(rs(i)._3, rs(j)._3)
+          if (sx * sy > 0) conc += 1 else if (sx * sy < 0) disc += 1
+          if (sx == 0) tx += 1
+          if (sy == 0) ty += 1
+        }
+        val tau = if (n0 - tx > 0 && n0 - ty > 0)
+          Some(round6((conc - disc).toDouble /
+            math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)))
+        else None
+        g -> ((n0, conc, disc, tau))
+      }
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed)
+      val (xDom, yDom) = seed match {
+        case 1 => (1, 5) // all x tied within a group
+        case 2 => (5, 1) // all y tied
+        case 3 => (1, 1) // all pairs tied in both
+        case _ => (1 + rnd.nextInt(5), 1 + rnd.nextInt(4))
+      }
+      val rows = Seq.tabulate(1 + rnd.nextInt(60)) { _ =>
+        (rnd.nextInt(3), rnd.nextInt(xDom).toDouble, rnd.nextInt(yDom).toLong)
+      } ++ Seq((9, 1.0, 1.0.toLong)) // a singleton group every time
+      val got = queries.MiningQueries
+        .kendallTauB(rows.toDF("g", "x", "y"), "g", "x", "y")
+        .collect().map { r =>
+          r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        }.toMap
+      assert(got == brute(rows), s"seed $seed: $got vs ${brute(rows)}")
+      spark.catalog.clearCache() // helper persists outside a query scope
+    }
+  }
+
   test("gini matches the sorted-cumulative definition") {
     val spend = spark.read.parquet(s"$dir/orders.parquet")
       .groupBy("o_custkey").agg(sum("o_totalprice").as("x"))
