@@ -1567,5 +1567,167 @@ object MiningQueries {
         |    THEN round(CAST(conc - disc AS DOUBLE) /
         |      sqrt(CAST((n_pairs - n1) * (n_pairs - n2) AS DOUBLE)), 6)
         |  END AS tau_b
-        |FROM g ORDER BY p_brand""".stripMargin)))
+        |FROM g ORDER BY p_brand""".stripMargin)),
+
+    // Mann–Whitney U — the NONPARAMETRIC companion to q178's Welch test
+    // (capability: rank-based two-sample inference, no normality
+    // assumption; Mann & Whitney 1947). Same census discipline as
+    // q175/q217: ranks never materialize per row — the combined-sample
+    // VALUE CENSUS (l_quantity has a FIXED ≤50-value domain, so the
+    // census is domain-sized, not corpus-sized) carries per-arm counts,
+    // one cumulative window over ≤50 rows reads off "count strictly
+    // below", and the DOUBLED rank sum 2·R_a = Σ n_a·(2·below + cnt + 1)
+    // is an exact integer. The tie-corrected normal approximation
+    // (σ² = n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1)))) and the rank-biserial
+    // effect size are closed-form doubles over five exact moments —
+    // bit-reproducible on any partitioning, one scan of the fact table.
+    Q("q225_mann_whitney", (s, dir) => {
+      val l = Tables.lineitem(s, dir).select(
+        pmod(col("l_suppkey"), lit(2L)).as("arm"),
+        col("l_quantity").cast("long").as("x"))
+      val census = l.groupBy("x").agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"),
+        count(lit(1)).as("cnt"))
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val agg = census
+        .withColumn("below", sum("cnt").over(w) - col("cnt"))
+        .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+          sum(col("na").cast(DecimalType(38, 0)) *
+            (lit(2) * col("below") + col("cnt") + 1)).as("r2a"),
+          sum(col("cnt").cast(DecimalType(38, 0)) *
+            (col("cnt") - 1) * (col("cnt") + 1)).as("tt"))
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val n = na + nb
+      val ua = (col("r2a").cast("double") - na * (na + 1)) / 2
+      val sig2 = na * nb / 12 *
+        ((n + 1) - col("tt").cast("double") / (n * (n - 1)))
+      agg.select(col("n_a"), col("n_b"),
+        round(ua, 1).as("u_a"),
+        round((ua - na * nb / 2) / sqrt(sig2), 6).as("z"),
+        round(lit(2.0) * ua / (na * nb) - 1, 6).as("r_rb"))
+    }, Some(
+      """WITH l AS (SELECT l_suppkey % 2 AS arm,
+        |    CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |c AS (SELECT x,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    count(*) AS cnt FROM l GROUP BY x),
+        |w AS (SELECT x, na, nb, cnt,
+        |    sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+        |      AS below FROM c),
+        |a AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    sum(CAST(na AS HUGEINT) * (2*below + cnt + 1)) AS r2a,
+        |    sum(CAST(cnt AS HUGEINT) * (cnt - 1) * (cnt + 1)) AS tt FROM w),
+        |d AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS nad,
+        |    CAST(n_b AS DOUBLE) AS nbd, CAST(r2a AS DOUBLE) AS r2ad,
+        |    CAST(tt AS DOUBLE) AS ttd FROM a),
+        |u AS (SELECT n_a, n_b, nad, nbd, ttd, nad + nbd AS nd,
+        |    (r2ad - nad * (nad + 1)) / 2 AS ua FROM d)
+        |SELECT n_a, n_b, round(ua, 1) AS u_a,
+        |  round((ua - nad*nbd/2) / sqrt(nad*nbd/12 *
+        |    ((nd + 1) - ttd / (nd * (nd - 1)))), 6) AS z,
+        |  round(2.0 * ua / (nad * nbd) - 1, 6) AS r_rb
+        |FROM u""".stripMargin)),
+
+    // Benjamini–Hochberg FDR step-up over a FAMILY of tests (capability:
+    // multiple-testing control — every per-slice screen in this suite
+    // reports raw statistics; this is the correction layer that makes 20
+    // simultaneous tests honest; Benjamini & Hochberg 1995). Family =
+    // each document source tested against the rest of the corpus
+    // (leave-one-out two-sample KS on n_chars). The ECDF gap is exact:
+    // per-(source, value) census + one cumulative window per source over
+    // the GLOBAL value grid (|sources| × |n_chars domain| — both
+    // bounded), d = max |cum_s·n_rest − cum_rest·n_s| as an integer
+    // numerator over the constant denominator n_s·n_rest. p is the
+    // one-term asymptotic 2·exp(−2·n_e·d²) (documented approximation,
+    // q94's convention), quantized to pico-integers BEFORE the BH pass
+    // so the step-up ordering is engine-independent; adjusted p = the
+    // reverse running min of m·p_(i)/i — one window over m=20 rows.
+    Q("q226_bh_fdr", (s, dir) => {
+      val d0 = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val cen = d0.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .scopedPersist
+      val vals = cen.groupBy("v").agg(sum("c").as("cg"))
+      val srcs = cen.groupBy("source").agg(sum("c").as("ns"))
+      val tot = srcs.agg(sum("ns").as("nn"), count(lit(1)).as("m"))
+      val grid = srcs.crossJoin(vals)
+        .join(cen, Seq("source", "v"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ks = grid
+        .withColumn("cum_s", sum("c").over(w))
+        .withColumn("cum_g", sum("cg").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("ns"), col("m"),
+          (col("nn") - col("ns")).as("nr"),
+          abs(col("cum_s") * (col("nn") - col("ns")) -
+            (col("cum_g") - col("cum_s")) * col("ns")).as("num"))
+        .groupBy("source", "ns", "nr", "m")
+        .agg(max("num").as("mnum"))
+      val dd = col("mnum").cast("double") /
+        (col("ns") * col("nr")).cast("double")
+      val ne = (col("ns") * col("nr")).cast("double") /
+        (col("ns") + col("nr")).cast("double")
+      val p = least(lit(1.0), lit(2.0) * exp(lit(-2.0) * ne * dd * dd))
+      val pq = ks.select(col("source"), col("ns").as("n"), col("m"),
+        round(dd, 6).as("d"),
+        floor(p * lit(1e12) + lit(0.5)).cast("long").as("pq"))
+      val wRank = Window.orderBy(col("pq"), col("source"))
+      val wRev = Window.orderBy(col("pq").desc, col("source").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pq.withColumn("i", row_number().over(wRank))
+        .withColumn("p_adj_raw",
+          min(least(lit(1.0), col("m") * col("pq") / (col("i") * lit(1e12))))
+            .over(wRev))
+        .select(col("source"), col("n"), col("d"),
+          round(col("pq") / lit(1e12), 6).as("p"),
+          round(col("p_adj_raw"), 6).as("p_adj"),
+          (col("p_adj_raw") <= 0.10).cast("long").as("discovery"))
+        .orderBy("source")
+    }, Some(
+      """WITH d0 AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |            FROM documents),
+        |cen AS (SELECT source, v, count(*) AS c FROM d0 GROUP BY 1, 2),
+        |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cg FROM cen GROUP BY v),
+        |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+        |         FROM cen GROUP BY source),
+        |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS nn,
+        |        count(*) AS m FROM srcs),
+        |grid AS (SELECT s.source, s.ns, v.v, v.cg, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN vals v
+        |  LEFT JOIN cen c ON c.source = s.source AND c.v = v.v),
+        |cum AS (SELECT source, ns, cg, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+        |    sum(cg) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+        |  FROM grid),
+        |ks AS (SELECT source, ns, nn - ns AS nr, m,
+        |    max(abs(cum_s * (nn - ns) - (cum_g - cum_s) * ns)) AS mnum
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2, 3, 4),
+        |pq AS (SELECT source, ns AS n, m,
+        |    round(CAST(mnum AS DOUBLE) / (CAST(ns AS DOUBLE) * nr), 6) AS d,
+        |    CAST(floor(least(1.0, 2.0 * exp(-2.0 *
+        |      (CAST(ns AS DOUBLE) * nr / (ns + nr)) *
+        |      pow(CAST(mnum AS DOUBLE) / (CAST(ns AS DOUBLE) * nr), 2)))
+        |      * 1e12 + 0.5) AS BIGINT) AS pq
+        |  FROM ks),
+        |r AS (SELECT source, n, d, pq, m,
+        |    row_number() OVER (ORDER BY pq, source) AS i FROM pq),
+        |adj AS (SELECT source, n, d, pq,
+        |    min(least(1.0, m * pq / (i * 1e12))) OVER (
+        |      ORDER BY pq DESC, source DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj_raw
+        |  FROM r)
+        |SELECT source, n, d, round(pq / 1e12, 6) AS p,
+        |  round(p_adj_raw, 6) AS p_adj,
+        |  CAST(CASE WHEN p_adj_raw <= 0.10 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS discovery
+        |FROM adj ORDER BY source""".stripMargin)))
 }
