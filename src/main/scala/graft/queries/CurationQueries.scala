@@ -399,5 +399,117 @@ object CurationQueries {
          |        PARTITION BY aid ORDER BY skey, cid) AS rnk FROM f)
          |SELECT aid AS anchor_id, cid AS neg_id, CAST(rnk AS BIGINT) AS rnk,
          |  skey
-         |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin)))
+         |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin)),
+
+    // Full BPE tokenizer TRAINING (capability: the iterative merge LOOP
+    // that learns an ordered merge table — q118 scores ONE step's
+    // candidates; Sennrich et al. 2016). Corpus text is touched ONCE for
+    // the word-TYPE census; every merge iteration after that runs over
+    // the vocabulary (symbol strings weighted by type frequency) — the
+    // property that makes tokenizer training feasible at 100 TB — and
+    // the only driver-side state is the argmax pair per step (1 row × K,
+    // the q224/IVF bounded-collect pattern). Greedy-merge parity with
+    // the reference algorithm comes from the TWO-SPACE separator
+    // invariant: symbols are joined by "  ", the match pattern is padded
+    // with one space per side (' l  r ' → ' lr '), so abutting merge
+    // sites each keep a boundary space and plain non-overlapping
+    // left-to-right replace() — identical semantics on the JVM and
+    // DuckDB — merges BOTH pairs of "x y x y", exactly like BPE's greedy
+    // pass. The census is restricted to ^[a-z0-9]+$ words so the
+    // per-char '.'-split is engine-identical (no surrogate/rune split
+    // divergence on exotic codepoints).
+    Q("q227_bpe_train", (s, dir) => {
+      import s.implicits._
+      val cached = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+      val words = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(TextOps.cleanText(col("text"))))
+          .as("word"))
+        .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      var syms = words.select(
+        rtrim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+        col("freq")).persist()
+      cached += syms
+      val merges =
+        scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+      for (step <- 1 to BpeMerges) {
+        val best = syms
+          .withColumn("toks", split(col("sym"), "  "))
+          .filter(size(col("toks")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), asc("pair")).limit(1).collect()(0)
+        val pair = best.getString(0)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((step.toLong, pair, l + r, best.getLong(1)))
+        syms = syms.select(
+          trim(call_function("replace",
+            concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $l  $r "), lit(s" $l$r "))).as("sym"),
+          col("freq")).persist()
+        cached += syms
+      }
+      // every action this query runs happens inside the build (the K
+      // argmax collects); the returned frame is a driver-local merge
+      // table, so the vocab-sized caches release right here
+      val out = merges.toSeq.toDF("step", "pair", "merged", "cnt")
+        .orderBy("step")
+      cached.foreach(_.unpersist(false))
+      out
+    }, Some(bpeOracleSql)))
+
+  // a def, not a val: `all` above is initialized first and generates the
+  // oracle SQL during object init — a val here would still read as 0
+  private def BpeMerges = 6
+
+  /** Unrolled K-stage mirror of the BPE training loop: stage k derives
+    * the pair census from w(k-1), picks the argmax pair b(k), and
+    * rewrites the symbol strings into w(k) with the same padded
+    * two-space replace. MATERIALIZED on every stage keeps DuckDB from
+    * re-inlining the (doubly-referenced) previous stage exponentially.
+    */
+  private def bpeOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,
+         |         freq
+         |  FROM (SELECT word, count(*) AS freq FROM (
+         |      SELECT unnest(${tokensSql(cleanTextSql("text"))}) AS word
+         |      FROM documents) t
+         |    WHERE length(word) >= 2
+         |      AND regexp_full_match(word, '[a-z0-9]+')
+         |    GROUP BY word) ww),
+         |""".stripMargin)
+    for (k <- 1 to BpeMerges) {
+      sb.append(
+        s"""p$k AS (SELECT list_extract(tk, CAST(i AS INT)) || ' ' ||
+           |    list_extract(tk, CAST(i + 1 AS INT)) AS pair, freq
+           |  FROM (SELECT string_split(sym, '  ') AS tk, freq,
+           |        unnest(range(1, len(string_split(sym, '  ')))) AS i
+           |      FROM w${k - 1}) z),
+           |c$k AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM p$k GROUP BY pair),
+           |b$k AS MATERIALIZED (SELECT pair, cnt FROM c$k
+           |  ORDER BY cnt DESC, pair LIMIT 1),
+           |w$k AS MATERIALIZED (
+           |  SELECT trim(replace(' ' || sym || ' ',
+           |      ' ' || split_part(b.pair, ' ', 1) || '  ' ||
+           |        split_part(b.pair, ' ', 2) || ' ',
+           |      ' ' || replace(b.pair, ' ', '') || ' ')) AS sym, freq
+           |  FROM w${k - 1} CROSS JOIN b$k b),
+           |""".stripMargin)
+    }
+    val steps = (1 to BpeMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS step, pair, " +
+        s"replace(pair, ' ', '') AS merged, cnt FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    sb.append(
+      s"""m AS ($steps)
+         |SELECT step, pair, merged, cnt FROM m ORDER BY step""".stripMargin)
+    sb.toString
+  }
 }
