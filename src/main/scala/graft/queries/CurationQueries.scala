@@ -459,7 +459,76 @@ object CurationQueries {
         .orderBy("step")
       cached.foreach(_.unpersist(false))
       out
-    }, Some(bpeOracleSql)))
+    }, Some(bpeOracleSql)),
+
+    // DSIR importance resampling (capability: CONTENT-based pretraining
+    // data selection — q68/q167 reweight by the domain LABEL; this
+    // scores each raw document by how target-like its text is; Xie et
+    // al. 2023). Hashed word unigrams (StableHash64 mod 512 — 512
+    // divides 2^64, so pmod alone is the unsigned residue) feed two
+    // add-one-smoothed unigram LMs: target = the src0-3 slice, raw =
+    // the rest. The per-bucket log-likelihood ratio is quantized to
+    // pico-integers ONCE (512 rows, broadcast), so each document's
+    // importance score is an exact integer dot product — selection
+    // order is engine-independent, no double summation anywhere. Scale:
+    // the corpus is tokenized once; the LM is a 512-row broadcast; the
+    // top-50 is a TakeOrdered, never a full sort.
+    Q("q228_dsir_select", (s, dir) => {
+      val targets = Seq("src0", "src1", "src2", "src3")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("word"))
+        .filter(length(col("word")) >= 1)
+        .select(col("doc_id"), col("source"),
+          pmod(StableHash64(col("word")), lit(512L)).as("b"))
+        .scopedPersist
+      val lm = toks.groupBy("b").agg(
+        sum(when(col("source").isin(targets: _*), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source").isin(targets: _*), 0L).otherwise(1L)).as("cr"))
+      val tot = lm.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      val lr = lm.crossJoin(broadcast(tot)).select(col("b"),
+        floor((log((col("ct") + 1) / (col("tt") + 512)) -
+          log((col("cr") + 1) / (col("tr") + 512))) * lit(1e12) + lit(0.5))
+          .cast("long").as("lrp"))
+      toks.filter(!col("source").isin(targets: _*))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "b")
+        .groupBy("doc_id").agg(sum("c").as("n_terms"),
+          sum(col("c") * col("lrp").cast(DecimalType(38, 0))).as("sp"))
+        .orderBy(col("sp").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_terms"),
+          round(col("sp").cast("double") / lit(1e12), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }, Some(
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, source, ((h % 512) + 512) % 512 AS b
+         |  FROM (SELECT doc_id, source, unnest(${StableHash.hashes64Sql(
+        s"list_filter(${tokensSql(cleanTextSql("text"))}, w -> len(w) >= 1)")})
+         |          AS h
+         |        FROM documents) t),
+         |lm AS (SELECT b,
+         |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |  FROM toks GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         |        CAST(sum(cr) AS BIGINT) AS tr FROM lm),
+         |lr AS (SELECT b, CAST(floor((ln((ct + 1) / (tt + 512.0)) -
+         |      ln((cr + 1) / (tr + 512.0))) * 1e12 + 0.5) AS BIGINT) AS lrp
+         |  FROM lm CROSS JOIN tot),
+         |dc AS (SELECT doc_id, b, count(*) AS c FROM toks
+         |  WHERE source NOT IN ('src0','src1','src2','src3')
+         |  GROUP BY doc_id, b),
+         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_terms,
+         |    sum(c * CAST(lrp AS HUGEINT)) AS sp
+         |  FROM dc JOIN lr USING (b) GROUP BY doc_id),
+         |top AS (SELECT doc_id, n_terms,
+         |    round(CAST(sp AS DOUBLE) / 1e12, 6) AS score
+         |  FROM sc ORDER BY sp DESC, doc_id LIMIT 50)
+         |SELECT doc_id, n_terms, score FROM top
+         |ORDER BY score DESC, doc_id""".stripMargin)))
 
   // a def, not a val: `all` above is initialized first and generates the
   // oracle SQL during object init — a val here would still read as 0
