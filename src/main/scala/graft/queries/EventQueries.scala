@@ -9,11 +9,10 @@ import org.apache.spark.sql.functions._
   * hourly aggregation (the batch twin of the Structured Streaming surface
   * in graft.streaming), and per-user activity stats.
   *
-  * The events parquet stores TIMESTAMP(NANOS), which Spark does not model;
-  * we read it via `spark.sql.legacy.parquet.nanosAsLong` (ts: bigint
-  * nanoseconds) and do all time bucketing as exact integer arithmetic —
-  * no doubles anywhere near an epoch, so the DuckDB mirror (which reads
-  * the same column as TIMESTAMP_NS) agrees bit-for-bit.
+  * The events parquet stores `ts` as TIMESTAMP(MICROS); Tables.events
+  * surfaces it as bigint nanoseconds and all time bucketing here is exact
+  * integer arithmetic — no doubles anywhere near an epoch, so the DuckDB
+  * mirror (which reads the same column as TIMESTAMP) agrees bit-for-bit.
   */
 object EventQueries {
   import Helpers._
@@ -21,10 +20,8 @@ object EventQueries {
   private val NanosPerSec = 1000000000L
   private val NanosPerHour = 3600L * NanosPerSec
 
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private[queries] def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-  }
 
   /** Truncate bigint-nanos to epoch seconds (matches date_trunc('second')). */
   private def epochSec(c: org.apache.spark.sql.Column) =

@@ -504,13 +504,17 @@ object ScaleQueries {
           col("value"), col("props"))
         .write.option("header", "true").option("escape", "\"").csv(tmp)
       s.read
-        .schema(EventsStream.schema)
+        // the CSV carries the engine's canonical bigint-nanos ts (written
+        // above), not the on-disk parquet TIMESTAMP_NTZ — schema differs
+        // from EventsStream.schema on purpose
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+          "value DOUBLE, props STRING")
         .option("header", "true").option("escape", "\"")
         .csv(tmp)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          // micros, not nanos: DuckDB reads TIMESTAMP(NANOS) parquet at
-          // microsecond precision, so the comparable boundary is µs
+          // micros, not nanos: the oracle's epoch_us(ts) yields µs, so
+          // the comparable boundary is µs
           min(expr("ts div 1000")).as("min_us"),
           max(expr("ts div 1000")).as("max_us"),
           sum(length(col("props")).cast("long")).as("props_len"))

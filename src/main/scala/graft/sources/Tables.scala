@@ -24,7 +24,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.parquet stores `ts` as TIMESTAMP_NTZ(MICROS); surface it as
+    * bigint nanoseconds (exact ×1000, no doubles, no timezone involved —
+    * timestampdiff on NTZ is pure wall-clock arithmetic) so all downstream
+    * time bucketing stays exact integer arithmetic and agrees bit-for-bit
+    * with the DuckDB oracle, which reads the same column as naive TIMESTAMP
+    * and treats it as UTC. */
+  val TsToNanos = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").withColumn("ts",
+      org.apache.spark.sql.functions.expr(TsToNanos))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

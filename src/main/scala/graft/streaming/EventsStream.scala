@@ -7,9 +7,9 @@ import org.apache.spark.sql.types._
 /** Structured Streaming surface over the `events` table: the streaming
   * twin of EventQueries.q30 — watermarked tumbling-window aggregation.
   *
-  * The parquet files carry TIMESTAMP(NANOS) (read as bigint nanos via
-  * `spark.sql.legacy.parquet.nanosAsLong`); the stream converts to a
-  * proper timestamp for event-time semantics. At scale this is the
+  * The parquet files carry `ts` as TIMESTAMP(MICROS); the source surfaces
+  * it both as the engine's canonical bigint nanos (`ts`) and as a proper
+  * timestamp (`event_ts`) for event-time semantics. At scale this is the
   * standard file-source → watermark → window → sink pipeline; swap the
   * source for Kafka and the sink for a Delta/parquet append without
   * touching the aggregation.
@@ -18,7 +18,7 @@ object EventsStream {
 
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos since epoch
+    StructField("ts", TimestampNTZType), // micros since epoch on disk
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -39,16 +39,16 @@ object EventsStream {
   }
 
   /** readStream over a directory of events parquet. */
-  def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      // exact integer micros: long/long `/` routes through double and loses
-      // sub-256ns bits at epoch-nanos magnitude (see EventQueries)
+      // canonical bigint nanos for downstream integer bucketing (exact ×1000)
+      .withColumn("ts", expr(graft.sources.Tables.TsToNanos))
+      // proper instant (UTC semantics) for watermarks/windows — exact
+      // integer micros, same shape the batch twin q30 buckets on
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Watermarked tumbling-window counts/sums per event_type. */
   def hourlyAgg(events: DataFrame, watermark: String = "1 hour",
@@ -107,15 +107,19 @@ object EventsStream {
     val tmp = graft.sources.Staging.scratchDir("events-sess")
     val main = tmp.resolve("events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(srcParquet), main)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(srcParquet)
-    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    // sentinel ts must match the on-disk TIMESTAMP_NTZ(MICROS) schema: 100
+    // days past the max event, computed tz-free in exact integer micros
+    val maxUs = ev.agg(max(expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+      .head().getLong(0)
     val users =
       if (perUser) ev.select(col("user_id")).distinct()
       else ev.sparkSession.range(1).select(lit(0L).as("user_id"))
     val sentinel = users
       .select(lit(0L).as("event_id"),
-        lit(maxTs + 86400L * 1000000000L * 100L).as("ts"),
+        expr(s"timestampadd(MICROSECOND, ${maxUs + 86400L * 1000000L * 100L}, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00')").as("ts"),
         col("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
     val sentDir = graft.sources.Staging.scratchDir("events-sentinel")
