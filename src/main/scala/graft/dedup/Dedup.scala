@@ -231,8 +231,10 @@ object Dedup {
     * engineering is the same collect boundary the ranking pipeline uses
     * for MMR: union-find at the driver (α(n) per edge), labels broadcast
     * back as a frame. An alternating join/aggregate loop (the "big graph"
-    * CC) pays several shuffles × diameter for a graph that fits in one
-    * task; measured at sf0.1 it was >100× slower than this path.
+    * CC) pays several shuffles × rounds for a graph that fits in one
+    * task; measured at sf0.1 it was >100× slower than this path. Above
+    * `maxDriverPairs` the call transparently delegates to
+    * [[connectedComponentsDistributed]] — same labels, never an OOM.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxDriverPairs: Long = 50_000_000L): DataFrame = {
@@ -241,15 +243,20 @@ object Dedup {
     val skinny = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .persist()
     // guard the collect boundary: 50M (id, id) pairs ≈ 800 MB on the
-    // driver — beyond that the caller must raise the duplicate
-    // threshold, pre-cluster per shard, or run the iterative min-label
-    // CC (GraphQueries q190's loop); failing early with the measured
-    // size beats an opaque driver OOM mid-collect
+    // driver — beyond that the collect would OOM, so the pair list stays
+    // distributed and the alternating large-star/small-star contraction
+    // (connectedComponentsDistributed) computes the identical labels with
+    // a few shuffles per round instead
     val nPairs = skinny.count()
-    require(nPairs <= maxDriverPairs,
-      s"connectedComponents: $nPairs verified pairs exceed the " +
-        s"$maxDriverPairs driver boundary; raise the near-dup threshold, " +
-        "shard the corpus, or use an iterative min-label CC")
+    if (nPairs > maxDriverPairs) {
+      System.err.println(
+        s"[dedup] connectedComponents: $nPairs pairs exceed the " +
+          s"$maxDriverPairs driver boundary; delegating to the " +
+          "distributed star contraction")
+      val out = connectedComponentsDistributed(skinny.toDF(aCol, bCol), aCol, bCol)
+      skinny.unpersist()
+      return out
+    }
     val es = skinny.as[(Long, Long)].collect()
     skinny.unpersist()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -270,6 +277,101 @@ object Dedup {
     val labels = es.iterator.flatMap { case (a, b) => Iterator(a, b) }
       .toSet.toSeq.map((id: Long) => (id, find(id)))
     labels.toDF("id", "label")
+  }
+
+  /** Fully-distributed connected components: alternating large-star /
+    * small-star contraction (Kiveris et al. 2014, "Connected Components
+    * in MapReduce and Beyond"). Same contract as [[connectedComponents]]
+    * — (id, label) with label = component minimum, only vertices present
+    * in `pairs` are labeled — but the edge list never crosses the driver,
+    * so it is the 100 TB path when the pair list itself is huge
+    * (reference semantics: the dedup cluster step of dedup.py).
+    *
+    * Each round is two rounds of shuffles over a skinny (child, parent)
+    * long-pair frame that SHRINKS geometrically: large-star hangs every
+    * node's larger neighbors onto its minimum neighbor, small-star then
+    * collapses the smaller neighborhood onto the minimum, so path-shaped
+    * components (the worst case) contract in O(log diameter) rounds.
+    * Convergence is detected by an order-insensitive edge-set signature
+    * (count + XOR of a 64-bit edge hash over the distinct edge set); the
+    * fixpoint is a star forest
+    * whose centers are the component minima — exactly union-find's
+    * answer. Each round's edge set is cut with an eager localCheckpoint:
+    * without the cut the plan REFERENCES the previous round twice per
+    * step, so Catalyst analysis (and even the listener-bus plan string)
+    * grows exponentially with rounds — the q224 lesson. Blocks of
+    * superseded rounds are released by the ContextCleaner once the loop
+    * drops their references; the sets shrink geometrically, so peak
+    * storage is ~2× the first round's skinny long-pair frame.
+    */
+  def connectedComponentsDistributed(pairs: DataFrame, aCol: String,
+                                     bCol: String, maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val verts = pairs
+      .select(explode(array(col(aCol).cast("long"), col(bCol).cast("long"))).as("id"))
+      .distinct()
+    // canonical (child > parent) long pairs, self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).cast("long").as("c"),
+        least(col(aCol), col(bCol)).cast("long").as("p"))
+      .filter(col("c") =!= col("p"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("c"), col("p"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // symmetrized neighbor view (u, v) of the undirected edge set
+    def sym(e: DataFrame): DataFrame = e.select(explode(array(
+        struct(col("c").as("u"), col("p").as("v")),
+        struct(col("p").as("u"), col("c").as("v")))).as("s"))
+      .select(col("s.u").as("u"), col("s.v").as("v"))
+    // large-star: per node u, m = min(N(u) ∪ {u}); each LARGER neighbor
+    // v > u re-hangs onto m. One groupBy + one equi-join, both on u.
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      s.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("c"), col("m").as("p")).distinct()
+    }
+    // small-star: per node u, m = min of its SMALLER neighbors; u and
+    // every other smaller neighbor re-hang onto m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u"))
+      val mins = s.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = s.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("c"), col("m").as("p"))
+      moved.unionByName(mins.select(col("u").as("c"), col("m").as("p")))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val ls = largeStar(edges).localCheckpoint(true)
+      val lsSig = signature(ls)
+      val next = smallStar(ls).localCheckpoint(true)
+      val nextSig = signature(next)
+      edges = next
+      // converged only when BOTH steps leave the edge set unchanged — a
+      // fixpoint of each operator is provably a min-centered star forest;
+      // stability of just the composition would be a weaker claim
+      converged = lsSig == sig && nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponentsDistributed: no fixpoint after $maxRounds rounds")
+    // fixpoint = star forest: children carry their root; centers (never a
+    // child) are their own label. The star set is checkpoint-backed, so
+    // the caller's action reads materialized blocks instead of replaying
+    // the iteration.
+    verts
+      .join(edges.select(col("c").as("id"), col("p").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   // ------------------------------------------------------------- SimHash

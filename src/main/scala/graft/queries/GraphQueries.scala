@@ -438,5 +438,54 @@ object GraphQueries {
         row
       }
       rounds.reduce(_ unionByName _).orderBy("round")
-    }, Some(kcoreSql(3, 4))))
+    }, Some(kcoreSql(3, 4))),
+
+    // Temporal burst clustering: orders of one customer chain into a
+    // "burst" while consecutive gaps stay ≤ 7 days; each order is labeled
+    // with its burst's minimum orderkey. The chains are connected
+    // components of per-customer consecutive-order edges — built with ONE
+    // lag window on (custkey) and labeled by the fully-distributed
+    // large-star/small-star contraction (Dedup.connectedComponentsDistributed,
+    // Kiveris et al. 2014). Chains are PATH graphs — the worst case for
+    // star contraction — so this is the registry's convergence-depth
+    // exercise of the 100 TB CC engine (the driver union-find path is
+    // oracle-covered by q43); the edge list never crosses the driver.
+    // Oracle: the same recursive-CTE min-label closure q43 uses.
+    Q("q229_order_bursts", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val e = o
+        .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+        .withColumn("gap", datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))))
+        .filter(col("prev_key").isNotNull && col("gap") <= 7)
+        .select(col("o_orderkey").as("a"), col("prev_key").as("b"))
+      val labels = graft.dedup.Dedup.connectedComponentsDistributed(e, "a", "b")
+        .select(col("id").as("o_orderkey"), col("label").as("burst"))
+      o.select(col("o_orderkey"))
+        .join(labels, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("burst"), col("o_orderkey")).as("burst"))
+        .orderBy("o_orderkey")
+    }, Some(
+      """WITH RECURSIVE lagged AS (
+        |  SELECT o_orderkey,
+        |    lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_key,
+        |    date_diff('day',
+        |      lag(date_trunc('day', o_orderdate)) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      date_trunc('day', o_orderdate)) AS gap
+        |  FROM orders),
+        |e1 AS (SELECT o_orderkey AS a, prev_key AS b FROM lagged
+        |  WHERE prev_key IS NOT NULL AND gap <= 7),
+        |e AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+        |reach(id, r) AS (
+        |  SELECT o_orderkey, o_orderkey FROM orders
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN e ON reach.id = e.a)
+        |SELECT id AS o_orderkey, min(r) AS burst
+        |FROM reach GROUP BY id ORDER BY o_orderkey""".stripMargin)))
 }

@@ -71,15 +71,43 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 7L -> 3L)) // no label for any other id
   }
 
-  test("connectedComponents refuses to collect past the driver boundary") {
-    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, "a", "b", maxDriverPairs = 2L)
-    }
-    assert(e.getMessage.contains("driver boundary"))
-    // and the boundary is inclusive: exactly-at-limit still runs
-    val ok = Dedup.connectedComponents(pairs, "a", "b", maxDriverPairs = 3L)
-    assert(ok.count() == 6)
+  test("connectedComponents delegates past the driver boundary, same labels") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L)).toDF("a", "b")
+    // force the distributed path: the boundary is inclusive, so limit 2
+    // pushes these 6 pairs through the star contraction instead
+    val got = Dedup.connectedComponents(pairs, "a", "b", maxDriverPairs = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // and exactly-at-limit still takes the driver union-find
+    val ok = Dedup.connectedComponents(pairs, "a", "b", maxDriverPairs = 6L)
+    assert(ok.count() == 8)
+  }
+
+  test("distributed CC contracts a long path to its minimum") {
+    // a 0-1-2-…-199 path: diameter 199, the star-contraction worst case —
+    // must converge in O(log diameter) rounds, far under the round cap,
+    // and label every vertex with the path minimum
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponentsDistributed(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
+  test("distributed CC agrees with driver union-find on a mixed graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val drv = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dst = Dedup.connectedComponentsDistributed(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dst == drv)
+    // empty input keeps the same contract as the driver path
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponentsDistributed(empty, "a", "b").count() == 0)
   }
 
   test("signature is permutation-stable (set semantics)") {
