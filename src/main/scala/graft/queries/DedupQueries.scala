@@ -388,5 +388,65 @@ object DedupQueries {
         |best AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
         |        ORDER BY jw DESC, bk ASC) AS rnk FROM pairs)
         |SELECT p_partkey, bk AS match_key, bn AS match_name, jw
-        |FROM best WHERE rnk = 1 ORDER BY p_partkey""".stripMargin)))
+        |FROM best WHERE rnk = 1 ORDER BY p_partkey""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    // makes embedding near-dup removal tractable by k-means-bucketing the
+    // corpus and comparing pairs ONLY within a cluster — Σ|cell|² work
+    // instead of n²; at 100 TB, k scales with the corpus so cell size
+    // (and the per-cell pair fan-out) stays bounded, and the only wide
+    // shuffle is the one cell-key exchange. Clustering reuses the
+    // deterministic exact-decimal Lloyd trainer + broadcast assignment of
+    // the IVF index (similarity/Ivf), so the whole pipeline — seeding,
+    // assignment, in-cell cosine, keep-lowest-id policy (the paper's
+    // one-pass filter, deterministic stand-in for its keep-one-random) —
+    // replays bit-for-bit in the oracle's unrolled CTEs. Corpus = q19's
+    // perturbed-copy construction (6dp-quantized post-perturbation), so
+    // the dups to remove are known by construction: copies sit at cosine
+    // ≈0.9985, unrelated pairs max out at 0.513.
+    Q("q230_semdedup", (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val q6 = (c: org.apache.spark.sql.Column) =>
+        c.cast(DecimalType(20, 6)).cast("double")
+      val emb = Tables.embeddings(s, dir)
+      val orig = emb.select(col("vec_id").as("id"),
+        transform(graft.vector.VectorOps.asDouble(col("embedding")), q6).as("vec"))
+      val pert = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("id"),
+          transform(graft.vector.VectorOps.asDouble(col("embedding")),
+            (x, i) => q6(x + lit(0.01) * sin(col("vec_id") + i))).as("vec"))
+      val corpus = orig.unionAll(pert)
+      val model = graft.similarity.Ivf.train(corpus, "id", "vec", k = 16, iters = 3)
+      val withCell = corpus
+        .join(graft.similarity.Ivf.assign(corpus, "id", "vec", model), "id")
+      val dropped = withCell.as("a").join(withCell.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") > col("b.id") &&
+            graft.vector.VectorOps.cosine(col("a.vec"), col("b.vec")) >= 0.99)
+        .select(col("a.id").as("id")).distinct()
+      withCell.join(dropped.withColumn("drp", lit(1L)), Seq("id"), "left")
+        .select(col("id"), col("cell").cast("long").as("cell"),
+          (lit(1L) - coalesce(col("drp"), lit(0L))).as("kept"))
+        .orderBy("id")
+    }, Some(
+      s"""WITH vecs AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(CAST(x AS DECIMAL(20,6)) AS DOUBLE)) AS vec
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS id,
+         |    list_transform(list_zip(CAST(embedding AS DOUBLE[]), range(0, len(embedding))),
+         |      p -> CAST(CAST(p[1] + 0.01*sin(vec_id + p[2]) AS DECIMAL(20,6)) AS DOUBLE)) AS vec
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |${lloydSql(16, 3, 800)},
+         |wc AS MATERIALIZED (
+         |  SELECT v.id, v.vec, a.cell FROM vecs v JOIN asg a USING (id)),
+         |dropped AS (
+         |  SELECT DISTINCT a.id FROM wc a JOIN wc b
+         |    ON a.cell = b.cell AND a.id > b.id
+         |  WHERE ${cosineSql("a.vec", "b.vec")} >= 0.99)
+         |SELECT w.id, CAST(w.cell AS BIGINT) AS cell,
+         |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM wc w LEFT JOIN dropped d ON w.id = d.id
+         |ORDER BY w.id""".stripMargin)))
 }

@@ -265,6 +265,49 @@ object Helpers {
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
+  /** DuckDB mirror of the squared L2 distance between DOUBLE[] lists. */
+  def sqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+
+  /** DuckDB mirror of Ivf.train + per-vector assignment: unrolled
+    * MATERIALIZED Lloyd CTEs over a caller-defined `vecs(id, vec)` CTE
+    * (6dp-quantized DOUBLE[]s — the quantization plus exact DECIMAL
+    * micro-unit mean updates is what makes seeding, assignment and
+    * centroid updates replay bit-for-bit across engines; see q26).
+    * Emits `c$iters` (final centroids) and `asg` (id → nearest cell,
+    * ties to the lowest cell like Ivf.Model.nearestCell). Callers append
+    * their own probe / in-cell logic on top.
+    */
+  def lloydSql(k: Int, iters: Int, sampleN: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT id, cell FROM (
+         |    SELECT v.id, c.cell, row_number() OVER (PARTITION BY v.id ORDER BY ${sqDistSql("v.vec", "c.cvec")}, c.cell) AS rn
+         |    FROM vecs v, $cents c) t WHERE rn = 1)""".stripMargin
+    def iterCte(i: Int): String = {
+      val p = i - 1
+      s"""${assignCte(s"a$i", s"c$p")},
+         |u$i AS MATERIALIZED (
+         |  SELECT a.cell, pos1, CAST(sum(CAST(val AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS m
+         |  FROM a$i a JOIN (SELECT id, unnest(vec) AS val, generate_subscripts(vec,1) AS pos1 FROM vecs) x USING (id)
+         |  GROUP BY a.cell, pos1),
+         |c$i AS MATERIALIZED (
+         |  SELECT c.cell, coalesce(u.cv, c.cvec) AS cvec
+         |  FROM c$p c LEFT JOIN (SELECT cell, list(m ORDER BY pos1) AS cv FROM u$i GROUP BY cell) u USING (cell))""".stripMargin
+    }
+    s"""params AS MATERIALIZED (
+       |  SELECT least($sampleN, count(*)) AS n, least($k, least($sampleN, count(*))) AS keff FROM vecs),
+       |smp AS MATERIALIZED (
+       |  SELECT vec, row_number() OVER (ORDER BY id) - 1 AS rn
+       |  FROM (SELECT id, vec FROM vecs ORDER BY id LIMIT $sampleN) s),
+       |c0 AS MATERIALIZED (
+       |  SELECT i.i AS cell, smp.vec AS cvec
+       |  FROM range(0,$k) i(i), params p, smp
+       |  WHERE i.i < p.keff AND smp.rn = (i.i * greatest(1, p.n // p.keff)) % p.n),
+       |${(1 to iters).map(iterCte).mkString(",\n")},
+       |${assignCte("asg", s"c$iters")}""".stripMargin
+  }
+
   /** DuckDB mirror of Features.minMaxNorm's per-row expression given
     * precomputed lo/hi columns.
     */

@@ -75,45 +75,16 @@ object PipelineQueries {
       graft.similarity.Ivf.topK(emb, "id", "vec", model, qv, k = 20, nprobe = 4)
     }, Some {
       val (k, iters, nprobe, topK, sampleN) = (16, 3, 4, 20, 800)
-      val dz = (a: String, b: String) =>
-        s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
-      def iterCte(i: Int): String = {
-        val p = i - 1
-        s"""a$i AS MATERIALIZED (
-           |  SELECT id, cell FROM (
-           |    SELECT v.id, c.cell, row_number() OVER (PARTITION BY v.id ORDER BY ${dz("v.vec", "c.cvec")}, c.cell) AS rn
-           |    FROM vecs v, c$p c) t WHERE rn = 1),
-           |u$i AS MATERIALIZED (
-           |  SELECT a.cell, pos1, CAST(sum(CAST(val AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS m
-           |  FROM a$i a JOIN (SELECT id, unnest(vec) AS val, generate_subscripts(vec,1) AS pos1 FROM vecs) x USING (id)
-           |  GROUP BY a.cell, pos1),
-           |c$i AS MATERIALIZED (
-           |  SELECT c.cell, coalesce(u.cv, c.cvec) AS cvec
-           |  FROM c$p c LEFT JOIN (SELECT cell, list(m ORDER BY pos1) AS cv FROM u$i GROUP BY cell) u USING (cell))""".stripMargin
-      }
       s"""WITH vecs AS MATERIALIZED (
          |  SELECT vec_id AS id,
          |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x AS DECIMAL(20,6)) AS DOUBLE)) AS vec
          |  FROM embeddings),
-         |params AS MATERIALIZED (
-         |  SELECT least($sampleN, count(*)) AS n, least($k, least($sampleN, count(*))) AS keff FROM vecs),
-         |smp AS MATERIALIZED (
-         |  SELECT vec, row_number() OVER (ORDER BY id) - 1 AS rn
-         |  FROM (SELECT id, vec FROM vecs ORDER BY id LIMIT $sampleN) s),
-         |c0 AS MATERIALIZED (
-         |  SELECT i.i AS cell, smp.vec AS cvec
-         |  FROM range(0,$k) i(i), params p, smp
-         |  WHERE i.i < p.keff AND smp.rn = (i.i * greatest(1, p.n // p.keff)) % p.n),
-         |${(1 to iters).map(iterCte).mkString(",\n")},
+         |${lloydSql(k, iters, sampleN)},
          |qv AS MATERIALIZED (SELECT vec AS q FROM vecs WHERE id = 0),
          |probe AS MATERIALIZED (
-         |  SELECT cell FROM c$iters, qv ORDER BY ${dz("q", "cvec")}, cell LIMIT $nprobe),
-         |a${iters + 1} AS MATERIALIZED (
-         |  SELECT id, cell FROM (
-         |    SELECT v.id, c.cell, row_number() OVER (PARTITION BY v.id ORDER BY ${dz("v.vec", "c.cvec")}, c.cell) AS rn
-         |    FROM vecs v, c$iters c) t WHERE rn = 1),
+         |  SELECT cell FROM c$iters, qv ORDER BY ${sqDistSql("q", "cvec")}, cell LIMIT $nprobe),
          |cands AS MATERIALIZED (
-         |  SELECT id FROM a${iters + 1} WHERE cell IN (SELECT cell FROM probe))
+         |  SELECT id FROM asg WHERE cell IN (SELECT cell FROM probe))
          |SELECT v.id, round(${cosineSql("v.vec", "q")}, 6) AS sim
          |FROM cands JOIN vecs v USING (id) CROSS JOIN qv
          |ORDER BY sim DESC, id ASC LIMIT $topK""".stripMargin

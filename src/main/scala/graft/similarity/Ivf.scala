@@ -106,6 +106,21 @@ object Ivf {
     Model(centroids)
   }
 
+  /** Per-vector nearest-cell assignment under `model` — the bucketing
+    * primitive the ANN probe path shares with SemDeDup-style semantic
+    * dedup (q230). Model is k×d and broadcast; the scan stays map-only.
+    */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+             model: Model): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, bc.value.nearestCell(v)) }
+      .toDF("id", "cell")
+  }
+
   /** ANN top-k: probe the `nprobe` nearest cells, exact cosine rerank. */
   def topK(vecs: DataFrame, idCol: String, vecCol: String, model: Model,
            query: Array[Double], k: Int, nprobe: Int = 4,
