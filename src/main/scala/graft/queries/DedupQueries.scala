@@ -448,5 +448,42 @@ object DedupQueries {
          |SELECT w.id, CAST(w.cell AS BIGINT) AS cell,
          |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM wc w LEFT JOIN dropped d ON w.id = d.id
-         |ORDER BY w.id""".stripMargin)))
+         |ORDER BY w.id""".stripMargin)),
+
+    // Distributed suffix array (Manber–Myers prefix doubling) over the
+    // documents corpus — the general-purpose index behind
+    // arbitrary-length repeated-substring discovery (Lee et al. 2022),
+    // generalizing q213's fixed-width window hashes. The ~log(maxLen)
+    // doubling rounds each cost ONE distributed range-sort of the
+    // (rank, next-rank) pair frame plus an order-preserving min-id
+    // re-rank — no single-partition window anywhere (see
+    // dedup/SuffixArray.scala). Output: the first 300 suffix-array
+    // entries; the oracle sorts materialized suffix strings directly,
+    // so the doubling ranks are checked against the ground-truth
+    // lexicographic order (ties = identical suffixes, broken by
+    // doc_id/off in both engines). The final row_number runs over the
+    // already-limited 300-row frame — bounded, not corpus-sized.
+    Q("q231_suffix_array", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val sa = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+      val head = sa
+        .orderBy("r", "doc_id", "off").limit(300)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      head
+        .select(
+          row_number().over(Window.orderBy("r", "doc_id", "off"))
+            .cast("long").as("sa_rank"),
+          col("doc_id"), col("off"),
+          expr("substr(text, CAST(off AS INT), 16)").as("head"))
+        .orderBy("sa_rank")
+    }, Some(
+      """WITH suf AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text))) AS off, text
+        |  FROM documents)
+        |SELECT row_number() OVER (
+        |    ORDER BY substr(text, CAST(off AS INT)), doc_id, off) AS sa_rank,
+        |  doc_id, CAST(off AS BIGINT) AS off,
+        |  substr(text, CAST(off AS INT), 16) AS head
+        |FROM suf ORDER BY sa_rank LIMIT 300""".stripMargin)))
 }

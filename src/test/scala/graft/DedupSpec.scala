@@ -110,6 +110,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsDistributed(empty, "a", "b").count() == 0)
   }
 
+  test("suffix-array ranks reproduce brute-force lexicographic order") {
+    // duplicate docs make genuinely equal suffixes: those must SHARE a
+    // rank; everything else must order exactly like the suffix strings
+    val corpus = Seq((1L, "banana"), (2L, "banana"), (3L, "abracadabra"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sufs = for ((d, t) <- corpus; i <- 1 to t.length)
+      yield (d, i.toLong, t.substring(i - 1))
+    assert(got.size == sufs.size)
+    for (a <- sufs; b <- sufs) {
+      val byRank = got((a._1, a._2)).compareTo(got((b._1, b._2)))
+      val byText = a._3.compareTo(b._3)
+      assert(Integer.signum(byRank) == Integer.signum(byText),
+        s"rank order of $a vs $b disagrees with suffix order")
+    }
+  }
+
   test("signature is permutation-stable (set semantics)") {
     val a = Dedup.signature(Seq("a", "b", "c", "d", "e", "f"))
     val b = Dedup.signature(Seq("f", "e", "d", "c", "b", "a"))
