@@ -485,5 +485,86 @@ object DedupQueries {
         |    ORDER BY substr(text, CAST(off AS INT)), doc_id, off) AS sa_rank,
         |  doc_id, CAST(off AS BIGINT) AS off,
         |  substr(text, CAST(off AS INT), 16) AS head
-        |FROM suf ORDER BY sa_rank LIMIT 300""".stripMargin)))
+        |FROM suf ORDER BY sa_rank LIMIT 300""".stripMargin)),
+
+    // Longest repeated substrings — the dedup-actionable product of the
+    // q231 suffix array (Lee et al. 2022: a span is repeated iff two
+    // ADJACENT suffix-array entries share it as a prefix, so the global
+    // max over adjacent-pair LCPs finds every big copy-paste span).
+    // Adjacency over a distributed sort without a corpus-wide window:
+    // range-partition by SA order, take within-partition neighbors from a
+    // PER-PARTITION window, and stitch the ≤|partitions| boundary pairs
+    // from a partition-count-sized census (the tiny window over it is
+    // bounded by the partition count, not the data). The LCP itself is a
+    // char-array zip (interpreted HOF — fine off the hot path; at 100 TB
+    // you'd band it into 64-char blocks with a codegen substr-equality
+    // cascade, computing full LCP only for block-equal prefixes).
+    Q("q232_longest_repeat", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val sa = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+      val sorted = sa
+        .repartitionByRange(col("r"), col("doc_id"), col("off"))
+        .sortWithinPartitions("r", "doc_id", "off")
+        .withColumn("pid", spark_partition_id())
+        .scopedPersist
+      val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
+      val within = sorted
+        .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+        .withColumn("off_b", lead(col("off"), 1).over(w))
+        .filter(col("doc_b").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("off").as("off_a"),
+          col("doc_b"), col("off_b"))
+      val perPart = sorted.groupBy("pid").agg(
+        min(struct(col("r"), col("doc_id"), col("off"))).as("first"),
+        max(struct(col("r"), col("doc_id"), col("off"))).as("last"))
+      val wb = Window.orderBy("pid") // ≤ shuffle-partition-count rows
+      val boundary = perPart
+        .withColumn("nf", lead(col("first"), 1).over(wb))
+        .filter(col("nf").isNotNull)
+        .select(col("last.doc_id").as("doc_a"), col("last.off").as("off_a"),
+          col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"))
+      val pairs = within.unionByName(boundary)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .withColumn("sa_", expr("substr(text_a, CAST(off_a AS INT))"))
+        .withColumn("sb_", expr("substr(text_b, CAST(off_b AS INT))"))
+        .withColumn("pos", expr(
+          """array_position(zip_with(split(sa_, ''), split(sb_, ''),
+            |  (x, y) -> coalesce(x, '') = coalesce(y, '')), false)""".stripMargin))
+        .withColumn("lcp", when(col("pos") === 0,
+            least(length(col("sa_")), length(col("sb_"))))
+          .otherwise(col("pos") - 1).cast("long"))
+      pairs
+        .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
+          expr("substr(text_a, CAST(off_a AS INT), CAST(least(lcp, 24) AS INT))")
+            .as("head"))
+        .orderBy(desc("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
+        .limit(20)
+    }, Some(
+      """WITH suf AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text))) AS off, text
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, off, text,
+        |    lead(doc_id) OVER w AS doc_b, lead(off) OVER w AS off_b,
+        |    lead(text) OVER w AS text_b
+        |  FROM suf
+        |  WINDOW w AS (ORDER BY substr(text, CAST(off AS INT)), doc_id, off)),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, off AS off_a, doc_b, off_b, text AS text_a,
+        |    substr(text, CAST(off AS INT)) AS sa, substr(text_b, CAST(off_b AS INT)) AS sb
+        |  FROM ord WHERE doc_b IS NOT NULL),
+        |scored AS (
+        |  SELECT doc_a, off_a, doc_b, off_b, text_a,
+        |    coalesce(list_position(list_transform(list_zip(
+        |        regexp_split_to_array(sa, ''), regexp_split_to_array(sb, '')),
+        |      z -> coalesce(z[1], '') = coalesce(z[2], '')), false) - 1,
+        |      least(length(sa), length(sb))) AS lcp
+        |  FROM pairs)
+        |SELECT CAST(lcp AS BIGINT) AS lcp, doc_a, CAST(off_a AS BIGINT) AS off_a,
+        |  doc_b, CAST(off_b AS BIGINT) AS off_b,
+        |  substr(text_a, CAST(off_a AS INT), CAST(least(lcp, 24) AS INT)) AS head
+        |FROM scored
+        |ORDER BY lcp DESC, doc_a, off_a, doc_b, off_b LIMIT 20""".stripMargin)))
 }
