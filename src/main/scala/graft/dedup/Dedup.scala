@@ -351,17 +351,20 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val ls = largeStar(edges).localCheckpoint(true)
-      val lsSig = signature(ls)
-      val next = smallStar(ls).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
+      val stable = nextSig == sig
       edges = next
-      // converged only when BOTH steps leave the edge set unchanged — a
-      // fixpoint of each operator is provably a min-centered star forest;
-      // stability of just the composition would be a weaker claim
-      converged = lsSig == sig && nextSig == sig
       sig = nextSig
       rounds += 1
+      // composite stability alone could mask an oscillation between the
+      // two operators, so a stable round pays ONE extra signature to
+      // confirm large-star is individually a no-op — together they imply
+      // smallStar(E)=E too, and a fixpoint of both operators is provably
+      // a min-centered star forest. The confirm is skipped on the (common)
+      // non-stable rounds, so steady-state cost is one checkpoint + one
+      // signature per round.
+      converged = stable && signature(largeStar(edges)) == sig
     }
     require(converged,
       s"connectedComponentsDistributed: no fixpoint after $maxRounds rounds")
