@@ -420,46 +420,40 @@ object CurationQueries {
     // divergence on exotic codepoints).
     Q("q227_bpe_train", (s, dir) => {
       import s.implicits._
-      val cached = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
-      val words = Tables.documents(s, dir)
-        .select(explode(TextOps.tokens(TextOps.cleanText(col("text"))))
-          .as("word"))
-        .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      var syms = words.select(
-        rtrim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
-        col("freq")).persist()
-      cached += syms
-      val merges =
-        scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
-      for (step <- 1 to BpeMerges) {
-        val best = syms
-          .withColumn("toks", split(col("sym"), "  "))
-          .filter(size(col("toks")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-            .as("pair"))
-          .groupBy("pair").agg(sum("freq").as("cnt"))
-          .orderBy(desc("cnt"), asc("pair")).limit(1).collect()(0)
-        val pair = best.getString(0)
-        val Array(l, r) = pair.split(" ", 2)
-        merges += ((step.toLong, pair, l + r, best.getLong(1)))
-        syms = syms.select(
-          trim(call_function("replace",
-            concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $l  $r "), lit(s" $l$r "))).as("sym"),
-          col("freq")).persist()
-        cached += syms
-      }
-      // every action this query runs happens inside the build (the K
-      // argmax collects); the returned frame is a driver-local merge
-      // table, so the vocab-sized caches release right here
-      val out = merges.toSeq.toDF("step", "pair", "merged", "cnt")
-        .orderBy("step")
-      cached.foreach(_.unpersist(false))
-      out
+      val (merges, _) = bpeTrain(s, dir)
+      merges.toDF("step", "pair", "merged", "cnt").orderBy("step")
     }, Some(bpeOracleSql)),
+
+    // BPE tokenizer APPLICATION (capability: ENCODING a corpus with the
+    // trained merge table — q227 learns the merges; this measures what
+    // they do to the data: tokens per document and the chars-per-token
+    // compression a tokenizer actually buys). The scale trick is that
+    // encoding happens per word TYPE, never per token occurrence: the
+    // trained merge chain (driver-local literals, the bounded-collect
+    // pattern) folds over the vocabulary-sized symbol table, and the
+    // per-doc numbers come from joining the per-type token counts to the
+    // per-doc word census — the corpus text is touched once for the
+    // census, exactly like training. Only census-eligible words
+    // (length ≥ 2, [a-z0-9]+ — the same training filter) are counted.
+    Q("q233_bpe_encode", (s, dir) => {
+      val (_, finalSyms) = bpeTrain(s, dir)
+      val enc = finalSyms.select(
+        regexp_replace(col("sym"), " ", "").as("word"),
+        size(split(col("sym"), "  ")).cast("long").as("ntok"))
+      val docw = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("word"))
+        .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      docw.join(enc, "word")
+        .groupBy("doc_id").agg(
+          sum(col("n")).as("n_words"),
+          sum(col("n") * col("ntok")).as("n_tokens"),
+          sum(col("n") * length(col("word")).cast("long")).as("n_chars"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_tokens"), 4))
+        .orderBy("doc_id")
+    }, Some(bpeEncodeOracleSql)),
 
     // DSIR importance resampling (capability: CONTENT-based pretraining
     // data selection — q68/q167 reweight by the domain LABEL; this
@@ -534,13 +528,69 @@ object CurationQueries {
   // oracle SQL during object init — a val here would still read as 0
   private def BpeMerges = 6
 
+  /** Shared BPE training loop (q227/q233): word-TYPE census → K greedy
+    * merges with the two-space separator invariant (see q227's comment).
+    * Every returned merge is a driver-local literal (the bounded-collect
+    * pattern: K argmax rows); `finalSyms` is the UNPERSISTED
+    * literal-replace chain over the census — the loop's per-step caches
+    * (needed so each argmax scans a materialized vocabulary, not the
+    * growing chain) are all released before returning, and a consumer's
+    * single action over finalSyms recomputes the vocabulary-sized chain
+    * once.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val cached = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(TextOps.cleanText(col("text"))))
+        .as("word"))
+      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words.select(
+      rtrim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+      col("freq")).persist()
+    cached += syms
+    val merges =
+      scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val best = syms
+        .withColumn("toks", split(col("sym"), "  "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1).collect()(0)
+      val pair = best.getString(0)
+      val Array(l, r) = pair.split(" ", 2)
+      merges += ((step.toLong, pair, l + r, best.getLong(1)))
+      syms = syms.select(
+        trim(call_function("replace",
+          concat(lit(" "), col("sym"), lit(" ")),
+          lit(s" $l  $r "), lit(s" $l$r "))).as("sym"),
+        col("freq")).persist()
+      cached += syms
+    }
+    // all actions (the K argmax collects) already ran; release the
+    // vocab-sized caches — finalSyms recomputes its narrow chain on the
+    // consumer's action
+    cached.foreach(_.unpersist(false))
+    (merges.toSeq, syms)
+  }
+
   /** Unrolled K-stage mirror of the BPE training loop: stage k derives
     * the pair census from w(k-1), picks the argmax pair b(k), and
     * rewrites the symbol strings into w(k) with the same padded
     * two-space replace. MATERIALIZED on every stage keeps DuckDB from
     * re-inlining the (doubly-referenced) previous stage exponentially.
     */
-  private def bpeOracleSql: String = {
+  /** The shared `WITH` body of the BPE oracles: w0 census + per-step
+    * (pair census, argmax, replace) CTEs through w$BpeMerges — the exact
+    * SQL replay of [[bpeTrain]]'s loop (q227 reads the argmax rows b$k,
+    * q233 reads the final vocabulary w$BpeMerges).
+    */
+  private def bpeVocabCtes: String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH w0 AS MATERIALIZED (
@@ -572,13 +622,35 @@ object CurationQueries {
            |  FROM w${k - 1} CROSS JOIN b$k b),
            |""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def bpeOracleSql: String = {
     val steps = (1 to BpeMerges).map { k =>
       s"SELECT CAST($k AS BIGINT) AS step, pair, " +
         s"replace(pair, ' ', '') AS merged, cnt FROM b$k"
     }.mkString("\n  UNION ALL ")
-    sb.append(
-      s"""m AS ($steps)
-         |SELECT step, pair, merged, cnt FROM m ORDER BY step""".stripMargin)
-    sb.toString
+    s"""${bpeVocabCtes}m AS ($steps)
+       |SELECT step, pair, merged, cnt FROM m ORDER BY step""".stripMargin
   }
+
+  private def bpeEncodeOracleSql: String =
+    s"""${bpeVocabCtes}enc AS (
+       |  SELECT replace(sym, ' ', '') AS word,
+       |    CAST(len(string_split(sym, '  ')) AS BIGINT) AS ntok
+       |  FROM w$BpeMerges),
+       |docw AS (
+       |  SELECT doc_id, word, count(*) AS n FROM (
+       |    SELECT doc_id, unnest(${tokensSql(cleanTextSql("text"))}) AS word
+       |    FROM documents) t
+       |  WHERE length(word) >= 2 AND regexp_full_match(word, '[a-z0-9]+')
+       |  GROUP BY doc_id, word)
+       |SELECT d.doc_id,
+       |  CAST(sum(d.n) AS BIGINT) AS n_words,
+       |  CAST(sum(d.n * e.ntok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(d.n * length(d.word)) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(d.n * length(d.word)) AS DOUBLE)
+       |    / sum(d.n * e.ntok), 4) AS compression
+       |FROM docw d JOIN enc e USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 }
