@@ -28,7 +28,12 @@ object Bench {
     def onePass(): Map[String, Double] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          // a failed query must be VISIBLE — a swallowed exception records
+          // a misleading near-zero time for an operator that never ran
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1L
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted state so one query's cache cannot
         // pressure the next (single-JVM bench hygiene; outside the timing)
