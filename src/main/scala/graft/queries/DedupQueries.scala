@@ -495,10 +495,12 @@ object DedupQueries {
     // range-partition by SA order, take within-partition neighbors from a
     // PER-PARTITION window, and stitch the ≤|partitions| boundary pairs
     // from a partition-count-sized census (the tiny window over it is
-    // bounded by the partition count, not the data). The LCP itself is a
-    // char-array zip (interpreted HOF — fine off the hot path; at 100 TB
-    // you'd band it into 64-char blocks with a codegen substr-equality
-    // cascade, computing full LCP only for block-equal prefixes).
+    // bounded by the partition count, not the data). The LCP is banded:
+    // an exact 64-char-capped zip decides almost every pair (adjacent-SA
+    // LCPs are short on natural text), and only cap-hitting pairs — the
+    // genuinely long repeats — pay the full-suffix zip (CaseWhen
+    // branches evaluate lazily per row), so LCP cost is ∝ pairs × 64,
+    // not pairs × suffix length.
     Q("q232_longest_repeat", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
@@ -529,12 +531,20 @@ object DedupQueries {
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
         .withColumn("sa_", expr("substr(text_a, CAST(off_a AS INT))"))
         .withColumn("sb_", expr("substr(text_b, CAST(off_b AS INT))"))
-        .withColumn("pos", expr(
-          """array_position(zip_with(split(sa_, ''), split(sb_, ''),
+        .withColumn("pos64", expr(
+          """array_position(zip_with(split(substr(sa_, 1, 64), ''),
+            |  split(substr(sb_, 1, 64), ''),
             |  (x, y) -> coalesce(x, '') = coalesce(y, '')), false)""".stripMargin))
-        .withColumn("lcp", when(col("pos") === 0,
-            least(length(col("sa_")), length(col("sb_"))))
-          .otherwise(col("pos") - 1).cast("long"))
+        .withColumn("lcp64", when(col("pos64") === 0,
+            least(least(length(col("sa_")), lit(64)),
+              least(length(col("sb_")), lit(64))))
+          .otherwise(col("pos64") - 1))
+        .withColumn("lcp", when(col("lcp64") < 64, col("lcp64").cast("long"))
+          .otherwise(expr(
+            """CAST(coalesce(nullif(array_position(
+              |  zip_with(split(sa_, ''), split(sb_, ''),
+              |    (x, y) -> coalesce(x, '') = coalesce(y, '')), false), 0) - 1,
+              |  least(length(sa_), length(sb_))) AS BIGINT)""".stripMargin)))
       pairs
         .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
           expr("substr(text_a, CAST(off_a AS INT), CAST(least(lcp, 24) AS INT))")
