@@ -76,12 +76,20 @@ object SuffixArray {
         .na.fill(-1L, Seq("r2"))
       val tagged = paired.orderBy("r", "r2")
         .withColumn("mid", monotonically_increasing_id())
-      val remap = tagged.groupBy("r", "r2").agg(min(col("mid")).as("nr"))
-      state = paired.join(remap, Seq("r", "r2"))
+      // one aggregate-window exchange re-ranks in place (vs a groupBy +
+      // join-back, which costs two more exchanges per round); the loop is
+      // job-count-bound, not data-bound, at local scale
+      val wrr = org.apache.spark.sql.expressions.Window.partitionBy("r", "r2")
+      state = tagged
+        .withColumn("nr", min(col("mid")).over(wrr))
         .select(col("doc_id"), col("off"), col("nr").as("r"))
         .localCheckpoint(true)
-      val nd = state.agg(countDistinct(col("r"))).head().getLong(0)
-      done = nd == total
+      // the early-exit census is pointless while 2k chars can't yet
+      // distinguish typical suffixes — skip its job for the first rounds
+      if (k >= 16) {
+        val nd = state.agg(countDistinct(col("r"))).head().getLong(0)
+        done = nd == total
+      }
       k *= 2
       rounds += 1
     }
