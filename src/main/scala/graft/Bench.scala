@@ -25,27 +25,40 @@ object Bench {
     }
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def onePass(): Map[String, Double] =
+    // a FAILED query is recorded as a NEGATIVE elapsed (sentinel in the
+    // artifact itself, not just a stderr line) and excluded from the
+    // cross-pass min and the total — a fast time-to-exception must never
+    // masquerade as a fast query
+    def onePass(): Map[String, Double] = {
+      // each pass pays exactly one suffix-array build: reuse WITHIN a
+      // pass is the index-engine design, but a warm second pass hiding
+      // the whole build cost from the min would be dishonest
+      graft.dedup.SuffixArray.clearCache()
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          // a failed query must be VISIBLE — a swallowed exception records
-          // a misleading near-zero time for an operator that never ran
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1L
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted state so one query's cache cannot
         // pressure the next (single-JVM bench hygiene; outside the timing)
         spark.catalog.clearCache()
-        name -> elapsed
+        name -> (if (ok) elapsed else -elapsed)
       }
+    }
     val p1 = onePass()
     val p2 = onePass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    val results = p1.map { case (k, v) =>
+      val both = Seq(v, p2.getOrElse(k, v))
+      val good = both.filter(_ >= 0)
+      // both passes failed → keep the (negative) slower sentinel
+      k -> (if (good.nonEmpty) good.min else both.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

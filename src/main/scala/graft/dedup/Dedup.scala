@@ -253,7 +253,12 @@ object Dedup {
         s"[dedup] connectedComponents: $nPairs pairs exceed the " +
           s"$maxDriverPairs driver boundary; delegating to the " +
           "distributed star contraction")
+      // materialize the labels BEFORE releasing skinny: the distributed
+      // result's vertex/label join is lazy over the pair pipeline, so an
+      // early unpersist would make the caller's action re-derive the full
+      // upstream pairs computation
       val out = connectedComponentsDistributed(skinny.toDF(aCol, bCol), aCol, bCol)
+        .localCheckpoint(true)
       skinny.unpersist()
       return out
     }
@@ -293,8 +298,9 @@ object Dedup {
     * collapses the smaller neighborhood onto the minimum, so path-shaped
     * components (the worst case) contract in O(log diameter) rounds.
     * Convergence is detected by an order-insensitive edge-set signature
-    * (count + XOR of a 64-bit edge hash over the distinct edge set); the
-    * fixpoint is a star forest
+    * (count + XOR of a 64-bit edge hash over the distinct edge set) and
+    * then CONFIRMED by exact set checks (no hash-collision exposure on
+    * the final verdict); the fixpoint is a star forest
     * whose centers are the component minima — exactly union-find's
     * answer. Each round's edge set is cut with an eager localCheckpoint:
     * without the cut the plan REFERENCES the previous round twice per
@@ -358,13 +364,19 @@ object Dedup {
       sig = nextSig
       rounds += 1
       // composite stability alone could mask an oscillation between the
-      // two operators, so a stable round pays ONE extra signature to
-      // confirm large-star is individually a no-op — together they imply
-      // smallStar(E)=E too, and a fixpoint of both operators is provably
-      // a min-centered star forest. The confirm is skipped on the (common)
-      // non-stable rounds, so steady-state cost is one checkpoint + one
-      // signature per round.
-      converged = stable && signature(largeStar(edges)) == sig
+      // two operators, so a stable round confirms that BOTH operators are
+      // individually no-ops — a fixpoint of both is provably a
+      // min-centered star forest. The confirm is EXACT set equality, not
+      // the XOR signature: the signature steers the cheap per-round loop,
+      // but a 2^-64 collision there must not silently declare a
+      // non-converged edge set final. Both sides are distinct sets, so
+      // ⊆ (exceptAll empty) plus count equality ⇒ equality; the check
+      // runs once at convergence, so its extra jobs are bounded.
+      def exactNoop(op: DataFrame => DataFrame): Boolean = {
+        val applied = op(edges)
+        applied.count() == nextSig._1 && applied.exceptAll(edges).isEmpty
+      }
+      converged = stable && exactNoop(largeStar) && exactNoop(smallStar)
     }
     require(converged,
       s"connectedComponentsDistributed: no fixpoint after $maxRounds rounds")

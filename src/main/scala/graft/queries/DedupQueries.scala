@@ -455,9 +455,10 @@ object DedupQueries {
     // arbitrary-length repeated-substring discovery (Lee et al. 2022),
     // generalizing q213's fixed-width window hashes. The ~log(maxLen)
     // doubling rounds each cost ONE distributed range-sort of the
-    // (rank, next-rank) pair frame plus an order-preserving min-id
-    // re-rank — no single-partition window anywhere (see
-    // dedup/SuffixArray.scala). Output: the first 300 suffix-array
+    // (rank, next-rank) pair frame plus a boundary-stitch dense
+    // re-rank — no single-partition window and no exchange keyed on the
+    // skewed rank pair anywhere (see dedup/SuffixArray.scala).
+    // Output: the first 300 suffix-array
     // entries; the oracle sorts materialized suffix strings directly,
     // so the doubling ranks are checked against the ground-truth
     // lexicographic order (ties = identical suffixes, broken by
@@ -466,7 +467,10 @@ object DedupQueries {
     Q("q231_suffix_array", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val sa = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+      // build-once index: q232 (and any later SA consumer) reuses this
+      // exact build — the suite pays one Ω(n) construction per corpus
+      val sa = graft.dedup.SuffixArray.build(s, s"documents|$dir",
+        Tables.documents(s, dir), "doc_id", "text")
       val head = sa
         .orderBy("r", "doc_id", "off").limit(300)
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
@@ -504,7 +508,10 @@ object DedupQueries {
     Q("q232_longest_repeat", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val sa = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+      // shared build-once index (see q231): first consumer builds, the
+      // rest read the checkpointed frame
+      val sa = graft.dedup.SuffixArray.build(s, s"documents|$dir",
+        Tables.documents(s, dir), "doc_id", "text")
       val sorted = sa
         .repartitionByRange(col("r"), col("doc_id"), col("off"))
         .sortWithinPartitions("r", "doc_id", "off")
@@ -529,22 +536,30 @@ object DedupQueries {
       val pairs = within.unionByName(boundary)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        .withColumn("sa_", expr("substr(text_a, CAST(off_a AS INT))"))
-        .withColumn("sb_", expr("substr(text_b, CAST(off_b AS INT))"))
+        // suffix lengths come from arithmetic on the doc length — no
+        // suffix string is ever materialized for the band decision
+        .withColumn("la", (length(col("text_a")) - col("off_a") + 1).cast("long"))
+        .withColumn("lb", (length(col("text_b")) - col("off_b") + 1).cast("long"))
+        // the 64-char band reads substr(text, off, 64) DIRECTLY from the
+        // doc text: a 64-byte copy per pair, never the full suffix
         .withColumn("pos64", expr(
-          """array_position(zip_with(split(substr(sa_, 1, 64), ''),
-            |  split(substr(sb_, 1, 64), ''),
+          """array_position(zip_with(split(substr(text_a, CAST(off_a AS INT), 64), ''),
+            |  split(substr(text_b, CAST(off_b AS INT), 64), ''),
             |  (x, y) -> coalesce(x, '') = coalesce(y, '')), false)""".stripMargin))
         .withColumn("lcp64", when(col("pos64") === 0,
-            least(least(length(col("sa_")), lit(64)),
-              least(length(col("sb_")), lit(64))))
+            least(least(col("la"), lit(64L)), least(col("lb"), lit(64L))))
           .otherwise(col("pos64") - 1))
+        // the full-suffix zip lives INSIDE the cap-hit branch (CaseWhen
+        // branches evaluate lazily, and the substrs appear in no other
+        // branch so subexpression elimination cannot hoist them): only
+        // genuine ≥64-char repeats ever copy a whole suffix
         .withColumn("lcp", when(col("lcp64") < 64, col("lcp64").cast("long"))
           .otherwise(expr(
             """CAST(coalesce(nullif(array_position(
-              |  zip_with(split(sa_, ''), split(sb_, ''),
+              |  zip_with(split(substr(text_a, CAST(off_a AS INT)), ''),
+              |    split(substr(text_b, CAST(off_b AS INT)), ''),
               |    (x, y) -> coalesce(x, '') = coalesce(y, '')), false), 0) - 1,
-              |  least(length(sa_), length(sb_))) AS BIGINT)""".stripMargin)))
+              |  least(la, lb)) AS BIGINT)""".stripMargin)))
       pairs
         .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
           expr("substr(text_a, CAST(off_a AS INT), CAST(least(lcp, 24) AS INT))")

@@ -220,6 +220,33 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("SortMergeJoin"), plan.take(4000))
   }
 
+  test("suffix-array re-rank has no exchange keyed on the skewed rank pair") {
+    import spark.implicits._
+    // one doubling round's re-rank plan: the only exchanges allowed are
+    // the range sort (the distributed sort itself) and clustering by
+    // physical partition id / broadcast of the partition census — a HASH
+    // exchange on (r, r2) would hand the hottest n-gram class of a
+    // 100 TB corpus to one task
+    val paired = Seq((1L, 1L, 3L, 2L), (1L, 2L, 1L, -1L), (2L, 1L, 3L, 1L))
+      .toDF("doc_id", "off", "r", "r2")
+    val plan = graft.dedup.SuffixArray.sortAndFlag(paired, Seq("r", "r2"))
+      .queryExecution.executedPlan
+    val badExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e.outputPartitioning
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+    }.filter(_.expressions.exists(_.references.exists(a =>
+      a.name == "r" || a.name == "r2")))
+    assert(badExchanges.isEmpty,
+      s"re-rank hash-partitions on rank values: $badExchanges")
+    // and the mono-id crutch (order-preservation was an implementation
+    // artifact, not a Spark contract) must stay gone
+    assert(!plan.toString.contains("monotonically_increasing_id"),
+      plan.toString.take(2000))
+  }
+
   test("new heavy extensions force no fact-table broadcasts") {
     for (q <- Seq("q213_substring_dedup", "q214_fuzzy_linkage",
         "q217_kendall_tau", "q218_embedding_covariance")) {
