@@ -364,19 +364,20 @@ object Dedup {
       sig = nextSig
       rounds += 1
       // composite stability alone could mask an oscillation between the
-      // two operators, so a stable round confirms that BOTH operators are
-      // individually no-ops — a fixpoint of both is provably a
-      // min-centered star forest. The confirm is EXACT set equality, not
-      // the XOR signature: the signature steers the cheap per-round loop,
-      // but a 2^-64 collision there must not silently declare a
+      // two operators, so a stable round confirms that large-star is
+      // individually a no-op — with stability that implies
+      // smallStar(E)=E too, and a fixpoint of both operators is provably
+      // a min-centered star forest. The confirm is EXACT set equality,
+      // not the XOR signature: the signature steers the cheap per-round
+      // loop, but a 2^-64 collision there must not silently declare a
       // non-converged edge set final. Both sides are distinct sets, so
-      // ⊆ (exceptAll empty) plus count equality ⇒ equality; the check
-      // runs once at convergence, so its extra jobs are bounded.
-      def exactNoop(op: DataFrame => DataFrame): Boolean = {
-        val applied = op(edges)
-        applied.count() == nextSig._1 && applied.exceptAll(edges).isEmpty
-      }
-      converged = stable && exactNoop(largeStar) && exactNoop(smallStar)
+      // ⊆ (anti-join empty) plus count equality (the edge count is
+      // already known from nextSig) ⇒ equality; the check runs once at
+      // convergence, so its two extra jobs are bounded.
+      def exactNoop(applied: DataFrame): Boolean =
+        applied.count() == nextSig._1 &&
+          applied.join(edges, Seq("c", "p"), "left_anti").isEmpty
+      converged = stable && exactNoop(largeStar(edges))
     }
     require(converged,
       s"connectedComponentsDistributed: no fixpoint after $maxRounds rounds")

@@ -110,6 +110,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsDistributed(empty, "a", "b").count() == 0)
   }
 
+  test("suffix-array build is a per-corpus memo; clearCache resets it") {
+    import spark.implicits._
+    graft.dedup.SuffixArray.clearCache()
+    val docs = Seq((1L, "abab"), (2L, "baba")).toDF("doc_id", "text")
+    val a = graft.dedup.SuffixArray.build(spark, "memo-spec", docs, "doc_id", "text")
+    val b = graft.dedup.SuffixArray.build(spark, "memo-spec", docs, "doc_id", "text")
+    assert(a eq b, "same (session, key) must reuse the built index frame")
+    val c = graft.dedup.SuffixArray.build(spark, "memo-spec-2", docs, "doc_id", "text")
+    assert(!(a eq c), "a different corpus key must build its own index")
+    graft.dedup.SuffixArray.clearCache()
+    val d = graft.dedup.SuffixArray.build(spark, "memo-spec", docs, "doc_id", "text")
+    assert(!(a eq d), "clearCache must drop the memo")
+    assert(d.count() == 8)
+    graft.dedup.SuffixArray.clearCache()
+  }
+
+  test("suffix-array ranks: empty, all-null and empty-string corpora yield empty frames") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.SuffixArray.ranks(empty, "doc_id", "text").count() == 0)
+    val nulls = Seq((1L, null: String), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    assert(graft.dedup.SuffixArray.ranks(nulls, "doc_id", "text").count() == 0)
+  }
+
   test("suffix-array ranks reproduce brute-force lexicographic order") {
     // duplicate docs make genuinely equal suffixes: those must SHARE a
     // rank; everything else must order exactly like the suffix strings
