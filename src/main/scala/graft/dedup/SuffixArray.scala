@@ -1,68 +1,97 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed suffix array over a document corpus by prefix doubling
-  * (Manber–Myers 1990). This is the general-purpose index behind
+  * (Manber–Myers 1990) with ambiguous-class-only refinement
+  * (the distributed analogue of Larsson–Sadakane 1999's "sort only the
+  * unsorted groups"). This is the general-purpose index behind
   * exact-substring dedup at corpus scale (Lee et al. 2022 build suffix
   * arrays to find arbitrary-length repeated spans; q213's fixed 8-token
   * windows are the special case this generalizes).
   *
   * Suffixes never cross document boundaries, so positions stay
   * (doc_id, off) pairs and no global concatenation is materialized; the
-  * doubling join is a per-doc (off → off+k) equi-join. Ranks, however,
-  * are global: each round re-ranks all suffixes by their (rank of first
-  * k chars, rank of next k chars) pair.
+  * doubling lookup is a per-doc (off → off+k) equi-join.
   *
-  * Scale shape, per round:
-  *   1. range-sort the pair frame (Spark's sample-based range
+  * Ranks are POSITION ranks, not dense ranks: rank(s) = 1 + number of
+  * suffixes strictly smaller than s (the global position of the first
+  * row of s's equal-prefix class). Position ranks are order-isomorphic
+  * to dense ranks — every consumer only compares them — but they are
+  * also *refinement-stable*: when a class occupying positions
+  * [r, r+size) splits, its subclasses get new ranks inside that same
+  * interval and NO other suffix's rank moves. That stability is what
+  * makes ambiguous-only refinement sound: once a suffix's class is a
+  * singleton its rank is final, and later rounds never touch it.
+  *
+  * Per round, only the still-ambiguous suffixes (class size > 1) are
+  * re-sorted. After the base rank at prefix depth `initK` the ambiguous
+  * set is the genuinely-duplicated content — on natural text a small
+  * fraction of the corpus (measured ~12% on the synthetic docs corpus,
+  * shrinking every round) — so round cost is proportional to the
+  * remaining duplication, not the corpus. The one corpus-sized cost per
+  * round is a scan (never a shuffle) of the checkpointed rank map to
+  * look up each active suffix's rank-at-offset+k: the probe side is the
+  * small active set, so AQE broadcasts it and the map is filtered
+  * map-side; if the active set is ever too large to broadcast the join
+  * degrades to a skinny-long shuffle, not a straggler.
+  *
+  * The re-rank itself (both the base rank and each refine round):
+  *   1. range-sort the frame by its keys (Spark's sample-based range
   *      partitioner — the distributed sort; equal keys land in one
   *      partition because the partitioner is a pure function of the key);
-  *   2. dense-rank it with the boundary-stitch trick: a
+  *   2. compute position ranks with the boundary-stitch trick: a
   *      within-partition lag change-flag marks each first row of a
-  *      distinct key group, a running within-partition sum numbers the
-  *      groups locally, and a partition-count-sized census of per-
-  *      partition group counts supplies each partition's global offset
-  *      (collected — the driver holds ONE long per partition, a bounded
-  *      census, and re-attaches it as an array literal, so the stitch
-  *      costs no join and no broadcast exchange).
+  *      distinct key group, a running max of flagged row positions gives
+  *      the class-start position locally, and a partition-count-sized
+  *      census of per-partition ROW counts supplies each partition's
+  *      global offset (collected — the driver holds a few longs per
+  *      partition and re-attaches them as array literals, so the stitch
+  *      costs no join and no broadcast exchange). In a refine round the
+  *      new rank is r + (startPos(r,r2) − startPos(r)); an r-class can
+  *      span range partitions, so the census also carries each
+  *      partition's first/last key-head and the start position of its
+  *      last head-group, letting the driver chain spanning class starts
+  *      across partitions.
   * There is NO single-partition window and NO exchange keyed on the
-  * rank pair itself: in early rounds the hottest (r, r2) value is a
-  * short-n-gram class covering a constant fraction of natural text, so
-  * hash-clustering on it would hand one task that whole fraction of a
-  * 100 TB corpus. Equal keys share a rank (peers take the same running-
-  * sum value under the RANGE frame), and rank VALUES are only ever
-  * compared, so dense ranks are a drop-in for any order-isomorphic
-  * labeling.
+  * rank pair itself: hash-clustering on (r, r2) would hand the hottest
+  * duplicated span of a 100 TB corpus to one task. Equal keys share a
+  * rank (peers take the same running-max value under the RANGE frame).
   *
-  * Round count: the base rank is the dense rank of the FIRST `initK`
+  * Round count: the base rank is the position rank of the FIRST `initK`
   * CHARS directly (one string-keyed sort of substr(text, off, initK) —
   * truncated-prefix comparison equals suffix comparison up to depth
-  * initK, strict prefixes first), so doubling starts at k = initK
-  * instead of k = 1: ⌈log₂(maxLen/initK)⌉ + 1 sorts worst case. Each
-  * round's census also yields the new distinct-rank count for free
-  * (Σ per-partition group counts), giving two EXACT early exits with no
-  * extra job: all ranks distinct, or no refinement this round — if
-  * doubling at k splits nothing, classes are closed under the k-shift
-  * and members are wholly identical suffixes, so no later round can
-  * split them either (this fires on corpora full of duplicate
-  * documents, where "all distinct" never happens). Each round is cut
+  * initK, strict prefixes first), so doubling starts at k = initK:
+  * ⌈log₂(maxLen/initK)⌉ rounds worst case, each over the shrinking
+  * ambiguous set. Each round's census yields two EXACT early exits with
+  * no extra job: no suffix still ambiguous, or no refinement this
+  * round — if doubling at k splits nothing, classes are closed under
+  * the k-shift and members are wholly identical suffixes, so no later
+  * round can split them either (this fires on corpora full of duplicate
+  * documents, where "all distinct" never happens; finer-than-depth-k r2
+  * ranks from already-frozen classes only make splits MORE likely, so a
+  * no-split observation under them implies no-split under exact
+  * depth-k ranks and the classic argument applies). Each round is cut
   * with an eager localCheckpoint (the same lesson as
   * Dedup.connectedComponentsDistributed: without the cut, Catalyst
-  * analysis grows exponentially with rounds).
+  * analysis grows exponentially with rounds); the checkpointed frames
+  * are small — frozen ranks are written once and never rewritten.
   */
 object SuffixArray {
 
-  /** Range-sort `df` by `keys` and flag/number key-group starts within
-    * each physical partition — the lazy half of the dense re-rank,
-    * exposed so PlanShapeSpec can hold it to its scale claim (the only
-    * exchanges are the range sort itself and pid-clustering for the
-    * windows; a hash exchange on the skewed key pair never appears).
-    * The stitch that follows ([[denseRank]]) is a pure projection over
-    * this frame plus a partition-count-sized census — it can add no
-    * further exchange.
+  /** Range-sort `df` by `keys` and annotate each row, within its
+    * physical partition, with everything the position-rank stitch needs:
+    * `pos` (row position), `chg`/`loc` (full-key group start flag and
+    * start position), `chg1`/`loc1` (key-HEAD group start flag and start
+    * position — the refine round's r-class), and `cnt` (full-key group
+    * size, for the ambiguity flag). Exposed so PlanShapeSpec can hold it
+    * to its scale claim (the only exchanges are the range sort itself
+    * and pid-clustering for the windows; a hash exchange on the skewed
+    * key pair never appears). The stitch that follows ([[rankStep]]) is
+    * a pure projection over this frame plus a partition-count-sized
+    * census — it can add no further exchange.
     */
   private[graft] def sortAndFlag(df: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
@@ -76,61 +105,125 @@ object SuffixArray {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
       // range ROUTING only (no local sort yet): pid depends on the
-      // partition, not the row order, and the window below sorts by
+      // partition, not the row order, and the windows below sort by
       // (pid, keys) anyway — one local sort per round, not two
       .repartitionByRange(n, kc: _*)
       .withColumn("pid", spark_partition_id())
-      // explicit pid-clustering the window below reuses — whole,
+      // explicit pid-clustering the windows below reuse — whole,
       // size-balanced physical partitions, immune to key-value skew
       // (the intervening nondeterministic projection also keeps
       // CollapseRepartition from merging the two user exchanges)
       .repartition(n, col("pid"))
     val wp = Window.partitionBy("pid").orderBy(kc: _*)
-    val changed = keys
+    // same clustering (pid ⊆ group keys) and sort prefix as wp: the
+    // planner serves every window below from ONE exchange + ONE sort
+    val wg = Window.partitionBy(col("pid") +: kc: _*)
+    val anyChanged = keys
       .map(k => lag(col(k), 1).over(wp) =!= col(k))
       .reduce(_ || _)
-    sorted
+    val flagged = sorted
+      .withColumn("pos", row_number().over(wp))
       .withColumn("chg",
-        when(lag(col(keys.head), 1).over(wp).isNull || changed, 1L)
+        when(lag(col(keys.head), 1).over(wp).isNull || anyChanged, 1L)
           .otherwise(0L))
-      // default RANGE frame: key peers share the cumulative value, so
-      // equal keys get equal local group numbers
-      .withColumn("loc", sum(col("chg")).over(wp))
+      // default RANGE frame: key peers share the running max, so equal
+      // keys read the same class-start position
+      .withColumn("loc", max(when(col("chg") === 1, col("pos"))).over(wp))
+      .withColumn("cnt", count(lit(1)).over(wg))
+    // key-HEAD group tracking only matters for refine rounds (the
+    // r-class of a (r, r2) sort); for a single key it would duplicate
+    // chg/loc — skip the two extra window evaluations
+    if (keys.size == 1) flagged
+    else {
+      val headChanged = lag(col(keys.head), 1).over(wp).isNull ||
+        lag(col(keys.head), 1).over(wp) =!= col(keys.head)
+      flagged
+        .withColumn("chg1", when(headChanged, 1L).otherwise(0L))
+        .withColumn("loc1", max(when(col("chg1") === 1, col("pos"))).over(wp))
+    }
   }
 
-  /** Materialize the dense rank of `df` by `keys` as column `r`
-    * (checkpoint-cut), carrying (doc_id, off). Returns the frame and
-    * the number of distinct key groups (read from the same census that
-    * stitches the offsets — no extra job).
+  /** Everything one sort round learns, read from the same bounded
+    * census that stitches the partition offsets — no extra job.
     */
-  private def denseRank(df: DataFrame, keys: Seq[String]): (DataFrame, Long) = {
-    val flagged = sortAndFlag(df, keys).persist()
+  private case class Census(nRows: Long, nGroups: Long,
+                            nAmbigRows: Long, nAmbigGroups: Long)
+
+  /** One rank round: sort by `keys`, stitch global position ranks,
+    * flag ambiguity. `refine = false` ranks from scratch (base round,
+    * single key); `refine = true` expects keys ("r", "r2") and refines
+    * in place: newr = r + (startPos(r, r2) − startPos(r)), with
+    * partition-spanning r-classes chained through the census.
+    * Returns the checkpoint-cut (doc_id, off, r, ambig) frame plus the
+    * census.
+    */
+  private def rankStep(df: DataFrame, keys: Seq[String], refine: Boolean,
+                       materializeInput: Boolean = true): (DataFrame, Census) = {
+    // materialize the input before the range sort when its pipeline is
+    // worth not running twice: repartitionByRange's SAMPLING pass
+    // re-executes its child, so an unmaterialized input runs once for
+    // the sampler and once for the sort. The base round (explode +
+    // substr of the whole corpus) and the frozen rounds (multi-join
+    // probe pipeline over a SMALL active set) both win; a FULL-frame
+    // lead round does not — checkpointing a corpus-sized frame costs
+    // more than re-running its single exchange.
+    val input = if (materializeInput) df.localCheckpoint(true) else df
+    val flagged = sortAndFlag(input, keys).persist()
     try {
-      // bounded census: one (pid, group-count) row per partition
-      val counts = flagged.groupBy("pid").agg(sum(col("chg")).as("ng"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val nGroups = counts.values.sum
-      val bases = new Array[Long](if (counts.isEmpty) 1 else counts.keys.max + 1)
+      val aggs = Seq(
+        count(lit(1)).as("nr"), sum(col("chg")).as("ng"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nar"),
+        sum(when(col("cnt") > 1 && col("chg") === 1, 1L).otherwise(0L))
+          .as("nag")) ++ (if (refine) Seq(
+        min(col(keys.head)).as("fk"), max(col(keys.head)).as("lk"),
+        max(when(col("chg1") === 1, col("pos"))).as("lgs")) else Nil)
+      // bounded census: a handful of longs per partition
+      val byPid = flagged.groupBy("pid").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      val maxPid = if (byPid.isEmpty) -1 else byPid.keys.max
+      val bases = new Array[Long](maxPid + 2)
+      val span = Array.fill[Long](maxPid + 2)(-1L)
       var acc = 0L
-      for (pid <- counts.keys.toSeq.sorted) {
+      var (ng, nar, nag) = (0L, 0L, 0L)
+      // the r-class open at the current partition boundary, for chaining
+      // spanning class starts (refine only)
+      var openR = 0L
+      var openStart = -1L
+      var havePrev = false
+      for (pid <- 0 to maxPid; r <- byPid.get(pid)) {
         bases(pid) = acc
-        acc += counts(pid)
+        if (refine) {
+          val fk = r.getLong(r.fieldIndex("fk"))
+          val lk = r.getLong(r.fieldIndex("lk"))
+          val lgs = r.getInt(r.fieldIndex("lgs")).toLong
+          if (havePrev && fk == openR) span(pid) = openStart
+          openStart =
+            if (lk == fk && span(pid) >= 0) span(pid) else acc + lgs
+          openR = lk
+          havePrev = true
+        }
+        acc += r.getLong(r.fieldIndex("nr"))
+        ng += r.getLong(r.fieldIndex("ng"))
+        nar += r.getLong(r.fieldIndex("nar"))
+        nag += r.getLong(r.fieldIndex("nag"))
+      }
+      val b: Column = element_at(typedlit(bases.toSeq), col("pid") + 1)
+      val rOut: Column = if (!refine) b + col("loc") else {
+        val sp = element_at(typedlit(span.toSeq), col("pid") + 1)
+        // loc1 == 1 ⇔ the row sits in its partition's FIRST r-class,
+        // the only one that can have started in an earlier partition
+        val p1 = when(col("loc1") === 1 && sp >= 0, sp)
+          .otherwise(b + col("loc1"))
+        col("r") + ((b + col("loc")) - p1)
       }
       val out = flagged
-        .select(col("doc_id"), col("off"),
-          (element_at(typedlit(bases.toSeq), col("pid") + 1) + col("loc"))
-            .as("r"))
+        .select(col("doc_id"), col("off"), rOut.cast("long").as("r"),
+          (col("cnt") > 1).as("ambig"))
         .localCheckpoint(true)
-      (out, nGroups)
+      (out, Census(acc, ng, nar, nag))
     } finally flagged.unpersist()
   }
 
-  /** Suffix ranks for every (doc, offset): `r` orders all suffixes of all
-    * documents lexicographically; identical suffixes (e.g. from duplicate
-    * documents) share a rank, so callers break ties by (doc_id, off).
-    * Offsets are 1-based to line up with substr semantics in both
-    * engines.
-    */
   private val debug = sys.env.get("SPARK_GRAFT_SA_DEBUG").contains("1")
   private def dbg(msg: => String): Unit =
     if (debug) System.err.println(s"[sa] $msg")
@@ -141,13 +234,25 @@ object SuffixArray {
     out
   }
 
+  /** Suffix ranks for every (doc, offset): `r` orders all suffixes of all
+    * documents lexicographically; identical suffixes (e.g. from duplicate
+    * documents) share a rank, so callers break ties by (doc_id, off).
+    * Offsets are 1-based to line up with substr semantics in both
+    * engines. Ranks are position ranks (see object doc) — compare them,
+    * never assume density.
+    */
   def ranks(docs: DataFrame, docCol: String, textCol: String,
             initK: Int = 64, maxRounds: Int = 40): DataFrame = {
     val base = docs.select(col(docCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
 
     // one row per suffix, keyed by its first initK chars — a bounded
-    // (initK-byte) sort key per row, never a whole suffix
+    // (initK-byte) sort key per row, never a whole suffix. initK=64
+    // (measured): depth 64 leaves 11.4% of the docs corpus ambiguous vs
+    // 12.4% at depth 32 — nearly the same discrimination, but starting
+    // at 64 saves one whole doubling round, which outweighs the extra
+    // sort-key bytes (round cost is materialization-bound, not
+    // comparison-bound).
     val prefixes = base
       // sequence(1, 0) would DESCEND ([1, 0]) — empty docs must not
       // reach the explode
@@ -157,44 +262,100 @@ object SuffixArray {
       .select(col("doc_id"), col("off32").cast("long").as("off"),
         expr(s"substr(text, off32, $initK)").as("pfx"))
 
-    val (state0, groups0) = timed(s"base rank (initK=$initK)") {
-      denseRank(prefixes, Seq("pfx"))
+    val (state0, c0) = timed(s"base rank (initK=$initK)") {
+      rankStep(prefixes, Seq("pfx"), refine = false)
     }
-    var state = state0
-    var distinct = groups0
+    def strip(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("off"), col("r"))
     // emptiness first: an empty/all-null corpus exits on the empty frame
     // path before any null-aggregate can NPE
-    if (distinct == 0L) return state
-    // one tiny job on the skinny frame: size + longest document
-    // (max offset = max length)
-    val ag = state.agg(count(lit(1)), max(col("off"))).head()
-    val total = ag.getLong(0)
-    val maxLen = ag.getLong(1)
+    if (c0.nRows == 0L) return strip(state0)
+
+    val total = c0.nRows
+    // one tiny job on the skinny frame: longest document (max offset)
+    val maxLen = state0.agg(max(col("off"))).head().getLong(0)
+
+    // Two refinement modes, chosen by the measured ambiguity each round:
+    //  - FULL: while most suffixes are still ambiguous (heavily
+    //    duplicated corpora), re-rank the whole frame. Suffix offsets
+    //    are DENSE per doc (explode over 1..len and full mode keeps
+    //    every row), so the rank at off+k is just lead(r, k) over a
+    //    per-doc window — no join at all, and the per-doc hash exchange
+    //    is skew-bounded by max doc length.
+    //  - FROZEN: once the ambiguous set is small (most corpora after the
+    //    base rank), singleton classes' position ranks are final; freeze
+    //    them and re-sort only the active rows. The off+k lookup then
+    //    probes the full rank map (a scan, never a shuffle: AQE
+    //    broadcasts the small probe side). The switch is one-way —
+    //    ambiguity only shrinks.
+    var fullState = state0
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var active: DataFrame = null
+    var frozenMode = false
+    var nActive = c0.nAmbigRows
+    var ambigGroups = c0.nAmbigGroups
+    var carried = c0.nGroups
 
     var k = initK.toLong
     var rounds = 0
-    var done = distinct == total
-    while (!done && k < maxLen && rounds < maxRounds) {
-      // the suffix at off sees the rank of the suffix k chars further in;
-      // absent (suffix shorter than 2k) ranks as -1 so a strict prefix
-      // sorts before everything it prefixes — substr comparison semantics
-      val shifted = state.select(col("doc_id"), (col("off") - k).as("off"),
-        col("r").as("r2"))
-      val paired = state.join(shifted, Seq("doc_id", "off"), "left")
-        .na.fill(-1L, Seq("r2"))
-      val (next, nd) = timed(s"round $rounds (k=$k)") {
-        denseRank(paired, Seq("r", "r2"))
+    var noRefine = false
+    while (!noRefine && nActive > 0 && k < maxLen && rounds < maxRounds) {
+      // switch once ambiguity drops below 25%: a frozen round's fixed
+      // pipeline (map scan + probe joins) only undercuts a full lead
+      // round when the active set is genuinely small (measured: at 33%
+      // active the two cost the same; at ~6% frozen is >2× cheaper)
+      if (!frozenMode && nActive * 4 <= total) {
+        frozenMode = true
+        parts += strip(fullState.filter(!col("ambig")))
+        active = fullState.filter(col("ambig"))
+        carried = ambigGroups
       }
-      // exact early exits, both free from the census: every suffix
-      // separated, or a no-refinement fixpoint (identical-suffix classes
-      // only — see object doc)
-      done = nd == total || nd == distinct
-      state = next
-      distinct = nd
+      val paired = if (!frozenMode) {
+        val wd = Window.partitionBy("doc_id").orderBy("off")
+        strip(fullState)
+          .withColumn("r2", lead(col("r"), k.toInt).over(wd))
+          .na.fill(-1L, Seq("r2"))
+      } else {
+        // a miss (suffix shorter than depth+k) ranks as -1 so a strict
+        // prefix sorts before everything it prefixes — substr
+        // comparison semantics
+        val mapAll = (parts.toSeq :+ strip(active)).reduce(_ unionByName _)
+        val probes = active.select(col("doc_id"), (col("off") + k).as("off"))
+        val r2f = mapAll.join(probes, Seq("doc_id", "off"))
+          .select(col("doc_id"), (col("off") - k).as("off"),
+            col("r").as("r2"))
+        strip(active).join(r2f, Seq("doc_id", "off"), "left")
+          .na.fill(-1L, Seq("r2"))
+      }
+      val mode = if (frozenMode) s"frozen, active=$nActive" else "full"
+      val (next, c) = timed(s"round $rounds (k=$k, $mode)") {
+        rankStep(paired, Seq("r", "r2"), refine = true,
+          materializeInput = frozenMode)
+      }
+      // exact early exit, free from the census: a no-refinement fixpoint
+      // (identical-suffix classes only — see object doc). "No suffix
+      // still ambiguous" is the loop condition itself.
+      noRefine = c.nGroups == carried
+      if (!frozenMode) {
+        fullState = next
+        carried = c.nGroups
+      } else {
+        parts += strip(next.filter(!col("ambig")))
+        active = next.filter(col("ambig"))
+        carried = c.nAmbigGroups
+      }
+      nActive = c.nAmbigRows
+      ambigGroups = c.nAmbigGroups
       k *= 2
       rounds += 1
     }
-    state
+    if (!frozenMode) strip(fullState)
+    else {
+      // still-ambiguous rows at exit are identical-suffix classes (or a
+      // round-capped tail) and keep their shared rank
+      parts += strip(active)
+      parts.reduce(_ unionByName _)
+    }
   }
 
   // ----------------------------------------------------------- index reuse
