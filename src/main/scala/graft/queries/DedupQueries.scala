@@ -37,6 +37,70 @@ object DedupQueries {
     s"""list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |  ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)""".stripMargin
 
+  /** Adjacent suffix-array pairs with their longest-common-prefix — the
+    * shared substrate of q232 (longest-repeat report) and q234 (the
+    * per-document cut list). Consumes the build-once q231 index, so a
+    * suite pass pays one SA construction for all three.
+    *
+    * Adjacency over a distributed sort without a corpus-wide window:
+    * range-partition by SA order, take within-partition neighbors from a
+    * PER-PARTITION window, and stitch the ≤|partitions| boundary pairs
+    * from a partition-count-sized census (the tiny window over it is
+    * bounded by the partition count, not the data). The LCP itself is
+    * the native lcp_chars kernel (text/LcpExpr.scala): an in-place byte
+    * walk that stops at the first mismatch, so per-pair cost is ∝ the
+    * actual LCP (short on natural text; the few genuine long repeats pay
+    * their own length) with zero allocation — not pairs × suffix
+    * materialization.
+    *
+    * Columns: (doc_a, off_a, doc_b, off_b, lcp, text_a, text_b).
+    */
+  private def saAdjacentLcp(s: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // shared build-once index (see q231): first consumer builds, the
+    // rest read the checkpointed frame
+    val sa = graft.dedup.SuffixArray.build(s, s"documents|$dir",
+      Tables.documents(s, dir), "doc_id", "text")
+    // explicit partition count: a bare range exchange is fair game for
+    // AQE coalescing, which at small data collapses the SA order into
+    // one partition and turns the per-partition adjacency window below
+    // into a single task (same pinning as SuffixArray.sortAndFlag)
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val sorted = sa
+      // range ROUTING only: pid depends on the partition, not the row
+      // order; the adjacency window sorts (pid, r, doc_id, off) itself
+      // and the first/last census aggregates are order-independent
+      .repartitionByRange(nParts, col("r"), col("doc_id"), col("off"))
+      .withColumn("pid", spark_partition_id())
+      // explicit pid-clustering: the adjacency window below reuses the
+      // persisted hash(pid) distribution instead of adding its own
+      // (coalescible) exchange
+      .repartition(nParts, col("pid"))
+      .scopedPersist
+    val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
+    val within = sorted
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+      .withColumn("off_b", lead(col("off"), 1).over(w))
+      .filter(col("doc_b").isNotNull)
+      .select(col("doc_id").as("doc_a"), col("off").as("off_a"),
+        col("doc_b"), col("off_b"))
+    val perPart = sorted.groupBy("pid").agg(
+      min(struct(col("r"), col("doc_id"), col("off"))).as("first"),
+      max(struct(col("r"), col("doc_id"), col("off"))).as("last"))
+    val wb = Window.orderBy("pid") // ≤ shuffle-partition-count rows
+    val boundary = perPart
+      .withColumn("nf", lead(col("first"), 1).over(wb))
+      .filter(col("nf").isNotNull)
+      .select(col("last.doc_id").as("doc_a"), col("last.off").as("off_a"),
+        col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"))
+    within.unionByName(boundary)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("lcp", graft.text.Lcp(
+        col("text_a"), col("off_a"), col("text_b"), col("off_b")))
+  }
+
   val all: Seq[Q] = Seq(
 
     // MinHash + banded LSH candidates, exact shingle-Jaccard verify.
@@ -511,56 +575,7 @@ object DedupQueries {
     // repeats pay their own length) with zero allocation — not
     // pairs × suffix materialization.
     Q("q232_longest_repeat", (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      // shared build-once index (see q231): first consumer builds, the
-      // rest read the checkpointed frame
-      val sa = graft.dedup.SuffixArray.build(s, s"documents|$dir",
-        Tables.documents(s, dir), "doc_id", "text")
-      // explicit partition count: a bare range exchange is fair game for
-      // AQE coalescing, which at small data collapses the SA order into
-      // one partition and turns the per-partition adjacency window below
-      // into a single task (same pinning as SuffixArray.sortAndFlag)
-      val nParts = s.sessionState.conf.numShufflePartitions
-      val sorted = sa
-        // range ROUTING only: pid depends on the partition, not the row
-        // order; the adjacency window sorts (pid, r, doc_id, off) itself
-        // and the first/last census aggregates are order-independent
-        .repartitionByRange(nParts, col("r"), col("doc_id"), col("off"))
-        .withColumn("pid", spark_partition_id())
-        // explicit pid-clustering: the adjacency window below reuses the
-        // persisted hash(pid) distribution instead of adding its own
-        // (coalescible) exchange
-        .repartition(nParts, col("pid"))
-        .scopedPersist
-      val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
-      val within = sorted
-        .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
-        .withColumn("off_b", lead(col("off"), 1).over(w))
-        .filter(col("doc_b").isNotNull)
-        .select(col("doc_id").as("doc_a"), col("off").as("off_a"),
-          col("doc_b"), col("off_b"))
-      val perPart = sorted.groupBy("pid").agg(
-        min(struct(col("r"), col("doc_id"), col("off"))).as("first"),
-        max(struct(col("r"), col("doc_id"), col("off"))).as("last"))
-      val wb = Window.orderBy("pid") // ≤ shuffle-partition-count rows
-      val boundary = perPart
-        .withColumn("nf", lead(col("first"), 1).over(wb))
-        .filter(col("nf").isNotNull)
-        .select(col("last.doc_id").as("doc_a"), col("last.off").as("off_a"),
-          col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"))
-      val pairs = within.unionByName(boundary)
-        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-        // native in-place LCP kernel (text/LcpExpr.scala): walks the two
-        // doc strings byte-wise from their char offsets and stops at the
-        // first mismatch — no suffix copy, no char-array allocation, and
-        // per-pair cost ∝ the actual LCP (short on natural text), not
-        // the suffix length. This replaced a zip_with-over-split band
-        // whose two 64-element arrays per pair were the bench's #1 cost.
-        .withColumn("lcp", graft.text.Lcp(
-          col("text_a"), col("off_a"), col("text_b"), col("off_b")))
-      pairs
+      saAdjacentLcp(s, dir)
         .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
           expr("substr(text_a, CAST(off_a AS INT), CAST(least(lcp, 24) AS INT))")
             .as("head"))
@@ -591,5 +606,87 @@ object DedupQueries {
         |  doc_b, CAST(off_b AS BIGINT) AS off_b,
         |  substr(text_a, CAST(off_a AS INT), CAST(least(lcp, 24) AS INT)) AS head
         |FROM scored
-        |ORDER BY lcp DESC, doc_a, off_a, doc_b, off_b LIMIT 20""".stripMargin)))
+        |ORDER BY lcp DESC, doc_a, off_a, doc_b, off_b LIMIT 20""".stripMargin)),
+
+    // Repeated-span CUT LIST — the dedup ACTION of the suffix-array
+    // pipeline (Lee et al. 2022 "Deduplicating Training Data Makes
+    // Language Models Better": remove every substring of ≥50 BPE tokens
+    // that repeats; here the threshold is the ~equivalent 100 chars).
+    // Capability gap it fills: q213 finds duplicated fixed-width token
+    // windows (approximate coverage stats) and q232 reports the top-20
+    // longest repeats (a diagnostic); neither emits what a dedup pass
+    // actually consumes — the per-document character ranges to cut.
+    // Every suffix whose adjacent-SA LCP ≥ L sits in a repeated span
+    // [off, off+lcp); the LCP-interval property (lcp(sa[i], sa[j]) =
+    // min of adjacent LCPs between them) guarantees BOTH occurrences'
+    // positions surface from adjacent pairs alone. Emitting both sides
+    // and merging overlapping intervals per document reconstructs the
+    // maximal repeated regions. The merge is a per-doc window (running
+    // max of span ends → new-group flags → running sum), skew-bounded
+    // by document length, never corpus-sized.
+    Q("q234_repeated_spans", (s, dir) => {
+      val minLcp = 100
+      val spans = saAdjacentLcp(s, dir)
+        .filter(col("lcp") >= minLcp)
+        // both occurrences of the pair are repeated text: two span rows
+        // per pair, generated in-row (no second pass over the pairs)
+        .select(explode(array(
+          struct(col("doc_a").as("doc_id"), col("off_a").as("s0")),
+          struct(col("doc_b").as("doc_id"), col("off_b").as("s0")))).as("x"),
+          col("lcp"))
+        .select(col("x.doc_id"), col("x.s0"), (col("x.s0") + col("lcp")).as("e0"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("s0", "e0")
+      val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+      spans
+        .withColumn("pmax", max(col("e0")).over(wPrev))
+        .withColumn("ng",
+          when(col("pmax").isNull || col("s0") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("gid", sum(col("ng")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s0")).as("span_start"), max(col("e0")).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_len"))
+        .orderBy("doc_id", "span_start")
+    }, Some(
+      """WITH suf AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text))) AS off, text
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, off, text,
+        |    lead(doc_id) OVER w AS doc_b, lead(off) OVER w AS off_b,
+        |    lead(text) OVER w AS text_b
+        |  FROM suf
+        |  WINDOW w AS (ORDER BY substr(text, CAST(off AS INT)), doc_id, off)),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, off AS off_a, doc_b, off_b,
+        |    substr(text, CAST(off AS INT)) AS sa, substr(text_b, CAST(off_b AS INT)) AS sb
+        |  FROM ord WHERE doc_b IS NOT NULL),
+        |scored AS (
+        |  SELECT doc_a, off_a, doc_b, off_b,
+        |    coalesce(list_position(list_transform(list_zip(
+        |        regexp_split_to_array(sa, ''), regexp_split_to_array(sb, '')),
+        |      z -> coalesce(z[1], '') = coalesce(z[2], '')), false) - 1,
+        |      least(length(sa), length(sb))) AS lcp
+        |  FROM pairs),
+        |spans AS (
+        |  SELECT doc_a AS doc_id, off_a AS s0, off_a + lcp AS e0
+        |  FROM scored WHERE lcp >= 100
+        |  UNION ALL
+        |  SELECT doc_b, off_b, off_b + lcp FROM scored WHERE lcp >= 100),
+        |flagged AS (
+        |  SELECT doc_id, s0, e0,
+        |    CASE WHEN s0 <= max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS ng
+        |  FROM spans),
+        |grp AS (
+        |  SELECT doc_id, s0, e0, sum(ng) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |    ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM flagged)
+        |SELECT doc_id, CAST(min(s0) AS BIGINT) AS span_start,
+        |  CAST(max(e0) AS BIGINT) AS span_end,
+        |  CAST(max(e0) - min(s0) AS BIGINT) AS span_len
+        |FROM grp GROUP BY doc_id, gid
+        |ORDER BY doc_id, span_start""".stripMargin)))
 }
