@@ -153,6 +153,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("suffix-array hybrid: duplication-heavy corpus crosses full→frozen modes") {
+    // A long shared prefix keeps >25% of suffixes ambiguous after the
+    // 64-char base rank, so the build runs FULL lead(r, k) rounds first
+    // and switches to FROZEN active-only refinement as classes resolve —
+    // both code paths and the one-way switch execute in one build. The
+    // small alphabet multiplies accidental collisions; distinct tails
+    // guarantee eventual resolution; two identical docs keep genuinely
+    // shared ranks in play.
+    // docs 1-4: 120 shared chars + 12 distinct tail chars → ~47% of all
+    // suffixes ambiguous at depth 64 (full mode), all resolved by depth
+    // 128 (k=64 round). Docs 5/6: a short identical pair — 7% ambiguous
+    // after that round, so the k=128 round runs frozen and then hits the
+    // no-refinement exit on the identical classes.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(120)(('a' + rnd.nextInt(4)).toChar).mkString
+    val corpus = (1L to 4L).map { i =>
+      i -> (base + Array.fill(11)(('a' + rnd.nextInt(4)).toChar).mkString + i)
+    } ++ Seq(5L -> ("q" * 20), 6L -> ("q" * 20))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sufs = for ((d, t) <- corpus; i <- 1 to t.length)
+      yield (d, i.toLong, t.substring(i - 1))
+    assert(got.size == sufs.size)
+    for (a <- sufs; b <- sufs) {
+      val byRank = got((a._1, a._2)).compareTo(got((b._1, b._2)))
+      val byText = a._3.compareTo(b._3)
+      assert(Integer.signum(byRank) == Integer.signum(byText),
+        s"rank order of $a vs $b disagrees with suffix order")
+    }
+  }
+
   test("signature is permutation-stable (set semantics)") {
     val a = Dedup.signature(Seq("a", "b", "c", "d", "e", "f"))
     val b = Dedup.signature(Seq("f", "e", "d", "c", "b", "a"))
