@@ -53,7 +53,9 @@ object DedupQueries {
     * their own length) with zero allocation — not pairs × suffix
     * materialization.
     *
-    * Columns: (doc_a, off_a, doc_b, off_b, lcp, text_a, text_b).
+    * Columns: (r_a, doc_a, off_a, doc_b, off_b, lcp, text_a, text_b);
+    * `r_a` is the left row's suffix rank, so (r_a, doc_a, off_a) is the
+    * pair's position in SA order (q235 groups pairs into runs with it).
     */
   private def saAdjacentLcp(s: org.apache.spark.sql.SparkSession,
                             dir: String): DataFrame = {
@@ -83,8 +85,8 @@ object DedupQueries {
       .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
       .withColumn("off_b", lead(col("off"), 1).over(w))
       .filter(col("doc_b").isNotNull)
-      .select(col("doc_id").as("doc_a"), col("off").as("off_a"),
-        col("doc_b"), col("off_b"))
+      .select(col("r").as("r_a"), col("doc_id").as("doc_a"),
+        col("off").as("off_a"), col("doc_b"), col("off_b"))
     val perPart = sorted.groupBy("pid").agg(
       min(struct(col("r"), col("doc_id"), col("off"))).as("first"),
       max(struct(col("r"), col("doc_id"), col("off"))).as("last"))
@@ -92,7 +94,8 @@ object DedupQueries {
     val boundary = perPart
       .withColumn("nf", lead(col("first"), 1).over(wb))
       .filter(col("nf").isNotNull)
-      .select(col("last.doc_id").as("doc_a"), col("last.off").as("off_a"),
+      .select(col("last.r").as("r_a"), col("last.doc_id").as("doc_a"),
+        col("last.off").as("off_a"),
         col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"))
     within.unionByName(boundary)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
@@ -684,6 +687,174 @@ object DedupQueries {
         |  SELECT doc_id, s0, e0, sum(ng) OVER (PARTITION BY doc_id ORDER BY s0, e0
         |    ROWS UNBOUNDED PRECEDING) AS gid
         |  FROM flagged)
+        |SELECT doc_id, CAST(min(s0) AS BIGINT) AS span_start,
+        |  CAST(max(e0) AS BIGINT) AS span_end,
+        |  CAST(max(e0) - min(s0) AS BIGINT) AS span_len
+        |FROM grp GROUP BY doc_id, gid
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Cross-corpus contamination spans — Lee et al. 2022's test-set
+    // decontamination: find every TRAIN character range that appears
+    // verbatim (≥ 100 chars) in the EVAL split (doc_id % 10 = 0 plays
+    // eval), as exact cut intervals. Capability gap it fills: q65
+    // decontaminates on FIXED 8-token window hashes (misses overlaps
+    // that dodge the window grid, reports no spans); this finds
+    // arbitrary-length exact overlaps with their positions — and pays
+    // ZERO additional index cost, because it is the fourth consumer of
+    // the build-once q231 suffix array (the index-engine payoff: one
+    // Ω(n) build, many queries).
+    //
+    // Adjacent pairs alone under-report cross-corpus overlap: in SA
+    // order E,E',T the eval suffix E never neighbors a train suffix,
+    // yet lcp(E,T) = min(lcp(E,E'), lcp(E',T)) ≥ t (the LCP-interval
+    // property). So qualifying pairs (lcp ≥ t) are grouped into RUNS of
+    // SA-consecutive pairs: within a run EVERY member shares ≥ min
+    // adjacent lcp with every other, so a run that contains both splits
+    // marks all its train members as contaminated with guaranteed
+    // overlap cmin = the run's min adjacent lcp. Run grouping is
+    // distributed the same way the SA itself stitches ranks: range sort
+    // the (sparse — only genuine ≥t repeats) qualifying pairs by SA
+    // position, flag run starts with a per-partition lag (a pair
+    // continues a run iff its left row IS the previous pair's right
+    // row — row identity, exact), and chain partition-spanning runs on
+    // the driver from a partition-count-sized census. No corpus-sized
+    // window, no exchange keyed on run id before partial aggregation;
+    // the per-doc interval merge is skew-bounded by document length.
+    Q("q235_contamination_spans", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val minLcp = 100
+      val isEval: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        d => d % 10 === 0
+      val qual = saAdjacentLcp(s, dir)
+        .filter(col("lcp") >= minLcp)
+        .select(col("r_a"), col("doc_a"), col("off_a"),
+          col("doc_b"), col("off_b"), col("lcp"))
+      // same explicit-count pinning as the SA build: AQE must not
+      // coalesce the range sort below the per-partition run windows
+      val nParts = s.sessionState.conf.numShufflePartitions
+      val wp = Window.partitionBy("pid").orderBy("r_a", "doc_a", "off_a")
+      val flagged = qual
+        .repartitionByRange(nParts, col("r_a"), col("doc_a"), col("off_a"))
+        .withColumn("pid", spark_partition_id())
+        .repartition(nParts, col("pid"))
+        // a pair extends the current run iff its LEFT row is the
+        // previous qualifying pair's RIGHT row — (doc, off) identifies
+        // an SA row uniquely, so equality ⇔ SA-consecutive
+        .withColumn("nr", when(
+          lag(struct(col("doc_b"), col("off_b")), 1).over(wp) ===
+            struct(col("doc_a"), col("off_a")), 0L).otherwise(1L))
+        .withColumn("lrun", sum(col("nr")).over(
+          wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .scopedPersist
+      // partition-count-sized census → driver chains runs that span
+      // partition boundaries (transitively, like the SA rank stitch)
+      val census = flagged.groupBy("pid").agg(
+        sum(col("nr")).as("nruns"),
+        min(struct(col("r_a"), col("doc_a"), col("off_a"))).as("first"),
+        max(struct(col("r_a"), col("doc_a"), col("off_a"),
+          col("doc_b"), col("off_b"))).as("last"))
+        .collect().map(r => r.getInt(0) -> r).toMap
+      val maxPid = if (census.isEmpty) -1 else census.keys.max
+      val bases = new Array[Long](maxPid + 2)
+      val firstMap = Array.fill[Long](maxPid + 2)(-1L)
+      var acc = 0L
+      var prevKey: Option[(Long, Long)] = None
+      var prevLastGlobal = -1L
+      for (pid <- 0 to maxPid; r <- census.get(pid)) {
+        val n = r.getLong(r.fieldIndex("nruns"))
+        val f = r.getStruct(r.fieldIndex("first"))
+        val l = r.getStruct(r.fieldIndex("last"))
+        val merged = prevKey.contains((f.getLong(1), f.getLong(2)))
+        firstMap(pid) = if (merged) prevLastGlobal else -1L
+        bases(pid) = acc - (if (merged) 1L else 0L)
+        prevLastGlobal =
+          if (n == 1 && merged) prevLastGlobal else bases(pid) + n
+        acc = bases(pid) + n
+        prevKey = Some((l.getLong(3), l.getLong(4)))
+      }
+      val fm = element_at(typedlit(firstMap.toSeq), col("pid") + 1)
+      val bs = element_at(typedlit(bases.toSeq), col("pid") + 1)
+      val runs = flagged.withColumn("run",
+        when(col("lrun") === 1 && fm >= 0, fm).otherwise(bs + col("lrun")))
+      // run verdicts from the pairs directly (map-side partial agg);
+      // a run is contaminating iff it touches both splits
+      val stats = runs.groupBy("run").agg(
+        min(col("lcp")).as("cmin"),
+        max(when(isEval(col("doc_a")) || isEval(col("doc_b")), 1L)
+          .otherwise(0L)).as("has_eval"))
+      val members = runs
+        .select(col("run"), explode(array(
+          struct(col("doc_a").as("doc_id"), col("off_a").as("off")),
+          struct(col("doc_b").as("doc_id"), col("off_b").as("off")))).as("m"))
+        .select(col("run"), col("m.doc_id"), col("m.off"))
+        .distinct()
+      val spans = members.join(stats, "run")
+        .filter(col("has_eval") === 1L && !isEval(col("doc_id")))
+        .select(col("doc_id"), col("off").as("s0"),
+          (col("off") + col("cmin")).as("e0"))
+      // per-train-doc maximal cut intervals — q234's merge shape
+      val wDoc = Window.partitionBy("doc_id").orderBy("s0", "e0")
+      val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+      spans
+        .withColumn("pmax", max(col("e0")).over(wPrev))
+        .withColumn("ng",
+          when(col("pmax").isNull || col("s0") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("gid", sum(col("ng")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s0")).as("span_start"), max(col("e0")).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_len"))
+        .orderBy("doc_id", "span_start")
+    }, Some(
+      """WITH suf AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text))) AS off, text
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, off, text,
+        |    lead(doc_id) OVER w AS doc_b, lead(off) OVER w AS off_b,
+        |    lead(text) OVER w AS text_b,
+        |    row_number() OVER w AS rn
+        |  FROM suf
+        |  WINDOW w AS (ORDER BY substr(text, CAST(off AS INT)), doc_id, off)),
+        |pairs AS (
+        |  SELECT rn, doc_id AS doc_a, off AS off_a, doc_b, off_b,
+        |    coalesce(list_position(list_transform(list_zip(
+        |        regexp_split_to_array(substr(text, CAST(off AS INT)), ''),
+        |        regexp_split_to_array(substr(text_b, CAST(off_b AS INT)), '')),
+        |      z -> coalesce(z[1], '') = coalesce(z[2], '')), false) - 1,
+        |      least(length(substr(text, CAST(off AS INT))),
+        |            length(substr(text_b, CAST(off_b AS INT))))) AS lcp
+        |  FROM ord WHERE doc_b IS NOT NULL),
+        |qual AS (
+        |  SELECT *, CASE WHEN lag(rn) OVER wq = rn - 1 THEN 0 ELSE 1 END AS nr
+        |  FROM pairs WHERE lcp >= 100 WINDOW wq AS (ORDER BY rn)),
+        |runs AS (
+        |  SELECT *, sum(nr) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM qual),
+        |stats AS (
+        |  SELECT run_id, min(lcp) AS cmin,
+        |    max(CASE WHEN doc_a % 10 = 0 OR doc_b % 10 = 0 THEN 1 ELSE 0 END)
+        |      AS has_eval
+        |  FROM runs GROUP BY run_id),
+        |members AS (
+        |  SELECT DISTINCT run_id, doc_id, off FROM (
+        |    SELECT run_id, doc_a AS doc_id, off_a AS off FROM runs
+        |    UNION ALL SELECT run_id, doc_b, off_b FROM runs)),
+        |spans AS (
+        |  SELECT m.doc_id, m.off AS s0, m.off + s.cmin AS e0
+        |  FROM members m JOIN stats s USING (run_id)
+        |  WHERE s.has_eval = 1 AND m.doc_id % 10 <> 0),
+        |fl2 AS (
+        |  SELECT doc_id, s0, e0,
+        |    CASE WHEN s0 <= max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS ng
+        |  FROM spans),
+        |grp AS (
+        |  SELECT doc_id, s0, e0, sum(ng) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |    ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM fl2)
         |SELECT doc_id, CAST(min(s0) AS BIGINT) AS span_start,
         |  CAST(max(e0) AS BIGINT) AS span_end,
         |  CAST(max(e0) - min(s0) AS BIGINT) AS span_len

@@ -193,6 +193,63 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("q235 contamination spans match a driver-side chain recompute") {
+    // The load-bearing case is TRANSITIVITY: with eval docs 10 and 20
+    // and train doc 25 sharing block B1, the SA orders each equal-class
+    // run as (10, 20, 25) — the train suffix is NEVER adjacent to eval
+    // doc 10, so only the run grouping (pair chains, driver-stitched
+    // across partitions) can mark doc 25's spans. B2 (eval-eval) and B3
+    // (train-train) must produce nothing: a run contaminates only when
+    // it touches both splits.
+    val rnd = new scala.util.Random(11)
+    def blk(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val (b1, b2, b3) = (blk(150), blk(130), blk(140))
+    val corpus = Seq(
+      10L -> (b1 + "evalTailOne"), 20L -> (b1 + "evalTailTwo"),
+      25L -> (b1 + "trainTail"),
+      30L -> (b2 + "evalOnlyA"), 40L -> (b2 + "evalOnlyB"),
+      11L -> (b3 + "trainOnlyA"), 21L -> (b3 + "trainOnlyB"),
+      7L -> blk(80), 13L -> blk(90))
+    val dir = graft.sources.Staging.scratchDir("contam-spec").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    graft.dedup.SuffixArray.clearCache()
+
+    // brute-force replay of the declared semantics
+    val sufs = corpus.flatMap { case (d, t) =>
+      (1 to t.length).map(i => (d, i.toLong, t.substring(i - 1)))
+    }.sortBy { case (d, o, s) => (s, d, o) }
+    def lcp(a: String, b: String): Long =
+      a.lazyZip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val pairs = sufs.sliding(2).zipWithIndex.collect {
+      case (Seq(a, b), i) => (i, a, b, lcp(a._3, b._3))
+    }.filter(_._4 >= 100).toList
+    val runs = pairs.foldLeft(List.empty[List[(Int, (Long, Long, String), (Long, Long, String), Long)]]) {
+      case (acc @ cur :: rest, p) if cur.head._1 == p._1 - 1 => (p :: cur) :: rest
+      case (acc, p) => List(p) :: acc
+    }
+    val expected = runs.flatMap { run =>
+      val cmin = run.map(_._4).min
+      val members = run.flatMap(p => Seq(p._2, p._3)).map(m => (m._1, m._2)).distinct
+      if (members.exists(_._1 % 10 == 0))
+        members.filter(_._1 % 10 != 0).map { case (d, o) => (d, o, o + cmin) }
+      else Nil
+    }.groupBy(_._1).flatMap { case (d, ss) =>
+      ss.map(s => (s._2, s._3)).sorted
+        .foldLeft(List.empty[(Long, Long)]) {
+          case (h :: t, (s0, e0)) if s0 <= h._2 => (h._1, math.max(h._2, e0)) :: t
+          case (acc, s) => s :: acc
+        }.reverse.map { case (s0, e0) => (d, s0, e0, e0 - s0) }
+    }.toSet
+
+    val got = SparkEntry.queries("q235_contamination_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty && expected.exists(_._1 == 25L),
+      s"test corpus must contaminate train doc 25: $expected")
+    assert(!expected.exists(e => e._1 == 11L || e._1 == 21L || e._1 == 30L))
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("substring dedup matches a driver-side string-level recompute") {
     // independent oracle: gram STRINGS (no hashes) + brute interval
     // union — also guards against a StableHash gram collision
