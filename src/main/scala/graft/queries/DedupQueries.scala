@@ -788,6 +788,15 @@ object DedupQueries {
           struct(col("doc_b").as("doc_id"), col("off_b").as("off")))).as("m"))
         .select(col("run"), col("m.doc_id"), col("m.off"))
         .distinct()
+      // join-back skew note: a mega-run (one span repeated across a
+      // constant fraction of the corpus) hashes all its members to one
+      // join partition. Both inputs are already aggregate-bounded
+      // (distinct members / per-run stats rows, never raw pairs), and
+      // the residual hot key is the AQE skew-join case this engine runs
+      // with: the stats side is one tiny row per run, so AQE splits the
+      // skewed member partition and replicates that row — no
+      // straggler. PlanShapeSpec pins the aggregate-below-exchange
+      // shape.
       val spans = members.join(stats, "run")
         .filter(col("has_eval") === 1L && !isEval(col("doc_id")))
         .select(col("doc_id"), col("off").as("s0"),

@@ -249,9 +249,32 @@ class PlanShapeSpec extends SparkSpec {
 
   test("new heavy extensions force no fact-table broadcasts") {
     for (q <- Seq("q213_substring_dedup", "q214_fuzzy_linkage",
-        "q217_kendall_tau", "q218_embedding_covariance")) {
+        "q217_kendall_tau", "q218_embedding_covariance",
+        "q235_contamination_spans")) {
       val bad = factBroadcasts(q)
       assert(bad.isEmpty, s"$q forces a fact-table broadcast: $bad")
     }
+  }
+
+  test("q235 moves only aggregate-bounded rows through run-keyed exchanges") {
+    // the run-grouping scale claim: nothing corpus-sized is ever
+    // hash-clustered on the run id — every exchange keyed on `run`
+    // must sit above an aggregate (the distinct member set or the
+    // per-run stats partials), so a mega-run moves partial rows, not
+    // raw pairs, and the residual hot-key join is the AQE-splittable
+    // per-run-stats case documented in the query
+    val plan = staticPlan("q235_contamination_spans")
+    val runExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+          e.outputPartitioning
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+            .expressions.exists(_.references.exists(_.name == "run")) => e
+    }
+    assert(runExchanges.nonEmpty, "expected run-keyed exchanges in the plan")
+    val raw = runExchanges.filterNot(e => hasAggregate(e.child))
+    assert(raw.isEmpty,
+      s"run-keyed exchange over un-aggregated rows: ${raw.map(_.nodeName)}")
   }
 }
