@@ -65,7 +65,11 @@ object Bench {
     // the driver captures a bounded stdout TAIL (a full suite truncates
     // mid-JSON there), so the complete artifact is also written to disk
     // for round-over-round audits
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // default to a DRIVER-run filename: the committed BENCH_full.json is
+    // the builder's isolated min-merge artifact and must not be
+    // overwritten by post-round contended runs (builder runs set
+    // SPARK_GRAFT_BENCH_OUT=BENCH_full.json explicitly)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_driver.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")

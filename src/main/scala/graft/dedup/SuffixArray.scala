@@ -122,7 +122,10 @@ object SuffixArray {
       .map(k => lag(col(k), 1).over(wp) =!= col(k))
       .reduce(_ || _)
     val flagged = sorted
-      .withColumn("pos", row_number().over(wp))
+      // long from the start: partition-local row positions (and the
+      // loc/loc1/lgs values derived from them) must not wrap past 2^31
+      // rows in one range partition of a 100 TB corpus
+      .withColumn("pos", row_number().over(wp).cast("long"))
       .withColumn("chg",
         when(lag(col(keys.head), 1).over(wp).isNull || anyChanged, 1L)
           .otherwise(0L))
@@ -195,7 +198,7 @@ object SuffixArray {
         if (refine) {
           val fk = r.getLong(r.fieldIndex("fk"))
           val lk = r.getLong(r.fieldIndex("lk"))
-          val lgs = r.getInt(r.fieldIndex("lgs")).toLong
+          val lgs = r.getLong(r.fieldIndex("lgs"))
           if (havePrev && fk == openR) span(pid) = openStart
           openStart =
             if (lk == fk && span(pid) >= 0) span(pid) else acc + lgs
@@ -376,11 +379,167 @@ object SuffixArray {
   private val builds =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private def cacheKey(spark: SparkSession, corpusKey: String): String =
+    s"${spark.sparkContext.applicationId}|${System.identityHashCode(spark)}|$corpusKey"
+
   def build(spark: SparkSession, corpusKey: String, docs: => DataFrame,
             docCol: String, textCol: String): DataFrame =
-    builds.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}|${System.identityHashCode(spark)}|$corpusKey",
+    builds.computeIfAbsent(cacheKey(spark, corpusKey),
       _ => ranks(docs, docCol, textCol))
+
+  // ------------------------------------------------- adjacent-LCP annex
+
+  /** Head-band width, in code points, stored per SA entry while the
+    * annex is built: any adjacent-pair LCP < HeadBand resolves from the
+    * two bounded head slices alone, so full document text never crosses
+    * an exchange at per-suffix cardinality — the per-suffix sort moves
+    * ≤ HeadBand bytes/row (the same cost class as the base rank's
+    * initK-byte keys), not whole documents. Cap hits (lcp == HeadBand)
+    * escalate through a skinny re-join; they are exactly the ≥
+    * HeadBand-char repeats, which pay their own length.
+    */
+  private[graft] val HeadBand = 256
+
+  /** Shared-prefix preview, in code points, stored with each annex row
+    * (`head` = first min(lcp, HeadPreview) chars of the repeated span) —
+    * consumers report spans without ever touching the corpus again.
+    */
+  private[graft] val HeadPreview = 24
+
+  /** SA entries + their head band, routed into SA order: range-partition
+    * by (r, doc_id, off) with the same explicit-count / pid-clustering
+    * pinning as [[sortAndFlag]] (AQE must not collapse the adjacency
+    * windows into one task). The ONE doc-keyed join here is the index
+    * build's corpus pass: the SA side is skinny, the docs side moves
+    * each document once, and only the bounded `head` slice survives
+    * into the per-suffix exchanges.
+    */
+  private[graft] def headSorted(sa: DataFrame, docs: DataFrame,
+                                docCol: String, textCol: String): DataFrame = {
+    val n = sa.sparkSession.sessionState.conf.numShufflePartitions
+    sa.join(docs.select(col(docCol).cast("long").as("doc_id"),
+        col(textCol).as("text")), "doc_id")
+      .select(col("doc_id"), col("off"), col("r"),
+        expr(s"substr(text, CAST(off AS INT), $HeadBand)").as("head"))
+      .repartitionByRange(n, col("r"), col("doc_id"), col("off"))
+      .withColumn("pid", spark_partition_id())
+      .repartition(n, col("pid"))
+  }
+
+  /** Adjacent pairs in SA order with their band-resolved LCP. Adjacency
+    * without a corpus-wide window: per-partition lead() for
+    * within-partition neighbors, plus the ≤|partitions| boundary pairs
+    * stitched from a partition-count-sized census (the tiny window over
+    * it is bounded by the partition count, not the data). `lcp_c` is
+    * the native lcp_chars kernel over the two head bands — in-place
+    * byte walk, cost ∝ the actual LCP, capped at HeadBand; `head` is
+    * the bounded span preview (already exact: a cap-hit's preview is a
+    * strict prefix of a ≥ HeadBand-char match).
+    */
+  private[graft] def pairScores(sorted: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
+    val within = sorted
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+      .withColumn("off_b", lead(col("off"), 1).over(w))
+      .withColumn("head_b", lead(col("head"), 1).over(w))
+      .filter(col("doc_b").isNotNull)
+      .select(col("r").as("r_a"), col("doc_id").as("doc_a"),
+        col("off").as("off_a"), col("head").as("head_a"),
+        col("doc_b"), col("off_b"), col("head_b"))
+    // head rides LAST in the census structs: (r, doc_id, off) is unique
+    // per row, so min/max ordering is untouched by the extra field
+    val perPart = sorted.groupBy("pid").agg(
+      min(struct(col("r"), col("doc_id"), col("off"), col("head")))
+        .as("first"),
+      max(struct(col("r"), col("doc_id"), col("off"), col("head")))
+        .as("last"))
+    val wb = Window.orderBy("pid") // ≤ shuffle-partition-count rows
+    val boundary = perPart
+      .withColumn("nf", lead(col("first"), 1).over(wb))
+      .filter(col("nf").isNotNull)
+      .select(col("last.r").as("r_a"), col("last.doc_id").as("doc_a"),
+        col("last.off").as("off_a"), col("last.head").as("head_a"),
+        col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"),
+        col("nf.head").as("head_b"))
+    within.unionByName(boundary)
+      .withColumn("lcp_c",
+        graft.text.Lcp(col("head_a"), lit(1L), col("head_b"), lit(1L)))
+      .select(col("r_a"), col("doc_a"), col("off_a"),
+        col("doc_b"), col("off_b"), col("lcp_c"),
+        expr(s"substr(head_a, 1, CAST(least(lcp_c, $HeadPreview) AS INT))")
+          .as("head"))
+  }
+
+  /** Band cap-hit escalation: `lcp_c < HeadBand` is already exact (the
+    * band covered the whole match — including every
+    * one-suffix-is-a-prefix case, where the shorter head ends inside
+    * the band). `lcp_c == HeadBand` means both heads filled the band
+    * and matched end-to-end, so ONLY those rare rows (the genuinely
+    * ≥ HeadBand-char repeats) re-join full text — as skinny keys — for
+    * the exact value. The preview `head` needs no fixup: a cap-hit's
+    * match is ≥ HeadBand > HeadPreview chars, so the banded preview is
+    * already the exact first-HeadPreview slice.
+    */
+  private[graft] def annexFromScored(scored: DataFrame, docs: DataFrame,
+                                     docCol: String, textCol: String): DataFrame = {
+    val easy = scored.filter(col("lcp_c") < HeadBand)
+      .withColumnRenamed("lcp_c", "lcp")
+    val hard = scored.filter(col("lcp_c") === HeadBand)
+      .select("r_a", "doc_a", "off_a", "doc_b", "off_b", "head")
+      .join(docs.select(col(docCol).cast("long").as("doc_a"),
+        col(textCol).as("text_a")), "doc_a")
+      .join(docs.select(col(docCol).cast("long").as("doc_b"),
+        col(textCol).as("text_b")), "doc_b")
+      .select(col("r_a"), col("doc_a"), col("off_a"),
+        col("doc_b"), col("off_b"),
+        graft.text.Lcp(col("text_a"), col("off_a"),
+          col("text_b"), col("off_b")).as("lcp"),
+        col("head"))
+    easy.select("r_a", "doc_a", "off_a", "doc_b", "off_b", "lcp", "head")
+      .unionByName(hard)
+  }
+
+  /** The full annex plan, unmaterialized — exposed so PlanShapeSpec can
+    * hold the build to its scale claims (no full-text column through a
+    * per-suffix exchange outside the cap-hit escalation).
+    */
+  private[graft] def adjacentLcpPlan(sa: DataFrame, docs: DataFrame,
+                                     docCol: String, textCol: String): DataFrame =
+    annexFromScored(pairScores(headSorted(sa, docs, docCol, textCol)),
+      docs, docCol, textCol)
+
+  /** Build-once adjacent-pair LCP annex — the LCP array beside
+    * [[build]]'s suffix array. Lee et al. 2022 serve every
+    * repeated-span query from SA + LCP, never from the corpus; same
+    * here: consumers (the longest-repeat report, the repeated-span cut
+    * list, cross-corpus contamination) read this one checkpointed
+    * skinny frame — (r_a, doc_a, off_a, doc_b, off_b, lcp, head) — and
+    * their own plans contain NO join against the documents table. One
+    * corpus pass at annex-build time attaches the bounded head band;
+    * full text crosses per-suffix exchanges only in the rare cap-hit
+    * escalation (see [[annexFromScored]]).
+    */
+  def adjacentLcp(spark: SparkSession, corpusKey: String, docs: => DataFrame,
+                  docCol: String, textCol: String): DataFrame = {
+    val key = cacheKey(spark, s"$corpusKey|adjlcp")
+    val cached = builds.get(key)
+    if (cached != null) cached
+    else {
+      // resolve the SA memo OUTSIDE computeIfAbsent: recursive updates
+      // of the same ConcurrentHashMap are illegal
+      val d = docs
+      val sa = build(spark, corpusKey, d, docCol, textCol)
+      builds.computeIfAbsent(key, _ => {
+        val sorted = headSorted(sa, d, docCol, textCol).persist()
+        try {
+          val scored = pairScores(sorted).persist()
+          try annexFromScored(scored, d, docCol, textCol)
+            .localCheckpoint(true)
+          finally scored.unpersist()
+        } finally sorted.unpersist()
+      })
+    }
+  }
 
   /** Drop all cached builds (bench pass isolation, test hygiene). The
     * checkpoint blocks of dropped frames are reclaimed by the

@@ -38,71 +38,28 @@ object DedupQueries {
        |  ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')) END)""".stripMargin
 
   /** Adjacent suffix-array pairs with their longest-common-prefix — the
-    * shared substrate of q232 (longest-repeat report) and q234 (the
-    * per-document cut list). Consumes the build-once q231 index, so a
-    * suite pass pays one SA construction for all three.
+    * shared substrate of q232 (longest-repeat report), q234 (the
+    * per-document cut list) and q235 (contamination spans). This is the
+    * build-once LCP ANNEX of the q231 index
+    * (graft.dedup.SuffixArray.adjacentLcp): a suite pass pays one SA
+    * construction plus one annex pass, and every consumer reads the
+    * same checkpointed skinny frame — their own plans contain no join
+    * against the documents table and no corpus text column. Full text
+    * never crosses a per-suffix exchange inside the annex build either:
+    * each SA entry carries a bounded head band (256 chars), the LCP is
+    * the native lcp_chars kernel over the two bands, and only band cap
+    * hits (the rare ≥256-char repeats, which pay their own length)
+    * escalate through a skinny full-text re-join.
     *
-    * Adjacency over a distributed sort without a corpus-wide window:
-    * range-partition by SA order, take within-partition neighbors from a
-    * PER-PARTITION window, and stitch the ≤|partitions| boundary pairs
-    * from a partition-count-sized census (the tiny window over it is
-    * bounded by the partition count, not the data). The LCP itself is
-    * the native lcp_chars kernel (text/LcpExpr.scala): an in-place byte
-    * walk that stops at the first mismatch, so per-pair cost is ∝ the
-    * actual LCP (short on natural text; the few genuine long repeats pay
-    * their own length) with zero allocation — not pairs × suffix
-    * materialization.
-    *
-    * Columns: (r_a, doc_a, off_a, doc_b, off_b, lcp, text_a, text_b);
-    * `r_a` is the left row's suffix rank, so (r_a, doc_a, off_a) is the
-    * pair's position in SA order (q235 groups pairs into runs with it).
+    * Columns: (r_a, doc_a, off_a, doc_b, off_b, lcp, head); `r_a` is
+    * the left row's suffix rank, so (r_a, doc_a, off_a) is the pair's
+    * position in SA order (q235 groups pairs into runs with it), and
+    * `head` is the first min(lcp, 24) chars of the repeated span.
     */
   private def saAdjacentLcp(s: org.apache.spark.sql.SparkSession,
-                            dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // shared build-once index (see q231): first consumer builds, the
-    // rest read the checkpointed frame
-    val sa = graft.dedup.SuffixArray.build(s, s"documents|$dir",
+                            dir: String): DataFrame =
+    graft.dedup.SuffixArray.adjacentLcp(s, s"documents|$dir",
       Tables.documents(s, dir), "doc_id", "text")
-    // explicit partition count: a bare range exchange is fair game for
-    // AQE coalescing, which at small data collapses the SA order into
-    // one partition and turns the per-partition adjacency window below
-    // into a single task (same pinning as SuffixArray.sortAndFlag)
-    val nParts = s.sessionState.conf.numShufflePartitions
-    val sorted = sa
-      // range ROUTING only: pid depends on the partition, not the row
-      // order; the adjacency window sorts (pid, r, doc_id, off) itself
-      // and the first/last census aggregates are order-independent
-      .repartitionByRange(nParts, col("r"), col("doc_id"), col("off"))
-      .withColumn("pid", spark_partition_id())
-      // explicit pid-clustering: the adjacency window below reuses the
-      // persisted hash(pid) distribution instead of adding its own
-      // (coalescible) exchange
-      .repartition(nParts, col("pid"))
-      .scopedPersist
-    val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
-    val within = sorted
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
-      .withColumn("off_b", lead(col("off"), 1).over(w))
-      .filter(col("doc_b").isNotNull)
-      .select(col("r").as("r_a"), col("doc_id").as("doc_a"),
-        col("off").as("off_a"), col("doc_b"), col("off_b"))
-    val perPart = sorted.groupBy("pid").agg(
-      min(struct(col("r"), col("doc_id"), col("off"))).as("first"),
-      max(struct(col("r"), col("doc_id"), col("off"))).as("last"))
-    val wb = Window.orderBy("pid") // ≤ shuffle-partition-count rows
-    val boundary = perPart
-      .withColumn("nf", lead(col("first"), 1).over(wb))
-      .filter(col("nf").isNotNull)
-      .select(col("last.r").as("r_a"), col("last.doc_id").as("doc_a"),
-        col("last.off").as("off_a"),
-        col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"))
-    within.unionByName(boundary)
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-      .withColumn("lcp", graft.text.Lcp(
-        col("text_a"), col("off_a"), col("text_b"), col("off_b")))
-  }
 
   val all: Seq[Q] = Seq(
 
@@ -567,21 +524,14 @@ object DedupQueries {
     // q231 suffix array (Lee et al. 2022: a span is repeated iff two
     // ADJACENT suffix-array entries share it as a prefix, so the global
     // max over adjacent-pair LCPs finds every big copy-paste span).
-    // Adjacency over a distributed sort without a corpus-wide window:
-    // range-partition by SA order, take within-partition neighbors from a
-    // PER-PARTITION window, and stitch the ≤|partitions| boundary pairs
-    // from a partition-count-sized census (the tiny window over it is
-    // bounded by the partition count, not the data). The LCP itself is
-    // the native lcp_chars kernel (text/LcpExpr.scala): an in-place
-    // byte walk that stops at the first mismatch, so per-pair cost is
-    // ∝ the actual LCP (short on natural text; the few genuine long
-    // repeats pay their own length) with zero allocation — not
-    // pairs × suffix materialization.
+    // Pure annex read: the pairs, their LCPs and the span previews all
+    // come from the build-once SA+LCP index (see saAdjacentLcp) — this
+    // plan touches no corpus text, ends in a TakeOrdered, and its only
+    // work is a scan of the skinny annex.
     Q("q232_longest_repeat", (s, dir) => {
       saAdjacentLcp(s, dir)
         .select(col("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"),
-          expr("substr(text_a, CAST(off_a AS INT), CAST(least(lcp, 24) AS INT))")
-            .as("head"))
+          col("head"))
         .orderBy(desc("lcp"), col("doc_a"), col("off_a"), col("doc_b"), col("off_b"))
         .limit(20)
     }, Some(

@@ -250,6 +250,57 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("q234 repeated spans match a driver-side recompute") {
+    // q234's implementation and its DuckDB oracle both derive spans
+    // from adjacent SA pairs, so a correlated drift in that shared
+    // derivation would pass the hash gate; this recomputes the declared
+    // semantics (sort raw suffix strings, adjacent LCPs, both-sides
+    // spans ≥ 100, per-doc interval merge) on the driver. The corpus
+    // crosses repeats between docs (b1: 1↔2↔3, b2: 1↔2) AND repeats
+    // b1 twice INSIDE doc 3, so the merge sees overlapping staircase
+    // spans and disjoint spans in one document.
+    val rnd = new scala.util.Random(23)
+    def blk(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val (b1, b2) = (blk(160), blk(120))
+    val corpus = Seq(
+      1L -> (b1 + "tailOne" + b2), 2L -> (b2 + "tailTwo" + b1),
+      3L -> ("pre" + b1 + "mid" + b1 + "post"),
+      4L -> blk(90), 5L -> blk(70))
+    val dir = graft.sources.Staging.scratchDir("spans-spec").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    graft.dedup.SuffixArray.clearCache()
+
+    val sufs = corpus.flatMap { case (d, t) =>
+      (1 to t.length).map(i => (d, i.toLong, t.substring(i - 1)))
+    }.sortBy { case (d, o, s) => (s, d, o) }
+    def lcp(a: String, b: String): Long =
+      a.lazyZip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val spans = sufs.sliding(2).collect { case Seq(a, b) =>
+      (a, b, lcp(a._3, b._3))
+    }.filter(_._3 >= 100).toList
+      .flatMap { case (a, b, l) =>
+        Seq((a._1, a._2, a._2 + l), (b._1, b._2, b._2 + l))
+      }
+    val expected = spans.groupBy(_._1).flatMap { case (d, ss) =>
+      ss.map(s => (s._2, s._3)).distinct.sorted
+        .foldLeft(List.empty[(Long, Long)]) {
+          case (h :: t, (s0, e0)) if s0 <= h._2 =>
+            (h._1, math.max(h._2, e0)) :: t
+          case (acc, s) => s :: acc
+        }.reverse.map { case (s0, e0) => (d, s0, e0, e0 - s0) }
+    }.toSet
+
+    val got = SparkEntry.queries("q234_repeated_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty && expected.exists(_._1 == 3L),
+      s"corpus must contain an internal repeat in doc 3: $expected")
+    assert(got == expected, s"got $got\nexpected $expected")
+    graft.dedup.SuffixArray.clearCache()
+  }
+
   test("substring dedup matches a driver-side string-level recompute") {
     // independent oracle: gram STRINGS (no hashes) + brute interval
     // union — also guards against a StableHash gram collision

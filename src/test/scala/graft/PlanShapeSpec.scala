@@ -23,19 +23,22 @@ class PlanShapeSpec extends SparkSpec {
     * broadcasts left are the ones the query text forces with a hint —
     * exactly the set the scale audit is about.
     */
-  private def staticPlan(name: String): SparkPlan = {
+  private def staticConf[A](body: => A): A = {
     val c = spark.conf
     val aqe = c.get("spark.sql.adaptive.enabled", "true")
     val thr = c.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     c.set("spark.sql.adaptive.enabled", "false")
     c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    try body
     finally {
       c.set("spark.sql.adaptive.enabled", aqe)
       c.set("spark.sql.autoBroadcastJoinThreshold", thr)
       spark.catalog.clearCache()
     }
   }
+
+  private def staticPlan(name: String): SparkPlan =
+    staticConf(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
 
   private def hasAggregate(p: SparkPlan): Boolean =
     p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
@@ -253,6 +256,50 @@ class PlanShapeSpec extends SparkSpec {
         "q235_contamination_spans")) {
       val bad = factBroadcasts(q)
       assert(bad.isEmpty, s"$q forces a fact-table broadcast: $bad")
+    }
+  }
+
+  test("SA LCP annex: full text never crosses a per-suffix exchange outside the cap-hit escalation") {
+    import spark.implicits._
+    // the round-6 scale-killer was full document text riding every
+    // per-suffix pair row through the second doc-keyed exchange
+    // (~corpus × avg-doc-length bytes at 100 TB); the annex must move
+    // only the bounded head band at per-suffix cardinality, with full
+    // text allowed ONLY on docs-side relays (each doc moves once) and
+    // above the lcp == HeadBand cap-hit filter (the escalation, whose
+    // rows are the rare ≥ band-length repeats)
+    val docs = Seq((1L, "abcabcabdzzzq"), (2L, "qabcabcab"), (3L, "zzzq"))
+      .toDF("doc_id", "text")
+    val sa = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+    val plan = staticConf {
+      graft.dedup.SuffixArray.adjacentLcpPlan(sa, docs, "doc_id", "text")
+        .queryExecution.executedPlan
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.exists(_.output.exists(_.name == "head")),
+      s"expected the bounded head band on the annex exchanges:\n$plan")
+    for (e <- exchanges if e.output.exists(_.name.startsWith("text"))) {
+      // ≤ 2 output columns = a docs-side relay (join key + text,
+      // corpus cardinality); anything wider is pair rows carrying full
+      // text, legal only in the escalation — recognizable by the banded
+      // lcp_chars cap-hit gate in its own subtree
+      if (e.output.size > 2)
+        assert(e.child.toString.contains("lcp_chars"),
+          s"per-suffix exchange carries full text outside the " +
+            s"escalation: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("SA repeated-span consumers serve from the index annex, never rescanning the corpus") {
+    // the index-engine contract (Lee et al. 2022 query SA+LCP arrays,
+    // not the raw corpus): once the annex is built, the consumers' own
+    // plans must contain no documents.parquet scan at all
+    graft.dedup.SuffixArray.clearCache()
+    for (q <- Seq("q232_longest_repeat", "q234_repeated_spans",
+        "q235_contamination_spans")) {
+      val scans = fileScans(staticPlan(q))
+      assert(!scans.exists(_.contains("documents.parquet")),
+        s"$q reads the documents table outside the index build: $scans")
     }
   }
 

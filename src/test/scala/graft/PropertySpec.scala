@@ -102,6 +102,46 @@ class PropertySpec extends SparkSpec {
     assert(got.forall(r => r.isNullAt(0) || r.getDouble(0) > 0))
   }
 
+  test("suffix-array ranks agree with brute-force suffix order under adversarial duplication") {
+    // randomized corpora biased toward the refine-round edge cases the
+    // oracle corpus never hits: a 2-char alphabet multiplies rank-class
+    // collisions, whole-corpus duplication keeps genuinely-equal suffix
+    // classes alive to the end, and initK=2 forces MANY doubling rounds
+    // (full and frozen modes, the hybrid switch, and the census
+    // chaining all execute per case). Each case is a full distributed
+    // build, so the case count stays small; the per-case check is the
+    // exhaustive pairwise order comparison against sorted raw suffixes.
+    val genDoc = for {
+      n <- Gen.choose(0, 16)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val genCorpus = for {
+      k <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(k, genDoc)
+      dup <- Gen.oneOf(true, false)
+    } yield {
+      val base = docs.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+      if (dup) base ++ base.map { case (i, t) => (i + 100L, t) } else base
+    }
+    val p = Prop.forAll(genCorpus) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val got = graft.dedup.SuffixArray
+        .ranks(docs, "doc_id", "text", initK = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val sufs = for ((d, t) <- corpus; i <- 1 to t.length)
+        yield (d, i.toLong, t.substring(i - 1))
+      got.size == sufs.size && sufs.forall { a =>
+        sufs.forall { b =>
+          Integer.signum(got((a._1, a._2)).compareTo(got((b._1, b._2)))) ==
+            Integer.signum(a._3.compareTo(b._3))
+        }
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("jaroWinkler bounded, symmetric, identity 1, boost >= jaro, prefix cap") {
     import graft.text.JaroWinkler
     val genStr = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
