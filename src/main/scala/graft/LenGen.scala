@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * LENGTH (the band escalation re-joins full text; the base sort keys
   * initK chars per suffix regardless, but within-doc window shapes and
   * the cap-hit population move with length). This main concatenates
-  * groups of `factor` consecutive doc_ids into one document (ordered,
+  * groups of `factor` doc_ids into one document (ordered,
   * separator-free, doc_id = group minimum), writing only
   * documents.parquet — the SA-family queries read nothing else.
+  * Groups are formed WITHIN a doc_id mod-10 residue class (ids r,
+  * r+10, …, r+10·(factor−1) of each 10·factor block), so the merged
+  * id keeps its residue and q235's doc_id%10 eval/train split retains
+  * its 10% eval fraction instead of collapsing to all-eval.
   *
   * Usage: LenGen <inSfDir> <outDir> <factor>
   */
@@ -30,7 +34,9 @@ object LenGen {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$in/documents.parquet")
     val merged = docs
-      .withColumn("grp", (col("doc_id").cast("long") / factor).cast("long"))
+      .withColumn("grp", concat_ws("_",
+        pmod(col("doc_id").cast("long"), lit(10L)),
+        (col("doc_id").cast("long") / (10L * factor)).cast("long")))
       .groupBy("grp")
       .agg(min(col("doc_id")).as("doc_id"),
         concat_ws("", array_sort(collect_list(struct(col("doc_id").as("k"),

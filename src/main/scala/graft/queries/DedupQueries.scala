@@ -61,6 +61,37 @@ object DedupQueries {
     graft.dedup.SuffixArray.adjacentLcp(s, s"documents|$dir",
       Tables.documents(s, dir), "doc_id", "text")
 
+  /** Maximal repeated-span intervals per document — the q234 cut list
+    * (half-open 1-based char ranges [span_start, span_end)), shared
+    * with q236 which applies it. Every suffix whose adjacent-SA LCP ≥
+    * minLcp sits in a repeated span; BOTH occurrences are emitted
+    * in-row (no second pass over the pairs) and overlapping intervals
+    * merge under a per-doc window (running max of ends → new-group
+    * flags → running sum) — skew-bounded by document length, never
+    * corpus-sized.
+    */
+  private def mergedRepeatSpans(s: org.apache.spark.sql.SparkSession,
+                                dir: String, minLcp: Int): DataFrame = {
+    val spans = saAdjacentLcp(s, dir)
+      .filter(col("lcp") >= minLcp)
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("off_a").as("s0")),
+        struct(col("doc_b").as("doc_id"), col("off_b").as("s0")))).as("x"),
+        col("lcp"))
+      .select(col("x.doc_id"), col("x.s0"), (col("x.s0") + col("lcp")).as("e0"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("s0", "e0")
+    val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    spans
+      .withColumn("pmax", max(col("e0")).over(wPrev))
+      .withColumn("ng",
+        when(col("pmax").isNull || col("s0") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum(col("ng")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s0")).as("span_start"), max(col("e0")).as("span_end"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // MinHash + banded LSH candidates, exact shingle-Jaccard verify.
@@ -578,27 +609,7 @@ object DedupQueries {
     // max of span ends → new-group flags → running sum), skew-bounded
     // by document length, never corpus-sized.
     Q("q234_repeated_spans", (s, dir) => {
-      val minLcp = 100
-      val spans = saAdjacentLcp(s, dir)
-        .filter(col("lcp") >= minLcp)
-        // both occurrences of the pair are repeated text: two span rows
-        // per pair, generated in-row (no second pass over the pairs)
-        .select(explode(array(
-          struct(col("doc_a").as("doc_id"), col("off_a").as("s0")),
-          struct(col("doc_b").as("doc_id"), col("off_b").as("s0")))).as("x"),
-          col("lcp"))
-        .select(col("x.doc_id"), col("x.s0"), (col("x.s0") + col("lcp")).as("e0"))
-      val wDoc = Window.partitionBy("doc_id").orderBy("s0", "e0")
-      val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
-      spans
-        .withColumn("pmax", max(col("e0")).over(wPrev))
-        .withColumn("ng",
-          when(col("pmax").isNull || col("s0") > col("pmax"), 1L)
-            .otherwise(0L))
-        .withColumn("gid", sum(col("ng")).over(
-          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("gid"))
-        .agg(min(col("s0")).as("span_start"), max(col("e0")).as("span_end"))
+      mergedRepeatSpans(s, dir, minLcp = 100)
         .select(col("doc_id"), col("span_start"), col("span_end"),
           (col("span_end") - col("span_start")).as("span_len"))
         .orderBy("doc_id", "span_start")
@@ -818,5 +829,112 @@ object DedupQueries {
         |  CAST(max(e0) AS BIGINT) AS span_end,
         |  CAST(max(e0) - min(s0) AS BIGINT) AS span_len
         |FROM grp GROUP BY doc_id, gid
-        |ORDER BY doc_id, span_start""".stripMargin)))
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Apply the repeated-span cut list: emit the CLEANED CORPUS — the
+    // artifact a training pipeline actually feeds the tokenizer.
+    // Capability gap it fills: q234 emits the per-document char ranges
+    // (the dedup decision), but nothing executes it; this excises every
+    // merged ≥100-char repeated span (the conservative
+    // remove-all-occurrences variant — the cut list marks both sides,
+    // and after interval merging a canonical "first occurrence" of an
+    // overlapping span cluster is ill-defined) and stitches the kept
+    // segments back together. Scale shape: the merged span list is
+    // skinny (aggregate-bounded per doc); segment slicing joins docs
+    // ONCE by doc_id (docs move once; the in-task expansion collapses
+    // immediately to the kept slices, so no exchange ever carries a
+    // document more than once); the rebuild shuffle carries exactly
+    // the kept text (≤ corpus — this query's OUTPUT). Fifth consumer
+    // of the build-once SA index; zero additional index cost.
+    Q("q236_apply_cuts", (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val merged = mergedRepeatSpans(s, dir, minLcp = 100)
+      val w = Window.partitionBy("doc_id").orderBy("span_start")
+      // kept segment before each span: [prev span_end (or 1), span_start)
+      val mids = merged
+        .withColumn("ss", coalesce(lag(col("span_end"), 1).over(w), lit(1L)))
+        .select(col("doc_id"), col("ss"), col("span_start").as("se"))
+      // kept tail after the last span: [max span_end, end-of-doc]
+      val tails = merged.groupBy("doc_id")
+        .agg(max(col("span_end")).as("ss"))
+        .withColumn("se", lit(null).cast("long"))
+      val pieces = mids.unionByName(tails)
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("ss"),
+          when(col("se").isNull, expr("substr(text, CAST(ss AS INT))"))
+            .otherwise(expr("substr(text, CAST(ss AS INT), CAST(se - ss AS INT))"))
+            .as("seg"))
+      // merged spans are disjoint with ≥1 kept char between groups, so
+      // ss is unique per doc — the struct sort is total
+      val rebuilt = pieces.groupBy("doc_id")
+        .agg(concat_ws("", array_sort(collect_list(
+          struct(col("ss").as("k"), col("seg")))).getField("seg")).as("ct"))
+      docs.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          length(coalesce(col("ct"), col("text"))).cast("long").as("clean_len"),
+          (length(col("text")) - length(coalesce(col("ct"), col("text"))))
+            .cast("long").as("removed"),
+          coalesce(col("ct"), col("text")).as("clean_text"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH suf AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text))) AS off, text
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, off, text,
+        |    lead(doc_id) OVER w AS doc_b, lead(off) OVER w AS off_b,
+        |    lead(text) OVER w AS text_b
+        |  FROM suf
+        |  WINDOW w AS (ORDER BY substr(text, CAST(off AS INT)), doc_id, off)),
+        |pairs AS (
+        |  SELECT doc_id AS doc_a, off AS off_a, doc_b, off_b,
+        |    substr(text, CAST(off AS INT)) AS sa, substr(text_b, CAST(off_b AS INT)) AS sb
+        |  FROM ord WHERE doc_b IS NOT NULL),
+        |scored AS (
+        |  SELECT doc_a, off_a, doc_b, off_b,
+        |    coalesce(list_position(list_transform(list_zip(
+        |        regexp_split_to_array(sa, ''), regexp_split_to_array(sb, '')),
+        |      z -> coalesce(z[1], '') = coalesce(z[2], '')), false) - 1,
+        |      least(length(sa), length(sb))) AS lcp
+        |  FROM pairs),
+        |spans AS (
+        |  SELECT doc_a AS doc_id, off_a AS s0, off_a + lcp AS e0
+        |  FROM scored WHERE lcp >= 100
+        |  UNION ALL
+        |  SELECT doc_b, off_b, off_b + lcp FROM scored WHERE lcp >= 100),
+        |flagged AS (
+        |  SELECT doc_id, s0, e0,
+        |    CASE WHEN s0 <= max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS ng
+        |  FROM spans),
+        |grp AS (
+        |  SELECT doc_id, s0, e0, sum(ng) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |    ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM flagged),
+        |merged AS (
+        |  SELECT doc_id, min(s0) AS ms, max(e0) AS me
+        |  FROM grp GROUP BY doc_id, gid),
+        |segs AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 1) AS ss,
+        |    ms AS se
+        |  FROM merged
+        |  UNION ALL
+        |  SELECT doc_id, max(me) AS ss, CAST(NULL AS BIGINT) AS se
+        |  FROM merged GROUP BY doc_id),
+        |pieces AS (
+        |  SELECT s.doc_id, s.ss,
+        |    CASE WHEN s.se IS NULL THEN substr(d.text, CAST(s.ss AS INT))
+        |         ELSE substr(d.text, CAST(s.ss AS INT), CAST(s.se - s.ss AS INT))
+        |    END AS seg
+        |  FROM segs s JOIN documents d USING (doc_id)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY ss) AS ct
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(length(coalesce(r.ct, d.text)) AS BIGINT) AS clean_len,
+        |  CAST(length(d.text) - length(coalesce(r.ct, d.text)) AS BIGINT) AS removed,
+        |  coalesce(r.ct, d.text) AS clean_text
+        |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)))
 }

@@ -298,6 +298,26 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.exists(_._1 == 3L),
       s"corpus must contain an internal repeat in doc 3: $expected")
     assert(got == expected, s"got $got\nexpected $expected")
+
+    // q236 applies that cut list: driver-side replay deletes the merged
+    // intervals from the raw strings and compares the rebuilt corpus
+    val expectedClean = corpus.map { case (d, t) =>
+      val cuts = expected.filter(_._1 == d).toList.sortBy(_._2)
+      val kept = new StringBuilder
+      var pos = 1L
+      for ((_, s0, e0, _) <- cuts) {
+        kept ++= t.substring((pos - 1).toInt, (s0 - 1).toInt)
+        pos = e0
+      }
+      kept ++= t.substring(math.min((pos - 1).toInt, t.length))
+      d -> kept.toString
+    }.toMap
+    val gotClean = SparkEntry.queries("q236_apply_cuts")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gotClean == expectedClean,
+      s"clean corpus mismatch: got $gotClean\nexpected $expectedClean")
+    assert(expectedClean(3L).length < corpus.toMap.apply(3L).length,
+      "doc 3's internal repeat must actually shrink")
     graft.dedup.SuffixArray.clearCache()
   }
 
