@@ -135,6 +135,49 @@ class DedupSpec extends SparkSpec {
     assert(graft.dedup.SuffixArray.ranks(nulls, "doc_id", "text").count() == 0)
   }
 
+  test("adjacent-LCP annex: empty and single-suffix corpora yield empty annexes") {
+    import spark.implicits._
+    graft.dedup.SuffixArray.clearCache()
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.SuffixArray
+      .adjacentLcp(spark, "annex-empty", empty, "doc_id", "text").count() == 0)
+    val one = Seq((1L, "x")).toDF("doc_id", "text") // one suffix → no pairs
+    assert(graft.dedup.SuffixArray
+      .adjacentLcp(spark, "annex-one", one, "doc_id", "text").count() == 0)
+    graft.dedup.SuffixArray.clearCache()
+  }
+
+  test("adjacent-LCP annex matches brute-force adjacency incl. band cap-hit escalation") {
+    // a 300-char shared block (> HeadBand = 256) forces the cap-hit
+    // escalation path: those pairs' LCPs must come back exact from the
+    // full-text re-join, everything else from the bands alone; heads
+    // must be the first min(lcp, 24) chars of the match in both paths
+    val rnd = new scala.util.Random(41)
+    val blk = Array.fill(300)(('a' + rnd.nextInt(3)).toChar).mkString
+    val corpus = Seq(1L -> (blk + "one"), 2L -> ("zz" + blk + "two"),
+      3L -> "unrelatedshort")
+    val docs = corpus.toDF("doc_id", "text")
+    graft.dedup.SuffixArray.clearCache()
+    val annex = graft.dedup.SuffixArray
+      .adjacentLcp(spark, "annex-brute", docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) -> (r.getLong(5), r.getString(6))).toMap
+    val sufs = corpus.flatMap { case (d, t) =>
+      (1 to t.length).map(i => (d, i.toLong, t.substring(i - 1)))
+    }.sortBy { case (d, o, s) => (s, d, o) }
+    def lcp(a: String, b: String): Long =
+      a.lazyZip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val exp = sufs.sliding(2).collect { case Seq(a, b) =>
+      val l = lcp(a._3, b._3)
+      (a._1, a._2, b._1, b._2) -> (l, a._3.take(math.min(l, 24L).toInt))
+    }.toMap
+    assert(exp.values.exists(_._1 >= graft.dedup.SuffixArray.HeadBand),
+      "corpus must produce a band cap hit")
+    assert(annex.size == exp.size, s"${annex.size} pairs vs ${exp.size}")
+    assert(annex == exp)
+    graft.dedup.SuffixArray.clearCache()
+  }
+
   test("suffix-array ranks reproduce brute-force lexicographic order") {
     // duplicate docs make genuinely equal suffixes: those must SHARE a
     // rank; everything else must order exactly like the suffix strings
