@@ -44,7 +44,9 @@ object LenGen {
       .drop("grp")
     merged.write.mode("overwrite").parquet(s"$out/documents.parquet")
     val stats = spark.read.parquet(s"$out/documents.parquet")
-      .agg(count(lit(1)), sum(length(col("text"))), avg(length(col("text"))))
+      .agg(count(lit(1)),
+        coalesce(sum(length(col("text"))), lit(0L)),
+        coalesce(avg(length(col("text"))), lit(0.0)))
       .head()
     println(s"[lengen] docs=${stats.getLong(0)} chars=${stats.getLong(1)} " +
       s"avgLen=${stats.getDouble(2)}")

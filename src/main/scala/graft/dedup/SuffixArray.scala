@@ -121,11 +121,14 @@ object SuffixArray {
     val anyChanged = keys
       .map(k => lag(col(k), 1).over(wp) =!= col(k))
       .reduce(_ || _)
+    // genuinely 64-bit row positions: row_number() COMPUTES in int (a
+    // cast only widens the already-wrapped value), so positions are a
+    // long running count over the same window sort — partition-local
+    // positions (and the loc/loc1/lgs values derived from them) must
+    // not wrap past 2^31 rows in one range partition of a 100 TB corpus
+    val wRun = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flagged = sorted
-      // long from the start: partition-local row positions (and the
-      // loc/loc1/lgs values derived from them) must not wrap past 2^31
-      // rows in one range partition of a 100 TB corpus
-      .withColumn("pos", row_number().over(wp).cast("long"))
+      .withColumn("pos", count(lit(1)).over(wRun))
       .withColumn("chg",
         when(lag(col(keys.head), 1).over(wp).isNull || anyChanged, 1L)
           .otherwise(0L))
@@ -415,12 +418,19 @@ object SuffixArray {
     * into the per-suffix exchanges.
     */
   private[graft] def headSorted(sa: DataFrame, docs: DataFrame,
-                                docCol: String, textCol: String): DataFrame = {
+                                docCol: String, textCol: String,
+                                materialize: Boolean = false): DataFrame = {
     val n = sa.sparkSession.sessionState.conf.numShufflePartitions
-    sa.join(docs.select(col(docCol).cast("long").as("doc_id"),
+    val banded = sa.join(docs.select(col(docCol).cast("long").as("doc_id"),
         col(textCol).as("text")), "doc_id")
       .select(col("doc_id"), col("off"), col("r"),
         expr(s"substr(text, CAST(off AS INT), $HeadBand)").as("head"))
+    // materialize before the range exchange (real builds): its SAMPLING
+    // pass re-executes the child, which here is the corpus join — the
+    // same trap rankStep's materializeInput documents. Unmaterialized
+    // only for plan-shape inspection.
+    val input = if (materialize) banded.localCheckpoint(true) else banded
+    input
       .repartitionByRange(n, col("r"), col("doc_id"), col("off"))
       .withColumn("pid", spark_partition_id())
       .repartition(n, col("pid"))
@@ -530,7 +540,8 @@ object SuffixArray {
       val d = docs
       val sa = build(spark, corpusKey, d, docCol, textCol)
       builds.computeIfAbsent(key, _ => {
-        val sorted = headSorted(sa, d, docCol, textCol).persist()
+        val sorted = headSorted(sa, d, docCol, textCol, materialize = true)
+          .persist()
         try {
           val scored = pairScores(sorted).persist()
           try annexFromScored(scored, d, docCol, textCol)

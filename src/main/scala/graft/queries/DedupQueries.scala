@@ -848,7 +848,8 @@ object DedupQueries {
     // of the build-once SA index; zero additional index cost.
     Q("q236_apply_cuts", (s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val merged = mergedRepeatSpans(s, dir, minLcp = 100)
+      // the merge subtree feeds both segment kinds — persist it once
+      val merged = mergedRepeatSpans(s, dir, minLcp = 100).scopedPersist
       val w = Window.partitionBy("doc_id").orderBy("span_start")
       // kept segment before each span: [prev span_end (or 1), span_start)
       val mids = merged
@@ -858,23 +859,29 @@ object DedupQueries {
       val tails = merged.groupBy("doc_id")
         .agg(max(col("span_end")).as("ss"))
         .withColumn("se", lit(null).cast("long"))
-      val pieces = mids.unionByName(tails)
-        .join(docs, "doc_id")
-        .select(col("doc_id"), col("ss"),
-          when(col("se").isNull, expr("substr(text, CAST(ss AS INT))"))
+      // ONE doc-keyed join: docs LEFT JOIN segments, so a doc with no
+      // spans surfaces as a single whole-doc segment (null ss) and each
+      // document's text crosses exactly one exchange; the in-task
+      // expansion collapses immediately to the kept slices
+      val pieces = docs
+        .join(mids.unionByName(tails), Seq("doc_id"), "left")
+        .select(col("doc_id"), length(col("text")).cast("long").as("orig_len"),
+          coalesce(col("ss"), lit(1L)).as("ss"),
+          when(col("ss").isNull, col("text"))
+            .when(col("se").isNull, expr("substr(text, CAST(ss AS INT))"))
             .otherwise(expr("substr(text, CAST(ss AS INT), CAST(se - ss AS INT))"))
             .as("seg"))
       // merged spans are disjoint with ≥1 kept char between groups, so
-      // ss is unique per doc — the struct sort is total
-      val rebuilt = pieces.groupBy("doc_id")
-        .agg(concat_ws("", array_sort(collect_list(
-          struct(col("ss").as("k"), col("seg")))).getField("seg")).as("ct"))
-      docs.join(rebuilt, Seq("doc_id"), "left")
+      // ss is unique per doc — the struct sort is total; the rebuild
+      // shuffle carries exactly the kept text
+      pieces.groupBy("doc_id")
+        .agg(max(col("orig_len")).as("orig_len"),
+          concat_ws("", array_sort(collect_list(
+            struct(col("ss").as("k"), col("seg")))).getField("seg")).as("ct"))
         .select(col("doc_id"),
-          length(coalesce(col("ct"), col("text"))).cast("long").as("clean_len"),
-          (length(col("text")) - length(coalesce(col("ct"), col("text"))))
-            .cast("long").as("removed"),
-          coalesce(col("ct"), col("text")).as("clean_text"))
+          length(col("ct")).cast("long").as("clean_len"),
+          (col("orig_len") - length(col("ct"))).as("removed"),
+          col("ct").as("clean_text"))
         .orderBy("doc_id")
     }, Some(
       """WITH suf AS (

@@ -253,7 +253,7 @@ class PlanShapeSpec extends SparkSpec {
   test("new heavy extensions force no fact-table broadcasts") {
     for (q <- Seq("q213_substring_dedup", "q214_fuzzy_linkage",
         "q217_kendall_tau", "q218_embedding_covariance",
-        "q235_contamination_spans")) {
+        "q235_contamination_spans", "q236_apply_cuts")) {
       val bad = factBroadcasts(q)
       assert(bad.isEmpty, s"$q forces a fact-table broadcast: $bad")
     }

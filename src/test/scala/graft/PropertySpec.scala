@@ -125,13 +125,15 @@ class PropertySpec extends SparkSpec {
     }
     val p = Prop.forAll(genCorpus) { corpus =>
       val docs = corpus.toDF("doc_id", "text")
-      val got = graft.dedup.SuffixArray
+      val rows = graft.dedup.SuffixArray
         .ranks(docs, "doc_id", "text", initK = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
-        .toMap
+      val got = rows.toMap
       val sufs = for ((d, t) <- corpus; i <- 1 to t.length)
         yield (d, i.toLong, t.substring(i - 1))
-      got.size == sufs.size && sufs.forall { a =>
+      // row count BEFORE the map dedups: a duplicate-emission bug
+      // (one suffix in two frozen parts) must not collapse silently
+      rows.length == sufs.size && got.size == sufs.size && sufs.forall { a =>
         sufs.forall { b =>
           Integer.signum(got((a._1, a._2)).compareTo(got((b._1, b._2)))) ==
             Integer.signum(a._3.compareTo(b._3))
