@@ -409,29 +409,17 @@ object SuffixArray {
     */
   private[graft] val HeadPreview = 24
 
-  /** SA entries + their head band, routed into SA order: range-partition
-    * by (r, doc_id, off) with the same explicit-count / pid-clustering
-    * pinning as [[sortAndFlag]] (AQE must not collapse the adjacency
-    * windows into one task). The ONE doc-keyed join here is the index
-    * build's corpus pass: the SA side is skinny, the docs side moves
-    * each document once, and only the bounded `head` slice survives
-    * into the per-suffix exchanges.
+  /** SA entries routed into SA order, SKINNY (doc_id, off, r): range
+    * partition by (r, doc_id, off) with the same explicit-count /
+    * pid-clustering pinning as [[sortAndFlag]] (AQE must not collapse
+    * the adjacency windows into one task). Skinny matters twice: the
+    * range exchange's sampling pass re-executes its child, which here
+    * is just the index checkpoint scan (nothing to materialize), and
+    * the two routing exchanges move 24 B/suffix, not band-width rows.
     */
-  private[graft] def headSorted(sa: DataFrame, docs: DataFrame,
-                                docCol: String, textCol: String,
-                                materialize: Boolean = false): DataFrame = {
+  private[graft] def saSorted(sa: DataFrame): DataFrame = {
     val n = sa.sparkSession.sessionState.conf.numShufflePartitions
-    val banded = sa.join(docs.select(col(docCol).cast("long").as("doc_id"),
-        col(textCol).as("text")), "doc_id")
-      .select(col("doc_id"), col("off"), col("r"),
-        expr(s"substr(text, CAST(off AS INT), $HeadBand)").as("head"))
-    // materialize before the range exchange (real builds): its SAMPLING
-    // pass re-executes the child, which here is the corpus join — the
-    // same trap rankStep's materializeInput documents. Unmaterialized
-    // only for plan-shape inspection.
-    val input = if (materialize) banded.localCheckpoint(true) else banded
-    input
-      .repartitionByRange(n, col("r"), col("doc_id"), col("off"))
+    sa.repartitionByRange(n, col("r"), col("doc_id"), col("off"))
       .withColumn("pid", spark_partition_id())
       .repartition(n, col("pid"))
   }
@@ -440,38 +428,50 @@ object SuffixArray {
     * without a corpus-wide window: per-partition lead() for
     * within-partition neighbors, plus the ≤|partitions| boundary pairs
     * stitched from a partition-count-sized census (the tiny window over
-    * it is bounded by the partition count, not the data). `lcp_c` is
-    * the native lcp_chars kernel over the two head bands — in-place
-    * byte walk, cost ∝ the actual LCP, capped at HeadBand; `head` is
-    * the bounded span preview (already exact: a cap-hit's preview is a
-    * strict prefix of a ≥ HeadBand-char match).
+    * it is bounded by the partition count, not the data).
+    *
+    * The band attach is the index build's corpus pass: two doc-keyed
+    * joins, each projecting the bounded `substr(text, off, HeadBand)`
+    * slice IN-TASK immediately after the join, so document text
+    * crosses exchanges only on the docs-side relays (each document
+    * moves once per join) — the pair stream itself carries at most one
+    * HeadBand slice through one exchange (the doc_b join's probe
+    * side), never whole documents and never band bytes through the
+    * routing sorts. `lcp_c` is the native lcp_chars kernel over the
+    * two bands — in-place byte walk, cost ∝ the actual LCP, capped at
+    * HeadBand; `head` is the bounded span preview (already exact: a
+    * cap-hit's preview is a strict prefix of a ≥ HeadBand-char match).
     */
-  private[graft] def pairScores(sorted: DataFrame): DataFrame = {
+  private[graft] def pairScores(sorted: DataFrame, docs: DataFrame,
+                                docCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
     val within = sorted
       .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
       .withColumn("off_b", lead(col("off"), 1).over(w))
-      .withColumn("head_b", lead(col("head"), 1).over(w))
       .filter(col("doc_b").isNotNull)
       .select(col("r").as("r_a"), col("doc_id").as("doc_a"),
-        col("off").as("off_a"), col("head").as("head_a"),
-        col("doc_b"), col("off_b"), col("head_b"))
-    // head rides LAST in the census structs: (r, doc_id, off) is unique
-    // per row, so min/max ordering is untouched by the extra field
+        col("off").as("off_a"), col("doc_b"), col("off_b"))
     val perPart = sorted.groupBy("pid").agg(
-      min(struct(col("r"), col("doc_id"), col("off"), col("head")))
-        .as("first"),
-      max(struct(col("r"), col("doc_id"), col("off"), col("head")))
-        .as("last"))
+      min(struct(col("r"), col("doc_id"), col("off"))).as("first"),
+      max(struct(col("r"), col("doc_id"), col("off"))).as("last"))
     val wb = Window.orderBy("pid") // ≤ shuffle-partition-count rows
     val boundary = perPart
       .withColumn("nf", lead(col("first"), 1).over(wb))
       .filter(col("nf").isNotNull)
       .select(col("last.r").as("r_a"), col("last.doc_id").as("doc_a"),
-        col("last.off").as("off_a"), col("last.head").as("head_a"),
-        col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"),
-        col("nf.head").as("head_b"))
+        col("last.off").as("off_a"),
+        col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"))
     within.unionByName(boundary)
+      .join(docs.select(col(docCol).cast("long").as("doc_a"),
+        col(textCol).as("text_a")), "doc_a")
+      .select(col("r_a"), col("doc_a"), col("off_a"),
+        col("doc_b"), col("off_b"),
+        expr(s"substr(text_a, CAST(off_a AS INT), $HeadBand)").as("head_a"))
+      .join(docs.select(col(docCol).cast("long").as("doc_b"),
+        col(textCol).as("text_b")), "doc_b")
+      .select(col("r_a"), col("doc_a"), col("off_a"),
+        col("doc_b"), col("off_b"), col("head_a"),
+        expr(s"substr(text_b, CAST(off_b AS INT), $HeadBand)").as("head_b"))
       .withColumn("lcp_c",
         graft.text.Lcp(col("head_a"), lit(1L), col("head_b"), lit(1L)))
       .select(col("r_a"), col("doc_a"), col("off_a"),
@@ -515,7 +515,7 @@ object SuffixArray {
     */
   private[graft] def adjacentLcpPlan(sa: DataFrame, docs: DataFrame,
                                      docCol: String, textCol: String): DataFrame =
-    annexFromScored(pairScores(headSorted(sa, docs, docCol, textCol)),
+    annexFromScored(pairScores(saSorted(sa), docs, docCol, textCol),
       docs, docCol, textCol)
 
   /** Build-once adjacent-pair LCP annex — the LCP array beside
@@ -524,10 +524,10 @@ object SuffixArray {
     * here: consumers (the longest-repeat report, the repeated-span cut
     * list, cross-corpus contamination) read this one checkpointed
     * skinny frame — (r_a, doc_a, off_a, doc_b, off_b, lcp, head) — and
-    * their own plans contain NO join against the documents table. One
-    * corpus pass at annex-build time attaches the bounded head band;
-    * full text crosses per-suffix exchanges only in the rare cap-hit
-    * escalation (see [[annexFromScored]]).
+    * their own plans contain NO join against the documents table. The
+    * annex build's two doc-keyed joins attach the bounded head bands
+    * with in-task projection; full text crosses per-suffix exchanges
+    * only in the rare cap-hit escalation (see [[annexFromScored]]).
     */
   def adjacentLcp(spark: SparkSession, corpusKey: String, docs: => DataFrame,
                   docCol: String, textCol: String): DataFrame = {
@@ -540,10 +540,9 @@ object SuffixArray {
       val d = docs
       val sa = build(spark, corpusKey, d, docCol, textCol)
       builds.computeIfAbsent(key, _ => {
-        val sorted = headSorted(sa, d, docCol, textCol, materialize = true)
-          .persist()
+        val sorted = saSorted(sa).persist()
         try {
-          val scored = pairScores(sorted).persist()
+          val scored = pairScores(sorted, d, docCol, textCol).persist()
           try annexFromScored(scored, d, docCol, textCol)
             .localCheckpoint(true)
           finally scored.unpersist()

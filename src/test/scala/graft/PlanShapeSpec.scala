@@ -276,7 +276,7 @@ class PlanShapeSpec extends SparkSpec {
         .queryExecution.executedPlan
     }
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(exchanges.exists(_.output.exists(_.name == "head")),
+    assert(exchanges.exists(_.output.exists(_.name.startsWith("head"))),
       s"expected the bounded head band on the annex exchanges:\n$plan")
     for (e <- exchanges if e.output.exists(_.name.startsWith("text"))) {
       // ≤ 2 output columns = a docs-side relay (join key + text,
