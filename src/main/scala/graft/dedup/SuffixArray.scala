@@ -63,9 +63,27 @@ import org.apache.spark.sql.functions._
   * Round count: the base rank is the position rank of the FIRST `initK`
   * CHARS directly (one string-keyed sort of substr(text, off, initK) —
   * truncated-prefix comparison equals suffix comparison up to depth
-  * initK, strict prefixes first), so doubling starts at k = initK:
-  * ⌈log₂(maxLen/initK)⌉ rounds worst case, each over the shrinking
-  * ambiguous set. Each round's census yields two EXACT early exits with
+  * initK, strict prefixes first), so refinement starts at k = initK.
+  * Each refinement round advances depth by the LARGER of two moves,
+  * chosen from the measured state:
+  *   - multi-key doubling — refine by (r, r@+k, …, r@+(m−1)k), all
+  *     ranks at the current depth, resolving depth m·k in one sort
+  *     (classic doubling is m = 2; m is sized to what maxLen still
+  *     needs, capped at `maxFanout` so rank keys stay ≤ 8·maxFanout
+  *     bytes). In full mode the extra keys are extra lead()s over the
+  *     same window — free; in frozen mode one corpus map scan serves
+  *     all deltas (probes carry (offset, delta) and fold back through
+  *     an active-sized aggregate). Round count falls to
+  *     ⌈log_m(maxLen/initK)⌉ — at m = 8 a 4096-char corpus resolves in
+  *     two rounds from initK = 64.
+  *   - text extension (frozen mode only) — sort the active set by the
+  *     next E chars read from the docs table, E = extBudgetBytes /
+  *     |active| (capped at what maxLen still needs), advancing depth
+  *     k → k+E in one round. When the active set is small relative to
+  *     remaining length (long-document corpora, late rounds) this
+  *     finishes in one round what doubling would take several; the
+  *     byte budget keeps the sort-cost class flat at any corpus size.
+  * Rounds run over the shrinking ambiguous set. Each round's census yields two EXACT early exits with
   * no extra job: no suffix still ambiguous, or no refinement this
   * round — if doubling at k splits nothing, classes are closed under
   * the k-shift and members are wholly identical suffixes, so no later
@@ -248,7 +266,18 @@ object SuffixArray {
     * never assume density.
     */
   def ranks(docs: DataFrame, docCol: String, textCol: String,
-            initK: Int = 64, maxRounds: Int = 40): DataFrame = {
+            initK: Int = 64, maxRounds: Int = 40,
+            maxFanout: Int = 8, extBudgetBytes: Long = 64L << 20): DataFrame =
+    ranksWithStats(docs, docCol, textCol, initK, maxRounds, maxFanout,
+      extBudgetBytes)._1
+
+  /** [[ranks]] plus the measured base-rank duplication fraction
+    * (ambiguous rows / total after depth-initK — what the annex's band
+    * cascade sizes itself by).
+    */
+  private[graft] def ranksWithStats(docs: DataFrame, docCol: String, textCol: String,
+            initK: Int = 64, maxRounds: Int = 40,
+            maxFanout: Int = 8, extBudgetBytes: Long = 64L << 20): (DataFrame, Double) = {
     val base = docs.select(col(docCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
 
@@ -259,10 +288,17 @@ object SuffixArray {
     // at 64 saves one whole doubling round, which outweighs the extra
     // sort-key bytes (round cost is materialization-bound, not
     // comparison-bound).
+    val n0 = docs.sparkSession.sessionState.conf.numShufflePartitions
     val prefixes = base
       // sequence(1, 0) would DESCEND ([1, 0]) — empty docs must not
       // reach the explode
       .filter(length(col("text")) >= 1)
+      // decouple the explode's parallelism from the SCAN's partitioning:
+      // a compact docs file (few scan tasks, or long documents) would
+      // otherwise serialize the ~len(doc)× fan-out, the substr kernel
+      // and the base round's input materialization into those few tasks.
+      // One doc-sized exchange, before the fan-out multiplies the bytes.
+      .repartition(n0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("off32"))
       .select(col("doc_id"), col("off32").cast("long").as("off"),
@@ -275,9 +311,10 @@ object SuffixArray {
       df.select(col("doc_id"), col("off"), col("r"))
     // emptiness first: an empty/all-null corpus exits on the empty frame
     // path before any null-aggregate can NPE
-    if (c0.nRows == 0L) return strip(state0)
+    if (c0.nRows == 0L) return (strip(state0), 0.0)
 
     val total = c0.nRows
+    val dupFrac = c0.nAmbigRows.toDouble / total
     // one tiny job on the skinny frame: longest document (max offset)
     val maxLen = state0.agg(max(col("off"))).head().getLong(0)
 
@@ -316,32 +353,81 @@ object SuffixArray {
         active = fullState.filter(col("ambig"))
         carried = ambigGroups
       }
-      val paired = if (!frozenMode) {
+      // Multi-key doubling: refining by (r, r@+k, r@+2k, …, r@+(m−1)k)
+      // resolves depth m·k in ONE sort — the classic doubling is m = 2.
+      // Round cost is materialization-bound, not key-byte-bound, so
+      // widening the key from 16 to ≤ 8·maxFanout bytes to advance
+      // log₂(m)× faster wins every time a round's fixed pipeline
+      // (exchange + windows + checkpoint + census) dominates. m is
+      // sized to what maxLen still needs, never past maxFanout; deltas
+      // that no document can reach are dropped.
+      val mDoub = math.min(maxFanout.toLong,
+        math.max(2L, (maxLen + k - 1) / k)).toInt
+      val deltas = (1 until mDoub).map(_ * k)
+        .filter(d => d < maxLen && d <= Int.MaxValue)
+      val rCols = deltas.indices.map(j => s"r${j + 2}")
+      // Frozen alternative — text EXTENSION: sort the active set by the
+      // next E chars read straight from the docs table (E sized so
+      // active × E stays within a fixed byte budget), advancing depth
+      // k → k+E in one round. Beats multi-key doubling exactly when the
+      // active set is small relative to remaining length (long-document
+      // corpora, late rounds); the budget keeps the sort-bytes cost
+      // class unchanged at any corpus size.
+      val extAdv =
+        if (!frozenMode) 0L
+        else math.min(maxLen - k, extBudgetBytes / math.max(nActive, 1L))
+      // extension vs doubling, by depth reached: k+extAdv vs mDoub·k
+      val useExt = frozenMode && extAdv > (mDoub - 1).toLong * k
+      val (paired, keys2) = if (!frozenMode) {
         val wd = Window.partitionBy("doc_id").orderBy("off")
-        strip(fullState)
-          .withColumn("r2", lead(col("r"), k.toInt).over(wd))
-          .na.fill(-1L, Seq("r2"))
-      } else {
-        // a miss (suffix shorter than depth+k) ranks as -1 so a strict
-        // prefix sorts before everything it prefixes — substr
+        val withLeads = deltas.zip(rCols).foldLeft(strip(fullState)) {
+          case (df, (d, c)) => df.withColumn(c, lead(col("r"), d.toInt).over(wd))
+        }
+        // a miss (suffix shorter than depth+j·k) ranks as -1 so a
+        // strict prefix sorts before everything it prefixes — substr
         // comparison semantics
+        (withLeads.na.fill(-1L, rCols), "r" +: rCols)
+      } else if (useExt) {
+        val ext = strip(active)
+          .join(base.select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), col("off"), col("r"),
+            expr(s"substr(text, CAST(off + $k AS INT), $extAdv)").as("ext"))
+        (ext, Seq("r", "ext"))
+      } else {
+        // one corpus-sized map scan serves every delta: probes carry
+        // (target offset, delta), the join is filtered map-side (AQE
+        // broadcasts the small exploded probe side), and the ≤
+        // (m−1)·active hits fold back to one row per suffix through an
+        // active-sized aggregate — never a corpus shuffle
         val mapAll = (parts.toSeq :+ strip(active)).reduce(_ unionByName _)
-        val probes = active.select(col("doc_id"), (col("off") + k).as("off"))
-        val r2f = mapAll.join(probes, Seq("doc_id", "off"))
-          .select(col("doc_id"), (col("off") - k).as("off"),
-            col("r").as("r2"))
-        strip(active).join(r2f, Seq("doc_id", "off"), "left")
-          .na.fill(-1L, Seq("r2"))
+        val probes = active.select(col("doc_id"), col("off"),
+            explode(array(deltas.map(lit): _*)).as("delta"))
+          .select(col("doc_id"), (col("off") + col("delta")).as("off"),
+            col("delta"))
+        val hits = mapAll.join(probes, Seq("doc_id", "off"))
+          .select(col("doc_id"), (col("off") - col("delta")).as("off"),
+            col("delta"), col("r").as("rr"))
+        val slots = deltas.zip(rCols).map { case (d, c) =>
+          max(when(col("delta") === d, col("rr"))).as(c)
+        }
+        val wide = hits.groupBy("doc_id", "off").agg(slots.head, slots.tail: _*)
+        (strip(active).join(wide, Seq("doc_id", "off"), "left")
+          .na.fill(-1L, rCols), "r" +: rCols)
       }
-      val mode = if (frozenMode) s"frozen, active=$nActive" else "full"
+      val mode =
+        if (!frozenMode) s"full, m=$mDoub"
+        else if (useExt) s"frozen ext=$extAdv, active=$nActive"
+        else s"frozen m=$mDoub, active=$nActive"
       val (next, c) = timed(s"round $rounds (k=$k, $mode)") {
-        rankStep(paired, Seq("r", "r2"), refine = true,
+        rankStep(paired, keys2, refine = true,
           materializeInput = frozenMode)
       }
       // exact early exit, free from the census: a no-refinement fixpoint
-      // (identical-suffix classes only — see object doc). "No suffix
-      // still ambiguous" is the loop condition itself.
-      noRefine = c.nGroups == carried
+      // (identical-suffix classes only — see object doc; the argument
+      // reads only the r@+k key, so extra keys — which can only split
+      // MORE — preserve it). An extension round earns no such exit:
+      // classes agreeing on the next E chars may still differ later.
+      noRefine = !useExt && c.nGroups == carried
       if (!frozenMode) {
         fullState = next
         carried = c.nGroups
@@ -352,16 +438,18 @@ object SuffixArray {
       }
       nActive = c.nAmbigRows
       ambigGroups = c.nAmbigGroups
-      k *= 2
+      k = if (useExt) k + extAdv else k * mDoub
       rounds += 1
     }
-    if (!frozenMode) strip(fullState)
-    else {
-      // still-ambiguous rows at exit are identical-suffix classes (or a
-      // round-capped tail) and keep their shared rank
-      parts += strip(active)
-      parts.reduce(_ unionByName _)
-    }
+    val out =
+      if (!frozenMode) strip(fullState)
+      else {
+        // still-ambiguous rows at exit are identical-suffix classes (or a
+        // round-capped tail) and keep their shared rank
+        parts += strip(active)
+        parts.reduce(_ unionByName _)
+      }
+    (out, dupFrac)
   }
 
   // ----------------------------------------------------------- index reuse
@@ -385,10 +473,21 @@ object SuffixArray {
   private def cacheKey(spark: SparkSession, corpusKey: String): String =
     s"${spark.sparkContext.applicationId}|${System.identityHashCode(spark)}|$corpusKey"
 
+  /** Duplication fraction measured by each memoized build (ambiguous
+    * rows after the base rank / total — i.e. the share of suffixes
+    * whose initK-char prefix collides), keyed like [[builds]]. The
+    * annex reads it to size its band cascade.
+    */
+  private val dupFracs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
   def build(spark: SparkSession, corpusKey: String, docs: => DataFrame,
             docCol: String, textCol: String): DataFrame =
-    builds.computeIfAbsent(cacheKey(spark, corpusKey),
-      _ => ranks(docs, docCol, textCol))
+    builds.computeIfAbsent(cacheKey(spark, corpusKey), { k =>
+      val (df, dupFrac) = ranksWithStats(docs, docCol, textCol)
+      dupFracs.put(k, dupFrac)
+      df
+    })
 
   // ------------------------------------------------- adjacent-LCP annex
 
@@ -402,6 +501,14 @@ object SuffixArray {
     * HeadBand-char repeats, which pay their own length.
     */
   private[graft] val HeadBand = 256
+
+  /** First-stage band width for the annex cascade (see
+    * [[annexFromPairs]]): the bulk per-suffix exchange carries this
+    * many chars; only FirstBand cap-hits (the duplicated minority) pay
+    * the HeadBand pass. Must be ≥ HeadPreview so stage-1 previews are
+    * exact.
+    */
+  private[graft] val FirstBand = 32
 
   /** Shared-prefix preview, in code points, stored with each annex row
     * (`head` = first min(lcp, HeadPreview) chars of the repeated span) —
@@ -424,26 +531,14 @@ object SuffixArray {
       .repartition(n, col("pid"))
   }
 
-  /** Adjacent pairs in SA order with their band-resolved LCP. Adjacency
-    * without a corpus-wide window: per-partition lead() for
-    * within-partition neighbors, plus the ≤|partitions| boundary pairs
-    * stitched from a partition-count-sized census (the tiny window over
-    * it is bounded by the partition count, not the data).
-    *
-    * The band attach is the index build's corpus pass: two doc-keyed
-    * joins, each projecting the bounded `substr(text, off, HeadBand)`
-    * slice IN-TASK immediately after the join, so document text
-    * crosses exchanges only on the docs-side relays (each document
-    * moves once per join) — the pair stream itself carries at most one
-    * HeadBand slice through one exchange (the doc_b join's probe
-    * side), never whole documents and never band bytes through the
-    * routing sorts. `lcp_c` is the native lcp_chars kernel over the
-    * two bands — in-place byte walk, cost ∝ the actual LCP, capped at
-    * HeadBand; `head` is the bounded span preview (already exact: a
-    * cap-hit's preview is a strict prefix of a ≥ HeadBand-char match).
+  /** Adjacent SKINNY pairs in SA order — (r_a, doc_a, off_a, doc_b,
+    * off_b), no text. Adjacency without a corpus-wide window:
+    * per-partition lead() for within-partition neighbors, plus the
+    * ≤|partitions| boundary pairs stitched from a partition-count-sized
+    * census (the tiny window over it is bounded by the partition count,
+    * not the data).
     */
-  private[graft] def pairScores(sorted: DataFrame, docs: DataFrame,
-                                docCol: String, textCol: String): DataFrame = {
+  private[graft] def pairScores(sorted: DataFrame): DataFrame = {
     val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
     val within = sorted
       .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
@@ -462,40 +557,77 @@ object SuffixArray {
         col("last.off").as("off_a"),
         col("nf.doc_id").as("doc_b"), col("nf.off").as("off_b"))
     within.unionByName(boundary)
+  }
+
+  /** One band pass over a skinny pair stream: two doc-keyed joins, each
+    * projecting the bounded `substr(text, off, band)` slice IN-TASK
+    * immediately after the join, so document text crosses exchanges
+    * only on the docs-side relays (each document moves once per join) —
+    * the pair stream itself carries at most one `band`-char slice
+    * through one exchange (the doc_b join's probe side), never whole
+    * documents. `lcp_c` is the native lcp_chars kernel over the two
+    * bands — in-place byte walk, cost ∝ the actual LCP, capped at
+    * `band`; `head` is the bounded span preview (exact whenever
+    * band ≥ HeadPreview: a cap-hit's preview is a strict prefix of a
+    * ≥ band-char match).
+    */
+  private[graft] def bandPass(pairs: DataFrame, docs: DataFrame,
+                              docCol: String, textCol: String,
+                              band: Int): DataFrame =
+    pairs
       .join(docs.select(col(docCol).cast("long").as("doc_a"),
         col(textCol).as("text_a")), "doc_a")
       .select(col("r_a"), col("doc_a"), col("off_a"),
         col("doc_b"), col("off_b"),
-        expr(s"substr(text_a, CAST(off_a AS INT), $HeadBand)").as("head_a"))
+        expr(s"substr(text_a, CAST(off_a AS INT), $band)").as("head_a"))
       .join(docs.select(col(docCol).cast("long").as("doc_b"),
         col(textCol).as("text_b")), "doc_b")
       .select(col("r_a"), col("doc_a"), col("off_a"),
         col("doc_b"), col("off_b"), col("head_a"),
-        expr(s"substr(text_b, CAST(off_b AS INT), $HeadBand)").as("head_b"))
+        expr(s"substr(text_b, CAST(off_b AS INT), $band)").as("head_b"))
       .withColumn("lcp_c",
         graft.text.Lcp(col("head_a"), lit(1L), col("head_b"), lit(1L)))
       .select(col("r_a"), col("doc_a"), col("off_a"),
         col("doc_b"), col("off_b"), col("lcp_c"),
         expr(s"substr(head_a, 1, CAST(least(lcp_c, $HeadPreview) AS INT))")
           .as("head"))
-  }
 
-  /** Band cap-hit escalation: `lcp_c < HeadBand` is already exact (the
-    * band covered the whole match — including every
-    * one-suffix-is-a-prefix case, where the shorter head ends inside
-    * the band). `lcp_c == HeadBand` means both heads filled the band
-    * and matched end-to-end, so ONLY those rare rows (the genuinely
-    * ≥ HeadBand-char repeats) re-join full text — as skinny keys — for
-    * the exact value. The preview `head` needs no fixup: a cap-hit's
-    * match is ≥ HeadBand > HeadPreview chars, so the banded preview is
-    * already the exact first-HeadPreview slice.
+  /** Staged band cascade over the skinny pairs. Stage 1 runs the cheap
+    * FirstBand pass over EVERY pair — on natural text the vast majority
+    * of adjacent-pair LCPs are short, so the bulk per-suffix exchange
+    * carries FirstBand chars, not HeadBand (the annex's dominant byte
+    * term drops from HeadBand× to FirstBand× corpus size). Stage 2
+    * re-runs only FirstBand cap-hits (the genuinely-duplicated
+    * fraction) at HeadBand; stage 3 escalates HeadBand cap-hits —
+    * `lcp_c == band` means both slices filled the band and matched
+    * end-to-end; anything less is already exact, including every
+    * one-suffix-is-a-prefix case — through a skinny full-text re-join
+    * for the exact value. Those rows are the ≥ HeadBand-char repeats,
+    * which pay their own length. Previews need no fixup across stages:
+    * each stage's band ≥ HeadPreview, so a cap-hit's preview is
+    * recomputed exactly by the next stage.
     */
-  private[graft] def annexFromScored(scored: DataFrame, docs: DataFrame,
-                                     docCol: String, textCol: String): DataFrame = {
-    val easy = scored.filter(col("lcp_c") < HeadBand)
-      .withColumnRenamed("lcp_c", "lcp")
-    val hard = scored.filter(col("lcp_c") === HeadBand)
-      .select("r_a", "doc_a", "off_a", "doc_b", "off_b", "head")
+  private[graft] def annexFromPairs(pairs: DataFrame, docs: DataFrame,
+                                    docCol: String, textCol: String,
+                                    stage: DataFrame => DataFrame = identity,
+                                    bands: Seq[Int] = Seq(FirstBand, HeadBand)): DataFrame = {
+    val keys = Seq("r_a", "doc_a", "off_a", "doc_b", "off_b")
+    val out = keys :+ "lcp" :+ "head"
+    // `stage` cuts each tier before its two consumers (the builder
+    // persists; plan inspection passes identity)
+    var rem = pairs
+    var lastTier: DataFrame = null
+    val tiers = Seq.newBuilder[DataFrame]
+    for (b <- bands) {
+      val s = stage(bandPass(rem, docs, docCol, textCol, b))
+      tiers += s.filter(col("lcp_c") < b).withColumnRenamed("lcp_c", "lcp")
+        .select(out.head, out.tail: _*)
+      lastTier = s
+      rem = s.filter(col("lcp_c") === b).select(keys.head, keys.tail: _*)
+    }
+    val hard = lastTier.filter(col("lcp_c") === bands.last)
+      .select(col("r_a"), col("doc_a"), col("off_a"),
+        col("doc_b"), col("off_b"), col("head"))
       .join(docs.select(col(docCol).cast("long").as("doc_a"),
         col(textCol).as("text_a")), "doc_a")
       .join(docs.select(col(docCol).cast("long").as("doc_b"),
@@ -505,8 +637,7 @@ object SuffixArray {
         graft.text.Lcp(col("text_a"), col("off_a"),
           col("text_b"), col("off_b")).as("lcp"),
         col("head"))
-    easy.select("r_a", "doc_a", "off_a", "doc_b", "off_b", "lcp", "head")
-      .unionByName(hard)
+    (tiers.result() :+ hard).reduce(_ unionByName _)
   }
 
   /** The full annex plan, unmaterialized — exposed so PlanShapeSpec can
@@ -515,8 +646,7 @@ object SuffixArray {
     */
   private[graft] def adjacentLcpPlan(sa: DataFrame, docs: DataFrame,
                                      docCol: String, textCol: String): DataFrame =
-    annexFromScored(pairScores(saSorted(sa), docs, docCol, textCol),
-      docs, docCol, textCol)
+    annexFromPairs(pairScores(saSorted(sa)), docs, docCol, textCol)
 
   /** Build-once adjacent-pair LCP annex — the LCP array beside
     * [[build]]'s suffix array. Lee et al. 2022 serve every
@@ -525,9 +655,10 @@ object SuffixArray {
     * list, cross-corpus contamination) read this one checkpointed
     * skinny frame — (r_a, doc_a, off_a, doc_b, off_b, lcp, head) — and
     * their own plans contain NO join against the documents table. The
-    * annex build's two doc-keyed joins attach the bounded head bands
-    * with in-task projection; full text crosses per-suffix exchanges
-    * only in the rare cap-hit escalation (see [[annexFromScored]]).
+    * annex build attaches bounded head bands with in-task projection
+    * through the staged cascade (FirstBand for every pair, HeadBand
+    * for cap-hits only — see [[annexFromPairs]]); full text crosses
+    * per-suffix exchanges only in the rare final escalation.
     */
   def adjacentLcp(spark: SparkSession, corpusKey: String, docs: => DataFrame,
                   docCol: String, textCol: String): DataFrame = {
@@ -539,14 +670,27 @@ object SuffixArray {
       // of the same ConcurrentHashMap are illegal
       val d = docs
       val sa = build(spark, corpusKey, d, docCol, textCol)
-      builds.computeIfAbsent(key, _ => {
+      // size the cascade from the build's own census: on low-duplication
+      // corpora (natural text) the FirstBand pre-pass resolves the vast
+      // majority of pairs and cuts the bulk exchange 8×; on heavily
+      // duplicated corpora most pairs cap the first band and would pay
+      // both passes, so go straight to HeadBand
+      val dupFrac = Option(dupFracs.get(cacheKey(spark, corpusKey)))
+        .fold(0.0)(_.doubleValue())
+      val bands =
+        if (dupFrac > 0.2) Seq(HeadBand) else Seq(FirstBand, HeadBand)
+      builds.computeIfAbsent(key, _ =>
+        timed(s"adjacent-LCP annex (dupFrac=$dupFrac, bands=$bands)") {
         val sorted = saSorted(sa).persist()
+        val tiers = scala.collection.mutable.ArrayBuffer[DataFrame]()
         try {
-          val scored = pairScores(sorted, d, docCol, textCol).persist()
-          try annexFromScored(scored, d, docCol, textCol)
+          val cut = (df: DataFrame) => { val p = df.persist(); tiers += p; p }
+          annexFromPairs(pairScores(sorted), d, docCol, textCol, cut, bands)
             .localCheckpoint(true)
-          finally scored.unpersist()
-        } finally sorted.unpersist()
+        } finally {
+          tiers.foreach(_.unpersist())
+          sorted.unpersist()
+        }
       })
     }
   }

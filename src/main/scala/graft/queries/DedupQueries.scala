@@ -46,10 +46,12 @@ object DedupQueries {
     * same checkpointed skinny frame — their own plans contain no join
     * against the documents table and no corpus text column. Full text
     * never crosses a per-suffix exchange inside the annex build either:
-    * its two doc-keyed joins project a bounded head band (256 chars)
-    * in-task, the LCP is the native lcp_chars kernel over the two
-    * bands, and only band cap hits (the rare ≥256-char repeats, which
-    * pay their own length) escalate through a skinny full-text re-join.
+    * its doc-keyed joins project bounded head bands in-task through a
+    * staged cascade (32 chars for every pair, 256 only for the
+    * duplicated minority that caps the first band), the LCP is the
+    * native lcp_chars kernel over the bands, and only 256-band cap
+    * hits (the rare ≥256-char repeats, which pay their own length)
+    * escalate through a skinny full-text re-join.
     *
     * Columns: (r_a, doc_a, off_a, doc_b, off_b, lcp, head); `r_a` is
     * the left row's suffix rank, so (r_a, doc_a, off_a) is the pair's
