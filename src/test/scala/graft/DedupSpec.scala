@@ -178,6 +178,41 @@ class DedupSpec extends SparkSpec {
     graft.dedup.SuffixArray.clearCache()
   }
 
+  test("annex band cascade and single-band pass agree on all three LCP strata") {
+    // the annex sizes its bands adaptively (cascade on low-duplication
+    // corpora, straight-to-HeadBand on heavy ones); both configurations
+    // must produce identical annex rows. The corpus spans every
+    // stratum: LCPs below FirstBand (resolved by the 32-band alone),
+    // between the bands (stage-2 territory), and past HeadBand (the
+    // full-text escalation) — so each tier of the cascade carries rows.
+    import graft.dedup.SuffixArray
+    val rnd = new scala.util.Random(59)
+    def blk(n: Int) = Array.fill(n)(('a' + rnd.nextInt(3)).toChar).mkString
+    val (mid, big) = (blk(80), blk(300))
+    val corpus = Seq(
+      1L -> (mid + "tailA" + big), 2L -> (big + "x" + mid),
+      3L -> "completely different text", 4L -> blk(40))
+    val docs = corpus.toDF("doc_id", "text")
+    SuffixArray.clearCache()
+    val sa = SuffixArray.ranks(docs, "doc_id", "text")
+    val pairs = SuffixArray.pairScores(SuffixArray.saSorted(sa))
+      .localCheckpoint(true)
+    def annex(bands: Seq[Int]) =
+      SuffixArray.annexFromPairs(pairs, docs, "doc_id", "text",
+          bands = bands)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)) -> (r.getLong(5), r.getString(6))).toMap
+    val cascade = annex(Seq(SuffixArray.FirstBand, SuffixArray.HeadBand))
+    val single = annex(Seq(SuffixArray.HeadBand))
+    val strata = cascade.values.map(_._1).toSeq
+    assert(strata.exists(_ < SuffixArray.FirstBand) &&
+      strata.exists(l => l >= SuffixArray.FirstBand && l < SuffixArray.HeadBand) &&
+      strata.exists(_ >= SuffixArray.HeadBand),
+      s"corpus must populate all three LCP strata: ${strata.sorted.reverse.take(8)}")
+    assert(cascade == single)
+    SuffixArray.clearCache()
+  }
+
   test("suffix-array ranks reproduce brute-force lexicographic order") {
     // duplicate docs make genuinely equal suffixes: those must SHARE a
     // rank; everything else must order exactly like the suffix strings
