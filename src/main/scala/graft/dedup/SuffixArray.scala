@@ -77,12 +77,13 @@ import org.apache.spark.sql.functions._
   *     ⌈log_m(maxLen/initK)⌉ — at m = 8 a 4096-char corpus resolves in
   *     two rounds from initK = 64.
   *   - text extension (frozen mode only) — sort the active set by the
-  *     next E chars read from the docs table, E = extBudgetBytes /
+  *     next E chars read from the docs table, E = extBudgetChars /
   *     |active| (capped at what maxLen still needs), advancing depth
   *     k → k+E in one round. When the active set is small relative to
   *     remaining length (long-document corpora, late rounds) this
   *     finishes in one round what doubling would take several; the
-  *     byte budget keeps the sort-cost class flat at any corpus size.
+  *     char budget (≤ 4× in bytes under multi-byte UTF-8) keeps the
+  *     sort-cost class flat at any corpus size.
   * Rounds run over the shrinking ambiguous set. Each round's census yields two EXACT early exits with
   * no extra job: no suffix still ambiguous, or no refinement this
   * round — if doubling at k splits nothing, classes are closed under
@@ -267,9 +268,9 @@ object SuffixArray {
     */
   def ranks(docs: DataFrame, docCol: String, textCol: String,
             initK: Int = 64, maxRounds: Int = 40,
-            maxFanout: Int = 8, extBudgetBytes: Long = 64L << 20): DataFrame =
+            maxFanout: Int = 8, extBudgetChars: Long = 64L << 20): DataFrame =
     ranksWithStats(docs, docCol, textCol, initK, maxRounds, maxFanout,
-      extBudgetBytes)._1
+      extBudgetChars)._1
 
   /** [[ranks]] plus the measured base-rank duplication fraction
     * (ambiguous rows / total after depth-initK — what the annex's band
@@ -277,7 +278,7 @@ object SuffixArray {
     */
   private[graft] def ranksWithStats(docs: DataFrame, docCol: String, textCol: String,
             initK: Int = 64, maxRounds: Int = 40,
-            maxFanout: Int = 8, extBudgetBytes: Long = 64L << 20): (DataFrame, Double) = {
+            maxFanout: Int = 8, extBudgetChars: Long = 64L << 20): (DataFrame, Double) = {
     val base = docs.select(col(docCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
 
@@ -289,16 +290,20 @@ object SuffixArray {
     // sort-key bytes (round cost is materialization-bound, not
     // comparison-bound).
     val n0 = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val prefixes = base
+    // decouple the explode's parallelism from the SCAN's partitioning:
+    // a compact docs file (few scan tasks, or long documents) would
+    // otherwise serialize the ~len(doc)× fan-out, the substr kernel and
+    // the base round's input materialization into those few tasks. One
+    // doc-sized exchange, before the fan-out multiplies the bytes — and
+    // ONLY when the input is actually under-split: a well-partitioned
+    // corpus must not pay a corpus-text shuffle for nothing.
+    val nonEmpty = base.filter(length(col("text")) >= 1)
+    val spread =
+      if (nonEmpty.rdd.getNumPartitions < n0) nonEmpty.repartition(n0)
+      else nonEmpty
+    val prefixes = spread
       // sequence(1, 0) would DESCEND ([1, 0]) — empty docs must not
-      // reach the explode
-      .filter(length(col("text")) >= 1)
-      // decouple the explode's parallelism from the SCAN's partitioning:
-      // a compact docs file (few scan tasks, or long documents) would
-      // otherwise serialize the ~len(doc)× fan-out, the substr kernel
-      // and the base round's input materialization into those few tasks.
-      // One doc-sized exchange, before the fan-out multiplies the bytes.
-      .repartition(n0)
+      // reach the explode (hence the length filter above)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("off32"))
       .select(col("doc_id"), col("off32").cast("long").as("off"),
@@ -375,7 +380,7 @@ object SuffixArray {
       // class unchanged at any corpus size.
       val extAdv =
         if (!frozenMode) 0L
-        else math.min(maxLen - k, extBudgetBytes / math.max(nActive, 1L))
+        else math.min(maxLen - k, extBudgetChars / math.max(nActive, 1L))
       // extension vs doubling, by depth reached: k+extAdv vs mDoub·k
       val useExt = frozenMode && extAdv > (mDoub - 1).toLong * k
       val (paired, keys2) = if (!frozenMode) {
@@ -388,10 +393,17 @@ object SuffixArray {
         // comparison semantics
         (withLeads.na.fill(-1L, rCols), "r" +: rCols)
       } else if (useExt) {
+        // clamp the substr position into int range: off + k can pass
+        // 2^31 even though a single document never can (a Spark string
+        // is array-backed), and a wrapped-negative pos would silently
+        // read from the END of the string. Past-the-end positions —
+        // including the clamp value itself — yield '', the correct
+        // strict-prefix key for an exhausted suffix.
+        val pos = s"CAST(least(off + $k, ${Int.MaxValue}L) AS INT)"
         val ext = strip(active)
           .join(base.select(col("doc_id"), col("text")), "doc_id")
           .select(col("doc_id"), col("off"), col("r"),
-            expr(s"substr(text, CAST(off + $k AS INT), $extAdv)").as("ext"))
+            expr(s"substr(text, $pos, $extAdv)").as("ext"))
         (ext, Seq("r", "ext"))
       } else {
         // one corpus-sized map scan serves every delta: probes carry
@@ -611,20 +623,27 @@ object SuffixArray {
                                     docCol: String, textCol: String,
                                     stage: DataFrame => DataFrame = identity,
                                     bands: Seq[Int] = Seq(FirstBand, HeadBand)): DataFrame = {
+    require(bands.nonEmpty, "annex cascade needs at least one band")
     val keys = Seq("r_a", "doc_a", "off_a", "doc_b", "off_b")
     val out = keys :+ "lcp" :+ "head"
-    // `stage` cuts each tier before its two consumers (the builder
-    // persists; plan inspection passes identity)
-    var rem = pairs
-    var lastTier: DataFrame = null
-    val tiers = Seq.newBuilder[DataFrame]
-    for (b <- bands) {
-      val s = stage(bandPass(rem, docs, docCol, textCol, b))
-      tiers += s.filter(col("lcp_c") < b).withColumnRenamed("lcp_c", "lcp")
+    // rows under a band's cap are exact — they leave the cascade here
+    def resolved(tier: DataFrame, band: Int): DataFrame =
+      tier.filter(col("lcp_c") < band).withColumnRenamed("lcp_c", "lcp")
         .select(out.head, out.tail: _*)
-      lastTier = s
-      rem = s.filter(col("lcp_c") === b).select(keys.head, keys.tail: _*)
-    }
+    // `stage` cuts each tier before its two consumers (the builder
+    // persists; plan inspection passes identity). Each tier's cap-hits
+    // (lcp_c == band) feed the next band as skinny keys; the final
+    // tier's cap-hits take the full-text escalation.
+    val tiers = Seq.newBuilder[DataFrame]
+    val firstTier = stage(bandPass(pairs, docs, docCol, textCol, bands.head))
+    tiers += resolved(firstTier, bands.head)
+    val lastTier = bands.tail.foldLeft((firstTier, bands.head)) {
+      case ((prev, prevBand), b) =>
+        val s = stage(bandPass(prev.filter(col("lcp_c") === prevBand)
+          .select(keys.head, keys.tail: _*), docs, docCol, textCol, b))
+        tiers += resolved(s, b)
+        (s, b)
+    }._1
     val hard = lastTier.filter(col("lcp_c") === bands.last)
       .select(col("r_a"), col("doc_a"), col("off_a"),
         col("doc_b"), col("off_b"), col("head"))
@@ -699,5 +718,5 @@ object SuffixArray {
     * checkpoint blocks of dropped frames are reclaimed by the
     * ContextCleaner once unreferenced.
     */
-  def clearCache(): Unit = builds.clear()
+  def clearCache(): Unit = { builds.clear(); dupFracs.clear() }
 }
