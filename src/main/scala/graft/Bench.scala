@@ -30,10 +30,12 @@ object Bench {
     // cross-pass min and the total — a fast time-to-exception must never
     // masquerade as a fast query
     def onePass(): Map[String, Double] = {
-      // each pass pays exactly one suffix-array build: reuse WITHIN a
-      // pass is the index-engine design, but a warm second pass hiding
-      // the whole build cost from the min would be dishonest
+      // each pass pays exactly one suffix-array build and one BPE
+      // training loop: reuse WITHIN a pass is the artifact design
+      // (index / trained tokenizer), but a warm second pass hiding a
+      // whole build cost from the min would be dishonest
       graft.dedup.SuffixArray.clearCache()
+      graft.queries.CurationQueries.clearCache()
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

@@ -538,7 +538,26 @@ object CurationQueries {
     * single action over finalSyms recomputes the vocabulary-sized chain
     * once.
     */
+  /** Train-once memo, keyed like SuffixArray.build: a trained tokenizer
+    * is a pipeline ARTIFACT — q227 publishes the merge table, q233
+    * applies it; a suite pass pays exactly one training loop (Bench
+    * clears this per pass alongside the SA cache, so the artifact still
+    * prices one honest training). The memoized finalSyms frame is a
+    * lazy vocabulary-sized chain — consumers re-run it on action; only
+    * the K driver-side argmax collects are the amortized cost.
+    */
+  private val trained = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame)]()
+
+  def clearCache(): Unit = trained.clear()
+
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    trained.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|$dir",
+      _ => bpeTrainUncached(s, dir))
+
+  private def bpeTrainUncached(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     val cached = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
     val words = Tables.documents(s, dir)
