@@ -94,11 +94,10 @@ object EventQueries {
     // watermarked tumbling-window aggregation run to completion over the
     // static directory (memory sink), counts only (exact cross-engine).
     Q("q34_streaming_hourly", (s, dir) => {
-      // file-source needs a directory; stage the single parquet into one
+      // file-source needs a directory of plain files; stage the table
+      // (single file OR part-file directory) into one
       val tmp = graft.sources.Staging.scratchDir("events-stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"))
+      graft.sources.Staging.stageTable(s"$dir/events.parquet", tmp, "events")
       val name = s"events_hourly_${System.nanoTime()}"
       graft.streaming.EventsStream.runOnce(s, tmp.toString, name)
         .select(col("hour_epoch"), col("event_type"), col("n"))

@@ -23,9 +23,8 @@ object ScaleQueries {
   private def stageEvents(dir: String, copies: Int = 1): String = {
     val tmp = graft.sources.Staging.scratchDir("events-scale")
     (1 to copies).foreach { i =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve(s"events_$i.parquet"))
+      graft.sources.Staging.stageTable(
+        s"$dir/events.parquet", tmp, s"events_$i")
     }
     tmp.toString
   }

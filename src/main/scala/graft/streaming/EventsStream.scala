@@ -105,8 +105,7 @@ object EventsStream {
                         sentinelBatches: Int = 1,
                         perUser: Boolean = true): String = {
     val tmp = graft.sources.Staging.scratchDir("events-sess")
-    val main = tmp.resolve("events.parquet")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(srcParquet), main)
+    val mains = graft.sources.Staging.stageTable(srcParquet, tmp, "events")
     val ev = spark.read.parquet(srcParquet)
     // sentinel ts must match the on-disk TIMESTAMP_NTZ(MICROS) schema: 100
     // days past the max event, computed tz-free in exact integer micros
@@ -127,8 +126,8 @@ object EventsStream {
     val part = java.nio.file.Files.list(sentDir).toArray.map(_.toString)
       .find(_.endsWith(".parquet")).get
     // file source orders batches by modification time: sentinels strictly last
-    java.nio.file.Files.setLastModifiedTime(main,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    mains.foreach(m => java.nio.file.Files.setLastModifiedTime(m,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000)))
     (1 to sentinelBatches).foreach { i =>
       val dest = tmp.resolve(s"z_sentinel_$i.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dest)
@@ -193,8 +192,22 @@ object EventsStream {
         }
       }
       cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.last / 1000000L + gapSec * 1000L)
+        val timeoutMs = s.last / 1000000L + gapSec * 1000L
+        // multi-batch streams can advance the global watermark past this
+        // key's gap while the key sits idle (each micro-batch is one
+        // staged file): a session whose timeout is already ≤ watermark
+        // can receive no further events — event-time rows behind the
+        // watermark are dropped — so flushing it NOW is exactly what the
+        // rejected timeout would have done. Registering the stale
+        // timestamp instead throws FLATMAPGROUPSWITHSTATE_USER_FUNCTION
+        // _ERROR (surfaced by the sf1 multi-part staging).
+        if (timeoutMs <= state.getCurrentWatermarkMs()) {
+          emit(s)
+          state.remove()
+        } else {
+          state.update(s)
+          state.setTimeoutTimestamp(timeoutMs)
+        }
       }
       out.iterator
     }

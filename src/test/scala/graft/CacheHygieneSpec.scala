@@ -12,11 +12,28 @@ class CacheHygieneSpec extends SparkSpec {
 
   private def awaitNoPersistentRdds(timeoutMs: Long = 10000): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
+    var i = 0
     while (System.currentTimeMillis() < deadline) {
       if (spark.sparkContext.getPersistentRDDs.isEmpty) return true
+      // dropped build-once memo frames (SA index / BPE artifact) free
+      // their localCheckpoint blocks via the ContextCleaner, which only
+      // fires once the frame is GC'd — nudge it while polling
+      if (i % 10 == 0) System.gc()
+      i += 1
       Thread.sleep(100)
     }
     spark.sparkContext.getPersistentRDDs.isEmpty
+  }
+
+  /** Order-independent isolation: prior suites may legitimately hold
+    * build-once artifact memos (the SA index and the BPE merge table
+    * both keep checkpoint-backed frames alive BY DESIGN); this spec's
+    * contract is about scoped-cache leaks, so drop the memos first.
+    */
+  private def isolate(): Unit = {
+    spark.catalog.clearCache()
+    graft.dedup.SuffixArray.clearCache()
+    graft.queries.CurationQueries.clearCache()
   }
 
   // the judge-flagged cache-heavy representatives: triangle count,
@@ -29,7 +46,7 @@ class CacheHygieneSpec extends SparkSpec {
       "q181_assoc_rules", "q190_label_propagation", "q182_bfs_layers",
       "q213_substring_dedup", "q223_attribution", "q224_pca_power")) {
     test(s"$q leaves no persisted RDDs after its action") {
-      spark.catalog.clearCache() // isolate from prior suites
+      isolate() // order-independent: drop table caches AND artifact memos
       assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs")
       val rows = SparkEntry.queries(q)(spark, sf).count()
       assert(rows > 0)
@@ -41,7 +58,7 @@ class CacheHygieneSpec extends SparkSpec {
 
   test("an abandoned scope (frame built, never executed) is swept by later scopes") {
     import org.apache.spark.sql.functions._
-    spark.catalog.clearCache()
+    isolate()
     assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs")
     import spark.implicits._
     // build a scoped frame and NEVER run an action on it — the old
@@ -72,6 +89,7 @@ class CacheHygieneSpec extends SparkSpec {
   }
 
   test("scoped caches ARE used during the consuming action") {
+    isolate()
     // the frame persisted by the query body must be cached while the
     // action runs (scopedPersist is persist, not a no-op): check the
     // physical plan contains an InMemoryTableScan
