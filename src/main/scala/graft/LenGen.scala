@@ -33,6 +33,10 @@ object LenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$in/documents.parquet")
+    // full documents schema: the probe dataset must be a drop-in
+    // replacement for the whole registry, not just the SA family —
+    // lang/source ride from the group-min doc, n_chars is recomputed
+    // from the merged text
     val merged = docs
       .withColumn("grp", concat_ws("_",
         pmod(col("doc_id").cast("long"), lit(10L)),
@@ -40,8 +44,11 @@ object LenGen {
       .groupBy("grp")
       .agg(min(col("doc_id")).as("doc_id"),
         concat_ws("", array_sort(collect_list(struct(col("doc_id").as("k"),
-          col("text")))).getField("text")).as("text"))
+          col("text")))).getField("text")).as("text"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("source"), col("doc_id")).as("source"))
       .drop("grp")
+      .withColumn("n_chars", length(col("text")).cast("long"))
     merged.write.mode("overwrite").parquet(s"$out/documents.parquet")
     val stats = spark.read.parquet(s"$out/documents.parquet")
       .agg(count(lit(1)),
