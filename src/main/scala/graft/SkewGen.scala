@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Key-SKEW stress corpus: same tables, adversarial key distribution.
+  * ScaleGen probes corpus ×N and LenGen probes document length ×N; this
+  * third axis probes the skew regimes a web-scale corpus actually has —
+  * a handful of power-law-head keys owning a constant fraction of the
+  * data. Two deterministic distortions of an input sf dir:
+  *
+  *  - events: 30% of rows (event_id % 10 < 3) are rerouted to the modal
+  *    user — one user_id owns ~30% of all events, the worst case for
+  *    user-keyed windows, sessionization, and stream-state stores.
+  *  - documents: 20% of docs (doc_id % 5 == 0) are overwritten with one
+  *    shared text (the longest document, ties by doc_id) — a single
+  *    exact-duplicate group of corpus/5 members, the worst case for
+  *    LSH banding (one mega-bucket), set-similarity prefix filtering,
+  *    and connected-components dedup.
+  *
+  * All other tables are copied through unchanged so the output dir is a
+  * drop-in for the full registry. Deterministic: no RNG, the routing is
+  * pure id arithmetic.
+  *
+  * Usage: SkewGen <inSfDir> <outDir>
+  */
+object SkewGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: SkewGen <inSfDir> <outDir>")
+    val Array(in, out) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-skewgen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = spark.read.parquet(s"$in/events.parquet")
+    val hot = events.groupBy("user_id").count()
+      .orderBy(desc("count"), asc("user_id")).head().getLong(0)
+    events
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(10L)) < 3, lit(hot))
+          .otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val docs = spark.read.parquet(s"$in/documents.parquet")
+    val sharedText = docs
+      .orderBy(length(col("text")).desc, col("doc_id").asc)
+      .select("text").head().getString(0)
+    docs
+      .withColumn("dup", pmod(col("doc_id"), lit(5L)) === 0)
+      .withColumn("text", when(col("dup"), lit(sharedText)).otherwise(col("text")))
+      .withColumn("n_chars",
+        when(col("dup"), lit(sharedText.length.toLong)).otherwise(col("n_chars")))
+      .drop("dup")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings")) {
+      spark.read.parquet(s"$in/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    val he = spark.read.parquet(s"$out/events.parquet")
+      .agg(count(lit(1)), sum(when(col("user_id") === hot, 1L).otherwise(0L)))
+      .head()
+    val hd = spark.read.parquet(s"$out/documents.parquet")
+      .agg(count(lit(1)),
+        sum(when(col("text") === sharedText, 1L).otherwise(0L))).head()
+    println(s"[skewgen] hotUser=$hot events=${he.getLong(0)} " +
+      s"hotEvents=${he.getLong(1)} docs=${hd.getLong(0)} dupDocs=${hd.getLong(1)}")
+    spark.stop()
+  }
+}
