@@ -162,36 +162,79 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash
 
-  /** MinHash-LSH near-dup pairs over (id, text): banded candidates from a
-    * skinny (id, band_idx, band_key) shuffle, exact Jaccard over the
-    * hashed shingle sets for verification — the same metric the
-    * signatures estimate, so the (1-J^r)^b recall bound applies to the
-    * final result. Defaults (48 bands × 3 rows): a J=0.64 pair is missed
-    * w.p. (1-0.64³)⁴⁸ ≈ 5e-7, while J≤0.1 background pairs become
-    * candidates w.p. ≤0.6% — band width is the precision/recall lever,
-    * and candidate volume (not signature cost) is what explodes when r is
-    * too small. Returns (id_a, id_b, jaccard) with id_a < id_b.
+  /** 128-bit content key of a sorted-distinct hash array — two
+    * independently seeded folds over the (deterministically ordered)
+    * elements. Across 10^10 distinct shingle sets the any-collision
+    * probability is ~3e-19, so equal keys are treated as identical sets.
     */
-  def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.5,
-                      k: Int = 144, bands: Int = 48): DataFrame = {
+  private def contentKey(hs: Array[Long]): (Long, Long) = {
+    var a = 0x243f6a8885a308d3L
+    var b = 0x13198a2e03707344L
+    var i = 0
+    while (i < hs.length) {
+      a = seeded(a ^ hs(i), 1); b = seeded(b + hs(i), 2); i += 1
+    }
+    (a, b)
+  }
+
+  /** Exact-first canonicalized MinHash-LSH substrate. A raw banded
+    * self-join is O(bands · g²) in the size g of an exact-duplicate
+    * group (all members share every band key), and re-verifies every
+    * member pair — on a web-scale corpus where one boilerplate text can
+    * own percents of the documents, that mega-bucket is THE scale
+    * killer of naive LSH (measured ×5-7 on the SkewGen corpus, where
+    * g = 20% of docs). So identical shingle sets are collapsed FIRST:
+    * group by a 128-bit content key of the hashed shingle set (the
+    * exact currency Jaccard is computed over, so "identical" here is
+    * precisely "Jaccard 1.0 with certainty"), elect the minimum id as
+    * representative, and run banding + verification over
+    * representatives only. Because identical sets imply identical
+    * signatures, band keys, and Jaccard against any third document,
+    * expanding representative-level results back over group membership
+    * reproduces the naive output bit-for-bit — while banding work,
+    * candidate volume, and verify joins scale with DISTINCT texts.
+    *
+    * Returns (membership, repPairs): membership is the persisted skinny
+    * (id, rep) map; repPairs is (rep_a, rep_b, jaccard), rep_a < rep_b,
+    * verified ≥ threshold, over distinct-text representatives.
+    */
+  private def minHashSubstrate(docs: DataFrame, idCol: String, textCol: String,
+                               threshold: Double, k: Int, bands: Int)
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rowsPerBand = k / bands
-    // Persisted: feeds the band generation AND both verify joins — the
-    // plan would otherwise re-run clean+shingle+hash three times. Tiny
-    // relative to the corpus (~n_shingles longs per doc).
-    val hashed = docs.select(
+    // Persisted: feeds the rep census, the band generation AND both
+    // verify joins — the plan would otherwise re-run clean+shingle+hash
+    // four times. Tiny relative to the corpus (~n_shingles longs/doc).
+    val keyed = docs.select(
         col(idCol).as("id"),
         TextOps.tokens(TextOps.cleanText(col(textCol))).as("toks"))
       .as[(Long, Seq[String])]
-      .map { case (id, toks) => (id, shingleHashesFromTokens(toks).toSeq) }
-      .toDF("id", "hs")
+      .map { case (id, toks) =>
+        val hs = shingleHashesFromTokens(toks)
+        val ck = contentKey(hs)
+        (id, hs.toSeq, ck._1, ck._2)
+      }
+      .toDF("id", "hs", "k1", "k2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // one representative (min id) per distinct shingle set; the census
+    // shuffle is skinny (k1, k2, id) with map-side partial min, so a
+    // corpus-dominating duplicate group costs one combiner, not one
+    // task. The membership join's hot key is the AQE skew-join case.
+    val reps = keyed.groupBy("k1", "k2").agg(min(col("id")).as("rep"))
+    val membership = keyed.select("id", "k1", "k2")
+      .join(reps, Seq("k1", "k2"))
+      .select(col("id"), col("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val repHashed = keyed
+      .join(reps.select(col("rep").as("id")), Seq("id"), "left_semi")
 
     // Persisted: self-joined below — without it the k-hash signature
     // computation (the expensive sketch step) executes once per join side.
-    val bandRows = hashed.as[(Long, Seq[Long])]
+    val bandRows = repHashed.select("id", "hs").as[(Long, Seq[Long])]
       .flatMap { case (id, hs) =>
         bandKeysJvm(signatureFromHashes(hs.toArray, k), bands, rowsPerBand)
           .zipWithIndex.map { case (bk, bi) => (id, bi, bk) }
@@ -206,12 +249,76 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    cands
-      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val repPairs = cands
+      .join(keyed.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
         jaccardSortedUdf(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (membership, repPairs)
+  }
+
+  /** MinHash-LSH near-dup pairs over (id, text): banded candidates from a
+    * skinny (id, band_idx, band_key) shuffle over distinct-text
+    * representatives (see [[minHashSubstrate]] for the exact-first
+    * canonicalization), exact Jaccard over the hashed shingle sets for
+    * verification — the same metric the signatures estimate, so the
+    * (1-J^r)^b recall bound applies to the final result. Defaults (48
+    * bands × 3 rows): a J=0.64 pair is missed w.p. (1-0.64³)⁴⁸ ≈ 5e-7,
+    * while J≤0.1 background pairs become candidates w.p. ≤0.6% — band
+    * width is the precision/recall lever, and candidate volume (not
+    * signature cost) is what explodes when r is too small. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b. NOTE the all-PAIRS contract
+    * is itself quadratic in exact-duplicate group size (g identical docs
+    * ARE C(g,2) true pairs); pipelines that only need groups should take
+    * [[minHashClusterEdges]], whose output is linear.
+    */
+  def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5,
+                      k: Int = 144, bands: Int = 48): DataFrame = {
+    val (membership, repPairs) =
+      minHashSubstrate(docs, idCol, textCol, threshold, k, bands)
+    // within an identical-text group every pair is a true pair at
+    // Jaccard exactly 1.0 (the naive band join always emitted them:
+    // identical signatures collide in all bands) — pure expansion join,
+    // no per-pair verification
+    val within = membership.as("a")
+      .join(membership.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= threshold)
+    // a representative pair expands to every cross-group member pair,
+    // all at the representatives' (text-determined) Jaccard
+    val cross = repPairs
+      .join(membership.select(col("rep").as("rep_a"), col("id").as("ia")), "rep_a")
+      .join(membership.select(col("rep").as("rep_b"), col("id").as("ib")), "rep_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** LINEAR near-dup edge list whose connected components equal those of
+    * the full [[minHashDupPairs]] pair graph: one star edge per
+    * non-representative member (rep ↔ member spans each identical-text
+    * group) plus the verified representative pairs (spanning the
+    * cross-group links). Component membership — hence every min-id
+    * cluster label — is identical to the quadratic pair list's, but the
+    * edge count is O(corpus + distinct-text pairs) instead of
+    * O(Σ g²): the form a dedup pipeline should feed to connected
+    * components at scale.
+    */
+  def minHashClusterEdges(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.5,
+                          k: Int = 144, bands: Int = 48): DataFrame = {
+    val (membership, repPairs) =
+      minHashSubstrate(docs, idCol, textCol, threshold, k, bands)
+    val star = membership
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .filter(lit(1.0) >= threshold)
+    star.unionByName(repPairs.select(col("rep_a").as("id_a"),
+      col("rep_b").as("id_b")))
   }
 
   /** Connected components over an undirected pair list: every vertex maps

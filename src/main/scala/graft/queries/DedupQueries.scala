@@ -142,8 +142,10 @@ object DedupQueries {
     // Docs in no pair are their own cluster.
     Q("q43_dedup_clusters", (s, dir) => {
       val corpus = dupCorpus(Tables.documents(s, dir))
-      val pairs = Dedup.minHashDupPairs(corpus, "id", "text", threshold = 0.5)
-        .select("id_a", "id_b")
+      // the LINEAR star+rep edge list — same components as the full pair
+      // graph (Dedup.minHashClusterEdges) without materializing the
+      // C(g,2) pairs of an exact-duplicate group
+      val pairs = Dedup.minHashClusterEdges(corpus, "id", "text", threshold = 0.5)
       val clustered = Dedup.connectedComponents(pairs, "id_a", "id_b")
       corpus.select(col("id"))
         .join(clustered, Seq("id"), "left")
@@ -255,8 +257,7 @@ object DedupQueries {
     // ambiguity); cluster state never exceeds one row per cluster.
     Q("q169_dedup_keep_best", (s, dir) => {
       val corpus = dupCorpus(Tables.documents(s, dir))
-      val pairs = Dedup.minHashDupPairs(corpus, "id", "text", threshold = 0.5)
-        .select("id_a", "id_b")
+      val pairs = Dedup.minHashClusterEdges(corpus, "id", "text", threshold = 0.5)
       val clustered = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val withC = corpus
         .select(col("id"), length(col("text")).cast("long").as("len"))

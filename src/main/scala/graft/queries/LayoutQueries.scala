@@ -242,27 +242,37 @@ object LayoutQueries {
 
     // Point-in-time (as-of state) lookup against the SCD2 dimension —
     // the feature-store join: for every purchase, the user's state ONE
-    // HOUR BEFORE the purchase, resolved by validity interval. The join
-    // is an equi-join on the entity key (user_id) with the interval
-    // predicate as a residual filter — intervals partition time, so at
-    // most one row survives per probe; state history per key is what
-    // moves, never the fact stream cross any interval table. Purchases
-    // before the user's first recorded state land in '(none)'.
+    // HOUR BEFORE the purchase, resolved by validity interval. SCD2
+    // intervals are contiguous and disjoint per user (valid_to =
+    // next_from − 1), so "the interval containing pit" is exactly "the
+    // last state change at-or-before pit" — resolved by the q42
+    // tagged-union + running-last window, one shuffle on user_id and
+    // LINEAR per-user cost. (The equi-join-with-interval-residual
+    // formulation forms probes × intervals pairs per user before the
+    // residual filters them — quadratic in one user's history, a
+    // measured hot spot on the SkewGen corpus.) State rows sort before
+    // probes at equal time (src tag), and among same-microsecond state
+    // changes the highest change_id wins — both matching the interval
+    // semantics (a change at exactly pit applies; a same-instant
+    // superseded change has an empty interval). Purchases before the
+    // user's first recorded state land in '(none)'.
     Q("q130_pit_join", (s, dir) => {
       val HourUs = 3600L * 1000000L
       val iv = scd2Intervals(s, dir)
-        .select(col("user_id"), col("state"),
-          col("valid_from_us"), col("valid_to_us"))
+        .select(col("user_id"), col("valid_from_us").as("t"),
+          lit(0).as("src"), col("change_id").as("tie"), col("state"),
+          lit(null).cast("long").as("event_id"))
       val probes = EventQueries.events(s, dir)
         .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("event_id"),
-          (expr("ts div 1000") - HourUs).as("pit_us"))
-      probes.join(iv,
-          col("p_user") === col("user_id") &&
-            col("valid_from_us") <= col("pit_us") &&
-            (col("valid_to_us") === -1L || col("pit_us") <= col("valid_to_us")),
-          "left")
-        .select(col("event_id"), coalesce(col("state"), lit("(none)")).as("st"))
+        .select(col("user_id"), (expr("ts div 1000") - HourUs).as("t"),
+          lit(1).as("src"), lit(Long.MaxValue).as("tie"),
+          lit(null).cast("string").as("state"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("t", "src", "tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.unionByName(probes)
+        .withColumn("st", last(col("state"), ignoreNulls = true).over(w))
+        .filter(col("src") === 1)
+        .select(coalesce(col("st"), lit("(none)")).as("st"))
         .groupBy(col("st").as("state_1h_before_purchase"))
         .agg(count(lit(1)).as("n_purchases"))
         .orderBy("state_1h_before_purchase")

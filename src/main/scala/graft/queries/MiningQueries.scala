@@ -1397,8 +1397,9 @@ object MiningQueries {
     // purchase distributes one unit of credit over the user's
     // click/view touches in the trailing 24 h; no-touch purchases
     // credit a 'direct' channel. The purchase↔touch pairing is an
-    // equi-join on user_id with nanosecond range predicates (per-user
-    // bounded, no theta join); weights are rounded at the pow() seam
+    // equi-join on (user_id, day-bucket) with range predicates as
+    // residual (per-user-DAY bounded, no theta join — see the bucketing
+    // note below); weights are rounded at the pow() seam
     // (9dp) and normalized by exact per-purchase decimal sums, so
     // credit conservation holds bit-for-bit on both engines.
     Q("q223_attribution", (s, dir) => {
@@ -1412,7 +1413,22 @@ object MiningQueries {
       val touches = ev.filter(col("event_type").isin("click", "view"))
         .select(col("user_id"), expr("ts div 1000").as("tts"),
           col("event_type").as("channel"))
-      val paired = purchases.join(touches, Seq("user_id"))
+      // day-bucketed pairing: a plain user_id equi-join forms ALL
+      // (purchase, touch) pairs of a user before the time filter runs —
+      // quadratic in one user's history, the measured ×5 hot spot on the
+      // SkewGen corpus (one user owning 30% of events). The trailing-24h
+      // predicate means a qualifying touch lies in the purchase's
+      // day-bucket or the one before, so each touch is replicated into
+      // its own and the NEXT bucket and the bucket rides the equi-key:
+      // every within-24h pair forms in exactly one (user, day) cell
+      // (the cell where bkt = pts div day), pair volume is bounded per
+      // user-DAY, and the hot key splits across the timeline.
+      val paired = purchases
+        .withColumn("bkt", expr(s"pts div ${dayUs}L"))
+        .join(touches.withColumn("bkt",
+            explode(array(expr(s"tts div ${dayUs}L"),
+              expr(s"tts div ${dayUs}L") + 1L))),
+          Seq("user_id", "bkt"))
         .filter(col("tts") <= col("pts") && col("tts") > col("pts") - dayUs)
         .select(col("pid"), col("channel"),
           round(pow(lit(2.0),

@@ -99,7 +99,15 @@ object ScaleQueries {
     // within the following hour, both sides watermarked (state on each
     // side is bounded by watermark + the join's time range — the
     // attribution-join shape). Append mode emits exactly the batch
-    // range-join result.
+    // range-join result. The equi-key carries an HOUR bucket alongside
+    // user_id: a purchase within [view_ts, view_ts+1h] lies in the
+    // view's hour-bucket or the next, so each view is replicated into
+    // both cells (exactly one can match any given purchase — inner-join
+    // safe) and per-key state probes are bounded per (user, hour) rather
+    // than per user. Without it a hot user owning 30% of the stream
+    // (the SkewGen corpus) makes every arriving purchase probe the
+    // user's ENTIRE buffered view state — a measured ×5. The range
+    // predicates are unchanged, so watermark state eviction is too.
     Q("q39_stream_stream_join", (s, dir) => {
       // both sides branch from ONE source stream (self-join): a second
       // readStream would double the file listing and source state
@@ -108,14 +116,18 @@ object ScaleQueries {
         .filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
           col("event_ts").as("view_ts"))
+        .withColumn("v_bkt", explode(array(
+          expr("unix_micros(view_ts) div 3600000000"),
+          expr("unix_micros(view_ts) div 3600000000") + 1L)))
         .withWatermark("view_ts", "1 hour")
       val purchases = src
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
           col("event_ts").as("purch_ts"))
+        .withColumn("p_bkt", expr("unix_micros(purch_ts) div 3600000000"))
         .withWatermark("purch_ts", "1 hour")
       val joined = views.join(purchases,
-        col("v_user") === col("p_user") &&
+        col("v_user") === col("p_user") && col("v_bkt") === col("p_bkt") &&
           col("purch_ts") >= col("view_ts") &&
           col("purch_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
         .select(col("v_user").as("user_id"), col("view_id"), col("purch_id"),

@@ -20,6 +20,43 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("exact-first canonicalization reproduces brute force under a mega dup group") {
+    // the SkewGen regime in miniature: one identical-text group (ids
+    // 100-139) plus a near-dup pair and an unrelated doc. The expanded
+    // pair list must equal brute force over the hashed-shingle Jaccard
+    // (within-group 1.0s included), and the LINEAR cluster edge list
+    // must produce the same components as the quadratic pair graph.
+    val group = (100L to 139L).map(i => (i, docA))
+    val docs = (group ++ Seq((1L, docB), (3L, docC))).toDF("doc_id", "text")
+    val got = Dedup.minHashDupPairs(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force over the same currency (hashed shingle sets)
+    val hs = docs
+      .select(col("doc_id"), TextOps.tokens(TextOps.cleanText(col("text"))).as("toks"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, toks) =>
+        id -> Dedup.shingleHashesFromTokens(toks).toSeq
+      }.toMap
+    val ids = hs.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      jac = Dedup.jaccardSorted(hs(i), hs(j)) if jac >= 0.4
+    } yield (i, j) -> jac).toMap
+    assert(got == want, s"pairs got=${got.size} want=${want.size}")
+    // within-group pairs are exactly 1.0
+    assert(got((100L, 101L)) == 1.0)
+    // cluster edges: linear count, same components as the pair graph
+    val edges = Dedup.minHashClusterEdges(docs, "doc_id", "text", threshold = 0.4)
+    assert(edges.count() <= group.size + 2,
+      "cluster edge list must be linear, not quadratic, in group size")
+    val fromEdges = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairsDf = got.keys.toSeq.toDF("id_a", "id_b")
+    val fromPairs = Dedup.connectedComponents(pairsDf, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromEdges == fromPairs)
+  }
+
   test("wordShingles: n-grams, short-doc collapse") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.wordShingles(TextOps.tokens(col("t")), 3).as("sh"))
