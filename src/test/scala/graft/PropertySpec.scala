@@ -144,6 +144,51 @@ class PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("minHash canonicalization ≡ naive banded LSH on randomized duplicated corpora") {
+    // the exact-first substrate must reproduce the NAIVE path's output
+    // bit-for-bit on any corpus: pairs = {(a,b) : ∃ band where the full
+    // signatures collide, jaccard ≥ threshold}. Cases are biased toward
+    // the regimes the rewrite reshaped — exact-duplicate groups (one
+    // doc replicated 0-8×), a tiny vocabulary (near-threshold cross
+    // pairs), and empty documents (whole-doc-hash fallback, which makes
+    // all empties one identical group).
+    val genDoc = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      k <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(k, genDoc)
+      dupIdx <- Gen.choose(0, k - 1)
+      g <- Gen.choose(0, 8)
+    } yield docs.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) } ++
+      (1 to g).map(j => (100L + j, docs(dupIdx)))
+    val p = Prop.forAll(genCorpus) { corpus =>
+      val df = corpus.toDF("id", "text")
+      val got = Dedup.minHashDupPairs(df, "id", "text", threshold = 0.3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+      // JVM emulation of the naive path over the same currency
+      val hs = df.select(col("id"),
+          graft.text.TextOps.tokens(graft.text.TextOps.cleanText(col("text"))))
+        .as[(Long, Seq[String])].collect()
+        .map { case (id, toks) => id -> Dedup.shingleHashesFromTokens(toks) }
+        .toMap
+      val bandKeys = hs.map { case (id, h) =>
+        id -> Dedup.bandKeysJvm(Dedup.signatureFromHashes(h), 48, 3)
+      }
+      val ids = corpus.map(_._1).sorted
+      val want = (for {
+        i <- ids; j <- ids if i < j
+        if bandKeys(i).zip(bandKeys(j)).exists { case (x, y) => x == y }
+        jac = Dedup.jaccardSorted(hs(i), hs(j)) if jac >= 0.3
+      } yield (i, j) -> jac).toMap
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("jaroWinkler bounded, symmetric, identity 1, boost >= jaro, prefix cap") {
     import graft.text.JaroWinkler
     val genStr = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
