@@ -232,34 +232,111 @@ object RetrievalQueries {
     Q("q154_setsim_join", (s, dir) => {
       val theta = 0.5
       val sh = shingles(s, dir).scopedPersist
-      // persisted: feeds the prefix-length probe AND both verification
-      // joins — unpersisted, the collect_set aggregate would run 3×
-      val sets = sh.groupBy("doc_id")
+      // The core pipeline, parameterized by which shingle table it runs
+      // over: global-frequency prefix ranking, prefix-collision
+      // candidates, exact-intersection verification. Prefix filtering is
+      // LOSSLESS under ANY consistent global token order, so running it
+      // over a subset of documents yields exactly the qualifying pairs
+      // among that subset.
+      def verifiedPairs(shX: DataFrame, sets: DataFrame): DataFrame = {
+        val freq = shX.groupBy("h").agg(count(lit(1)).as("f"))
+        val pfx = shX.join(freq, "h")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(asc("f"), asc("h"))))
+          .join(sets.select("doc_id", "n"), "doc_id")
+          .filter(col("rk") <= col("n") - ceil(lit(theta) * col("n")) + 1)
+          .select("doc_id", "h")
+        val cand = pfx.as("a").join(pfx.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        cand
+          .join(sets.select(col("doc_id").as("da"), col("set").as("sa"),
+            col("n").as("n_a")), "da")
+          .join(sets.select(col("doc_id").as("db"), col("set").as("sb"),
+            col("n").as("n_b")), "db")
+          .withColumn("n_inter",
+            size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("jaccard", round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 6))
+          .filter(col("jaccard") >= theta)
+          .select(col("da"), col("db"), col("n_a"), col("n_b"),
+            col("n_inter"), col("jaccard"))
+      }
+      def setsOver(shX: DataFrame): DataFrame = shX.groupBy("doc_id")
+        // persisted: feeds the prefix-length probe AND both
+        // verification joins — unpersisted, the collect_set aggregate
+        // would run 3×
         .agg(collect_set(col("h")).as("set"), count(lit(1)).as("n"))
         .scopedPersist
-      val freq = sh.groupBy("h").agg(count(lit(1)).as("f"))
-      val pfx = sh.join(freq, "h")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(asc("f"), asc("h"))))
-        .join(sets.select("doc_id", "n"), "doc_id")
-        .filter(col("rk") <= col("n") - ceil(lit(theta) * col("n")) + 1)
-        .select("doc_id", "h")
-      val cand = pfx.as("a").join(pfx.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("da"), col("set").as("sa"),
-          col("n").as("n_a")), "da")
-        .join(sets.select(col("doc_id").as("db"), col("set").as("sb"),
-          col("n").as("n_b")), "db")
-        .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("jaccard", round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")), 6))
-        .filter(col("jaccard") >= theta)
-        .select(col("da"), col("db"), col("n_a"), col("n_b"), col("n_inter"),
-          col("jaccard"))
-        .orderBy("da", "db")
+      // Exact-duplicate census (the q17/minHashSubstrate pattern, made
+      // ADAPTIVE): identical shingle sets are detected by an
+      // order-independent (bit_xor ∘ xxhash64)²-plus-cardinality content
+      // key — one skinny map-side-partial aggregation, no set array
+      // materialized, a corpus-dominating dup group costs one combiner.
+      // On a dup-free corpus the census is the only overhead and the
+      // direct pipeline runs; when exact-dup groups exist, the pipeline
+      // runs over one min-id representative per distinct set and
+      // results expand back over membership (identical sets imply
+      // identical n, intersection, and jaccard against any third set —
+      // bit-identical output, pinned old-vs-new on the SkewGen corpus,
+      // where the naive form verified C(1001,2) pairs, a measured
+      // ×2.5).
+      // cost-based switch: canonicalization trades ~7 extra skinny
+      // stages for Σ C(g,2) saved pair verifications — worth it only
+      // when duplication is material (a handful of 2-member groups is
+      // not; the SkewGen mega-group's 500k pairs are). The DECISION
+      // census runs on raw text (one cheap documents scan, no
+      // shingling; raw-identical ⇒ shingle-set-identical, so it can
+      // only under-count and fall back to the direct path); the exact
+      // set-level grouping apparatus is built only when it wins.
+      val census = Tables.documents(s, dir)
+        .groupBy(md5(col("text"))).agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(when(col("g") > 1,
+          col("g").cast("double") * (col("g") - 1) / 2)), lit(0.0)).as("saved"),
+          count(lit(1)).cast("double").as("n_docs")).head()
+      val worthIt = census.getDouble(0) >= census.getDouble(1)
+      if (!worthIt) {
+        verifiedPairs(sh, setsOver(sh)).orderBy("da", "db")
+      } else {
+        val keyed = sh.groupBy("doc_id")
+          .agg(expr("bit_xor(xxhash64(h))").as("ck1"),
+            expr("bit_xor(xxhash64(h, 42))").as("ck2"),
+            count(lit(1)).as("nk"))
+          .scopedPersist
+        val reps = keyed.groupBy("ck1", "ck2", "nk")
+          .agg(min(col("doc_id")).as("rep"))
+          .scopedPersist
+        val membership = keyed.join(reps, Seq("ck1", "ck2", "nk"))
+          .select(col("doc_id"), col("rep")).scopedPersist
+        val shR = sh.join(reps.select(col("rep").as("doc_id")),
+          Seq("doc_id"), "left_semi").scopedPersist
+        val sets = setsOver(shR)
+        val repPairs = verifiedPairs(shR, sets)
+          .select(col("da").as("ra"), col("db").as("rb"), col("n_a"),
+            col("n_b"), col("n_inter"), col("jaccard"))
+        // within an identical-set group every pair qualifies at exactly
+        // jaccard 1.0 with n_inter = n — pure expansion, no verification
+        val within = membership.as("a").join(membership.as("b"),
+            col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.rep").as("rep"))
+          .join(sets.select(col("doc_id").as("rep"), col("n")), "rep")
+          .select(col("da"), col("db"), col("n").as("n_a"), col("n").as("n_b"),
+            col("n").as("n_inter"), lit(1.0).as("jaccard"))
+        // a representative pair expands to every cross-group member
+        // pair; n_a/n_b swap with the id order since they ride the
+        // output's (da < db) normalization
+        val cross = repPairs
+          .join(membership.select(col("rep").as("ra"), col("doc_id").as("ia")), "ra")
+          .join(membership.select(col("rep").as("rb"), col("doc_id").as("ib")), "rb")
+          .select(least(col("ia"), col("ib")).as("da"),
+            greatest(col("ia"), col("ib")).as("db"),
+            when(col("ia") < col("ib"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+            when(col("ia") < col("ib"), col("n_b")).otherwise(col("n_a")).as("n_b"),
+            col("n_inter"), col("jaccard"))
+        within.unionByName(cross).orderBy("da", "db")
+      }
     }, Some(
       s"""WITH $shinglesCte,
          |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

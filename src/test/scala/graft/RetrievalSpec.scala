@@ -35,6 +35,41 @@ class RetrievalSpec extends SparkSpec {
     assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("set-sim join canonical branch (material dup group) matches brute force") {
+    // a corpus where the q154 cost census flips to the exact-first
+    // canonical path: an 8-member identical group (28 saved pairs ≥ 11
+    // docs), one near-dup of it, two unrelated docs. The expanded
+    // output (ids, n_a/n_b, n_inter, jaccard) must equal brute force:
+    // the group's 28 within-pairs pin the jaccard-1.0 expansion and
+    // the near-dup's 8 cross-pairs pin the rep-pair expansion.
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val rows = (1 to 8).map(i => (i.toLong, base)) ++ Seq((20L, near),
+      (21L, "one two three four five six seven eight nine ten"),
+      (22L, "red green blue yellow purple orange pink brown black white"))
+    val tmp = java.nio.file.Files.createTempDirectory("q154canon").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sets = rows.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      (da, sa) <- sets; (db, sb) <- sets if da < db
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (da, db) -> (sa.size.toLong, sb.size.toLong, inter.toLong, jr)).toMap
+    val got = SparkEntry.queries("q154_setsim_join")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+  }
+
   test("k-core census matches a driver-side iterative peel") {
     val edges = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
