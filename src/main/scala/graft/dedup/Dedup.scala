@@ -194,19 +194,28 @@ object Dedup {
     * reproduces the naive output bit-for-bit — while banding work,
     * candidate volume, and verify joins scale with DISTINCT texts.
     *
-    * Returns (membership, repPairs): membership is the persisted skinny
-    * (id, rep) map; repPairs is (rep_a, rep_b, jaccard), rep_a < rep_b,
-    * verified ≥ threshold, over distinct-text representatives.
+    * The collapse is ADAPTIVE (same cost rule as q154): a skinny census
+    * over the content-key groups compares Σ C(g,2) saved band-and-verify
+    * pairs against the corpus size, and the expansion apparatus is paid
+    * only when duplication is material.
+    *
+    * Returns (membership, verifiedPairs): membership is Some of the
+    * persisted skinny (id, rep) map when the canonical path ran — pairs
+    * are then representative-level (rep_a < rep_b, verified ≥
+    * threshold) and the caller expands them — or None when the direct
+    * pipeline ran and pairs are already document-level.
     */
   private def minHashSubstrate(docs: DataFrame, idCol: String, textCol: String,
                                threshold: Double, k: Int, bands: Int)
-      : (DataFrame, DataFrame) = {
+      : (Option[DataFrame], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rowsPerBand = k / bands
     // Persisted: feeds the rep census, the band generation AND both
     // verify joins — the plan would otherwise re-run clean+shingle+hash
     // four times. Tiny relative to the corpus (~n_shingles longs/doc).
+    // The 128-bit content key rides along at zero extra cost (computed
+    // from the hashes already in hand).
     val keyed = docs.select(
         col(idCol).as("id"),
         TextOps.tokens(TextOps.cleanText(col(textCol))).as("toks"))
@@ -219,43 +228,56 @@ object Dedup {
       .toDF("id", "hs", "k1", "k2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // banded candidates + exact verification over any (id, hs) frame
+    def verifiedPairs(hashed: DataFrame): DataFrame = {
+      // Persisted: self-joined below — without it the k-hash signature
+      // computation (the expensive sketch step) executes once per side.
+      val bandRows = hashed.select("id", "hs").as[(Long, Seq[Long])]
+        .flatMap { case (id, hs) =>
+          bandKeysJvm(signatureFromHashes(hs.toArray, k), bands, rowsPerBand)
+            .zipWithIndex.map { case (bk, bi) => (id, bi, bk) }
+        }
+        .toDF("id", "band_idx", "band")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = bandRows.as("a")
+        .join(bandRows.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cands
+        .join(keyed.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+        .join(keyed.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+        .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
+          jaccardSortedUdf(col("hs_a"), col("hs_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+
     // one representative (min id) per distinct shingle set; the census
-    // shuffle is skinny (k1, k2, id) with map-side partial min, so a
-    // corpus-dominating duplicate group costs one combiner, not one
-    // task. The membership join's hot key is the AQE skew-join case.
-    val reps = keyed.groupBy("k1", "k2").agg(min(col("id")).as("rep"))
-    val membership = keyed.select("id", "k1", "k2")
-      .join(reps, Seq("k1", "k2"))
-      .select(col("id"), col("rep"))
+    // shuffle is skinny (k1, k2, id) with map-side partial aggregation,
+    // so a corpus-dominating duplicate group costs one combiner, not
+    // one task. The membership join's hot key is the AQE skew-join case.
+    val reps = keyed.groupBy("k1", "k2")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val repHashed = keyed
-      .join(reps.select(col("rep").as("id")), Seq("id"), "left_semi")
-
-    // Persisted: self-joined below — without it the k-hash signature
-    // computation (the expensive sketch step) executes once per join side.
-    val bandRows = repHashed.select("id", "hs").as[(Long, Seq[Long])]
-      .flatMap { case (id, hs) =>
-        bandKeysJvm(signatureFromHashes(hs.toArray, k), bands, rowsPerBand)
-          .zipWithIndex.map { case (bk, bi) => (id, bi, bk) }
-      }
-      .toDF("id", "band_idx", "band")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val cands = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.band") === col("b.band") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    val repPairs = cands
-      .join(keyed.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(keyed.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
-        jaccardSortedUdf(col("hs_a"), col("hs_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    (membership, repPairs)
+    // cost-based switch (same rule as q154): canonicalization trades
+    // the membership/semi/expansion apparatus for Σ C(g,2) saved
+    // band-and-verify pairs — taken only when duplication is material
+    val census = reps.agg(
+      coalesce(sum(when(col("g") > 1,
+        col("g").cast("double") * (col("g") - 1) / 2)), lit(0.0)).as("saved"),
+      coalesce(sum(col("g")), lit(0L)).cast("double").as("n_docs")).head()
+    if (census.getDouble(0) < census.getDouble(1)) {
+      (None, verifiedPairs(keyed))
+    } else {
+      val membership = keyed.select("id", "k1", "k2")
+        .join(reps, Seq("k1", "k2"))
+        .select(col("id"), col("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val repHashed = keyed
+        .join(reps.select(col("rep").as("id")), Seq("id"), "left_semi")
+      (Some(membership), verifiedPairs(repHashed))
+    }
   }
 
   /** MinHash-LSH near-dup pairs over (id, text): banded candidates from a
@@ -276,26 +298,30 @@ object Dedup {
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5,
                       k: Int = 144, bands: Int = 48): DataFrame = {
-    val (membership, repPairs) =
-      minHashSubstrate(docs, idCol, textCol, threshold, k, bands)
-    // within an identical-text group every pair is a true pair at
-    // Jaccard exactly 1.0 (the naive band join always emitted them:
-    // identical signatures collide in all bands) — pure expansion join,
-    // no per-pair verification
-    val within = membership.as("a")
-      .join(membership.as("b"),
-        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        lit(1.0).as("jaccard"))
-      .filter(lit(1.0) >= threshold)
-    // a representative pair expands to every cross-group member pair,
-    // all at the representatives' (text-determined) Jaccard
-    val cross = repPairs
-      .join(membership.select(col("rep").as("rep_a"), col("id").as("ia")), "rep_a")
-      .join(membership.select(col("rep").as("rep_b"), col("id").as("ib")), "rep_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
-    within.unionByName(cross)
+    minHashSubstrate(docs, idCol, textCol, threshold, k, bands) match {
+      case (None, pairs) =>
+        pairs.select(col("rep_a").as("id_a"), col("rep_b").as("id_b"),
+          col("jaccard"))
+      case (Some(membership), repPairs) =>
+        // within an identical-text group every pair is a true pair at
+        // Jaccard exactly 1.0 (the naive band join always emitted them:
+        // identical signatures collide in all bands) — pure expansion
+        // join, no per-pair verification
+        val within = membership.as("a")
+          .join(membership.as("b"),
+            col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            lit(1.0).as("jaccard"))
+          .filter(lit(1.0) >= threshold)
+        // a representative pair expands to every cross-group member
+        // pair, all at the representatives' (text-determined) Jaccard
+        val cross = repPairs
+          .join(membership.select(col("rep").as("rep_a"), col("id").as("ia")), "rep_a")
+          .join(membership.select(col("rep").as("rep_b"), col("id").as("ib")), "rep_b")
+          .select(least(col("ia"), col("ib")).as("id_a"),
+            greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+        within.unionByName(cross)
+    }
   }
 
   /** LINEAR near-dup edge list whose connected components equal those of
@@ -311,14 +337,17 @@ object Dedup {
   def minHashClusterEdges(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.5,
                           k: Int = 144, bands: Int = 48): DataFrame = {
-    val (membership, repPairs) =
-      minHashSubstrate(docs, idCol, textCol, threshold, k, bands)
-    val star = membership
-      .filter(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-      .filter(lit(1.0) >= threshold)
-    star.unionByName(repPairs.select(col("rep_a").as("id_a"),
-      col("rep_b").as("id_b")))
+    minHashSubstrate(docs, idCol, textCol, threshold, k, bands) match {
+      case (None, pairs) =>
+        pairs.select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      case (Some(membership), repPairs) =>
+        val star = membership
+          .filter(col("id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"))
+          .filter(lit(1.0) >= threshold)
+        star.unionByName(repPairs.select(col("rep_a").as("id_a"),
+          col("rep_b").as("id_b")))
+    }
   }
 
   /** Connected components over an undirected pair list: every vertex maps
