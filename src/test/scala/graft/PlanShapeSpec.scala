@@ -199,6 +199,39 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("JaroWinkler"), plan.take(4000))
   }
 
+  test("attribution pairing carries the day bucket in its equi-key") {
+    // the skew hardening: purchase↔touch pairing must be keyed on
+    // (user_id, bkt) so one hot user cannot force per-user-quadratic
+    // pair formation — dropping bkt back to a residual would regress
+    // silently (the time filter still makes the output correct)
+    val plan = staticPlan("q223_attribution")
+    // the pairing subtree sits behind the scopedPersist boundary —
+    // traverse into cached plans
+    def joins(p: SparkPlan): Seq[org.apache.spark.sql.execution.joins.BaseJoinExec] =
+      p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j } ++
+        p.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+        }.flatMap(s => joins(s.relation.cachedPlan))
+    val paired = joins(plan)
+      .filter(_.leftKeys.exists(_.toString.contains("user_id")))
+    assert(paired.nonEmpty, plan.toString.take(4000))
+    assert(paired.exists(j => j.leftKeys.exists(_.toString.contains("bkt"))),
+      s"q223 purchase-touch join keys lost the day bucket: " +
+        paired.map(_.leftKeys.mkString(",")).mkString(" | "))
+  }
+
+  test("PIT join resolves state with the as-of merge window, no interval join") {
+    // contiguous SCD2 intervals make the lookup a running-last window
+    // over one user_id shuffle; any join in this plan means the
+    // probes × intervals quadratic formation came back
+    val plan = staticPlan("q130_pit_join")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"q130 re-grew a join: ${joins.map(_.nodeName)}")
+    assert(plan.toString.contains("Window"), plan.toString.take(4000))
+  }
+
   test("kendall tau derives dominance from the value census, never a part self-join") {
     val plan = staticPlan("q217_kendall_tau")
     // every join must have the value census (an aggregate) on at least
