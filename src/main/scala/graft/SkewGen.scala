@@ -18,16 +18,24 @@ import org.apache.spark.sql.functions._
   *    LSH banding (one mega-bucket), set-similarity prefix filtering,
   *    and connected-components dedup.
   *
+  * With the optional third argument `orders`, a third distortion is
+  * added for the relational side:
+  *
+  *  - orders: 30% of rows (o_orderkey % 10 < 3) are rerouted to the
+  *    modal customer — the hot-entity case for customer-keyed joins,
+  *    windows, and cohort aggregates over the TPC-H-ish tables.
+  *
   * All other tables are copied through unchanged so the output dir is a
   * drop-in for the full registry. Deterministic: no RNG, the routing is
   * pure id arithmetic.
   *
-  * Usage: SkewGen <inSfDir> <outDir>
+  * Usage: SkewGen <inSfDir> <outDir> [orders]
   */
 object SkewGen {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SkewGen <inSfDir> <outDir>")
+    require(args.length >= 2, "usage: SkewGen <inSfDir> <outDir> [orders]")
     val Array(in, out) = args.take(2)
+    val skewOrders = args.drop(2).contains("orders")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-skewgen")
@@ -58,8 +66,19 @@ object SkewGen {
       .drop("dup")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    if (skewOrders) {
+      val orders = spark.read.parquet(s"$in/orders.parquet")
+      val hotCust = orders.groupBy("o_custkey").count()
+        .orderBy(desc("count"), asc("o_custkey")).head().getLong(0)
+      orders
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(10L)) < 3, lit(hotCust))
+            .otherwise(col("o_custkey")))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      println(s"[skewgen] hotCust=$hotCust")
+    }
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "embeddings")) {
+        "lineitem", "embeddings") ++ (if (skewOrders) Nil else Seq("orders"))) {
       spark.read.parquet(s"$in/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

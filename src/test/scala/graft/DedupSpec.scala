@@ -300,6 +300,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("suffix-array ranks: randomized adversarial corpora match brute force") {
+    // Property-level fuzz for the refine-round edge cases the pinned
+    // corpora can't reach: all-identical docs (classes that only split
+    // by suffix length), a single-char alphabet (maximal ambiguity at
+    // every doubling round), and random exact-dup mixtures. Each seeded
+    // corpus is checked pairwise against brute-force lexicographic
+    // order of the actual suffix strings — equal suffixes must share a
+    // rank, everything else must order exactly.
+    val trials: Seq[(Int, Seq[(Long, String)])] = Seq(
+      // all-identical docs over one character: every cross-doc suffix
+      // of equal length is genuinely equal and must share its rank
+      1 -> (1L to 4L).map(_ -> "a" * 20),
+      // single-char alphabet, ragged lengths
+      2 -> Seq.empty,
+      // dup-heavy, 2-char alphabet
+      3 -> Seq.empty,
+      // looser 4-char alphabet mix
+      4 -> Seq.empty)
+    for ((seed, pinned) <- trials) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = Map(2 -> 1, 3 -> 2, 4 -> 4).getOrElse(seed, 1)
+      def txt(n: Int) = Array.fill(n)(('a' + rnd.nextInt(alpha)).toChar).mkString
+      val corpus =
+        if (pinned.nonEmpty) pinned
+        else {
+          val base = txt(10 + rnd.nextInt(50))
+          (1L to (2L + rnd.nextInt(4))).map { i =>
+            if (rnd.nextBoolean()) i -> base else i -> txt(1 + rnd.nextInt(70))
+          }
+        }
+      graft.dedup.SuffixArray.clearCache()
+      val docs = corpus.toDF("doc_id", "text")
+      val got = graft.dedup.SuffixArray.ranks(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val sufs = for ((d, t) <- corpus; i <- 1 to t.length)
+        yield (d, i.toLong, t.substring(i - 1))
+      assert(got.size == sufs.size, s"seed=$seed suffix count")
+      for (a <- sufs; b <- sufs) {
+        val byRank = java.lang.Long.compare(got((a._1, a._2)), got((b._1, b._2)))
+        val byText = a._3.compareTo(b._3)
+        assert(Integer.signum(byRank) == Integer.signum(byText),
+          s"seed=$seed rank order of ${(a._1, a._2)} vs ${(b._1, b._2)} " +
+            "disagrees with suffix order")
+      }
+    }
+    graft.dedup.SuffixArray.clearCache()
+  }
+
   test("signature is permutation-stable (set semantics)") {
     val a = Dedup.signature(Seq("a", "b", "c", "d", "e", "f"))
     val b = Dedup.signature(Seq("f", "e", "d", "c", "b", "a"))

@@ -253,4 +253,28 @@ class MiningSpec extends SparkSpec {
       assert(math.abs(got(b)._2 - v) < 1e-5, s"brand $b got ${got(b)._2} expected $v")
     }
   }
+
+  test("itemPairCounts: chunked expansion equals brute force, whale included") {
+    // The SkewGen `orders` axis puts 30% of the fact table on one
+    // customer; the chunked pair expansion must reproduce the naive
+    // pair multiset exactly while never materializing a whale basket's
+    // quadratic array in one allocation. chunkB=7 (odd, non-dividing)
+    // exercises within-chunk, cross-chunk, ragged-tail, and
+    // single-chunk paths on randomized baskets incl. a relative whale.
+    import spark.implicits._
+    val rnd = new scala.util.Random(157)
+    val baskets: Seq[(Long, Seq[Long])] =
+      (1L to 12L).map { c =>
+        val n = 1 + rnd.nextInt(20)
+        c -> Seq.fill(n)(rnd.nextInt(40).toLong).distinct.sorted
+      } :+ (99L -> rnd.shuffle((0L until 60L).toList).take(45).sorted.toSeq)
+    val sets = baskets.toDF("c", "ps")
+    val got = graft.queries.RankQueries.itemPairCounts(sets, chunkB = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = baskets.flatMap { case (_, ps) =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(got.keys.forall { case (i, j) => i < j })
+  }
 }
