@@ -517,6 +517,11 @@ object Dedup {
     }
     require(converged,
       s"connectedComponentsDistributed: no fixpoint after $maxRounds rounds")
+    // one line per invocation: round count is the log-depth scale metric
+    // (path components converge in O(log diameter) rounds), and a skewed
+    // corpus shows up here first — cheap to keep on at 100 TB
+    System.err.println(
+      s"[dedup] connectedComponentsDistributed: converged in $rounds rounds")
     // fixpoint = star forest: children carry their root; centers (never a
     // child) are their own label. The star set is checkpoint-backed, so
     // the caller's action reads materialized blocks instead of replaying
