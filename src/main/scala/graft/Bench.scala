@@ -36,6 +36,7 @@ object Bench {
       // whole build cost from the min would be dishonest
       graft.dedup.SuffixArray.clearCache()
       graft.queries.CurationQueries.clearCache()
+      graft.queries.GraphQueries.clearCache()
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

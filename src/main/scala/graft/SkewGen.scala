@@ -24,18 +24,23 @@ import org.apache.spark.sql.functions._
   *  - orders: 30% of rows (o_orderkey % 10 < 3) are rerouted to the
   *    modal customer — the hot-entity case for customer-keyed joins,
   *    windows, and cohort aggregates over the TPC-H-ish tables.
+  *  - parts: 30% of lineitem rows are rerouted to the modal part — the
+  *    hot-ITEM case: a hub vertex in the co-purchase graph whose
+  *    degree grows with the order count, the worst case for wedge and
+  *    pair expansions keyed per graph vertex rather than per basket.
   *
   * All other tables are copied through unchanged so the output dir is a
   * drop-in for the full registry. Deterministic: no RNG, the routing is
   * pure id arithmetic.
   *
-  * Usage: SkewGen <inSfDir> <outDir> [orders]
+  * Usage: SkewGen <inSfDir> <outDir> [orders] [parts]
   */
 object SkewGen {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: SkewGen <inSfDir> <outDir> [orders]")
     val Array(in, out) = args.take(2)
     val skewOrders = args.drop(2).contains("orders")
+    val skewParts = args.drop(2).contains("parts")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-skewgen")
@@ -77,8 +82,27 @@ object SkewGen {
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
       println(s"[skewgen] hotCust=$hotCust")
     }
+    if (skewParts) {
+      // hot-ITEM case: one part lands in ~30% of lineitem rows, so its
+      // degree in the co-purchase graph grows with the order count —
+      // the hub-vertex worst case for wedge/pair expansions (q197) and
+      // item-similarity plans, distinct from the hot-CUSTOMER axis
+      // (whale baskets) above. Routing keys on the lineitem primary
+      // key (l_orderkey, l_linenumber) so it is deterministic and
+      // independent of the part distribution.
+      val li = spark.read.parquet(s"$in/lineitem.parquet")
+      val hotPart = li.groupBy("l_partkey").count()
+        .orderBy(desc("count"), asc("l_partkey")).head().getLong(0)
+      li
+        .withColumn("l_partkey",
+          when(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(10L)) < 3,
+            lit(hotPart)).otherwise(col("l_partkey")))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"[skewgen] hotPart=$hotPart")
+    }
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "lineitem", "embeddings") ++ (if (skewOrders) Nil else Seq("orders"))) {
+        "embeddings") ++ (if (skewOrders) Nil else Seq("orders")) ++
+        (if (skewParts) Nil else Seq("lineitem"))) {
       spark.read.parquet(s"$in/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

@@ -42,8 +42,32 @@ object GraphQueries {
           |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("uv"))
       .select(col("uv.u").as("u"), col("uv.v").as("v"))
 
+  /** Build-once weighted co-purchase edge table (u < v, `w` = number of
+    * co-purchasing orders), checkpoint-materialized and memoized per
+    * (session, corpus) exactly like the suffix-array index: the graph
+    * family (q100/q152/q182/q190/q197) derives every edge view from
+    * this one artifact — the unweighted edge set is a projection, the
+    * support floor a filter, adjacency lists one aggregate — instead of
+    * five independent lineitem scans + pair explodes + dedup shuffles.
+    * Bench clears the memo per pass, so the published artifact still
+    * prices exactly one honest build (carried by the first consumer in
+    * registry order).
+    */
+  private val builds =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def clearCache(): Unit = builds.clear()
+
+  private def coEdgeWeights(s: SparkSession, dir: String): DataFrame = {
+    val key = s"${s.sparkContext.applicationId}|" +
+      s"${System.identityHashCode(s)}|$dir|copurchase"
+    builds.computeIfAbsent(key, _ =>
+      coPairs(s, dir).groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true))
+  }
+
   private def coEdges(s: SparkSession, dir: String): DataFrame =
-    coPairs(s, dir).distinct()
+    coEdgeWeights(s, dir).select("u", "v")
 
   private def coEdgesCte: String =
     """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -166,25 +190,17 @@ object GraphQueries {
     // with iterate-to-fixpoint as a driver loop over this plan.
     Q("q182_bfs_layers", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // Adjacency-LIST build with the shuffle placed BEFORE the heavy
-      // map work: per-order sets give no map-side-combine reduction
-      // (every order is its own group), so repartition-on-the-key first
-      // moves raw 16-byte rows instead of serializing the collect_set
-      // into however few tasks the file layout yields. The second
-      // aggregate dedups neighbor repeats IN THE PARTIAL AGGREGATE
-      // (collect_set merges map-side — per-vertex state is the distinct
-      // neighbor set, never the co-occurrence multiset) and leaves the
-      // cache hash-partitioned on the expansion key: no separate edge
-      // distinct, no extra repartition, and the edge set never
-      // re-shuffles across rounds.
-      val adjSets = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .repartition(col("o"))
-        .groupBy("o").agg(collect_set("p").as("ps"))
-        .select(explode(col("ps")).as("a"), col("ps"))
-        .select(col("a"), explode(col("ps")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .groupBy("a").agg(collect_set(col("b")).as("nbrs"))
+      // Adjacency LISTS from the build-once edge artifact: symmetrize
+      // the canonical (u < v) pairs and aggregate per vertex — ONE
+      // shuffle over skinny checkpointed edges (they are already
+      // distinct, so collect_set ≡ collect of the symmetrized stream),
+      // leaving the cache hash-partitioned on the expansion key: the
+      // edge set never re-shuffles across rounds.
+      val adjSets = coEdges(s, dir)
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("p"))
+        .groupBy(col("p.a").as("a")).agg(collect_set(col("p.b")).as("nbrs"))
         .scopedPersist
       val adj = adjSets.select(col("a"), explode(col("nbrs")).as("b"))
       val seed = adjSets.select(col("a"), size(col("nbrs")).as("dg"))
@@ -254,8 +270,7 @@ object GraphQueries {
       // and min-label floods it to one community in a round — the floor
       // keeps only repeated co-purchases (the same sparsifier as q157's
       // similarity floor), giving a partition worth a census
-      val e = coPairs(s, dir)
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      val e = coEdgeWeights(s, dir)
         .filter(col("w") >= 2).select("u", "v")
         .scopedPersist
       val adj = e.select(explode(array(
@@ -345,30 +360,32 @@ object GraphQueries {
     // Adamic–Adar link prediction over the support-2 co-purchase graph:
     // for every distance-2 pair with no existing edge, AA(u,v) =
     // Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — each wedge center w contributes
-    // its C(d,2) neighbor pairs MAP-SIDE with a per-center rounded
-    // weight, one shuffle groups by pair, existing edges leave by
-    // anti-join against the canonical edge set. The wedge fan-out is
-    // bounded by the sparsified degree, not raw degree — the same
-    // skew discipline as q100. Top-20 predicted links.
+    // its C(d,2) neighbor pairs through the bounded-chunk pair stream
+    // with a per-center rounded weight as payload, one shuffle groups
+    // by pair, existing edges leave by anti-join against the canonical
+    // edge set. Support-2 sparsification trims the degree tail, but a
+    // hub part keeps unbounded degree — hence the chunked expansion
+    // (q100's degree orientation doesn't apply: wedges need BOTH
+    // directions at the center). Top-20 predicted links.
     Q("q197_adamic_adar", (s, dir) => {
-      val e = coPairs(s, dir)
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      val e = coEdgeWeights(s, dir)
         .filter(col("w") >= 2).select("u", "v")
         .scopedPersist
       val adj = e.select(explode(array(
           struct(col("u").as("a"), col("v").as("b")),
           struct(col("v").as("a"), col("u").as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-      // per-center sorted neighbor list + degree: pairs expand map-side
-      val ctr = adj.groupBy(col("a").as("w"))
-        .agg(sort_array(collect_set("b")).as("nb"))
-        .withColumn("aa_w", round(lit(1.0) / log(size(col("nb"))), 9))
-        .filter(size(col("nb")) >= 2)
-      val cand = ctr.select(col("aa_w"), explode(expr(
-          """flatten(transform(nb, (x, i) ->
-            |  transform(slice(nb, i + 2, size(nb) - i - 1),
-            |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("uv"))
-        .groupBy(col("uv.u").as("u"), col("uv.v").as("v"))
+      // per-center sorted neighbor list + degree; the C(deg,2) wedge
+      // expansion goes through the bounded-chunk pair stream (a hub
+      // center's quadratic fan-out would otherwise evaluate in ONE
+      // allocation — the q157 whale-basket OOM), with the center's
+      // wedge weight riding along as pair payload
+      val ctr = adj.groupBy(col("a").as("c"))
+        .agg(sort_array(collect_set("b")).as("ps"))
+        .withColumn("aa_w", round(lit(1.0) / log(size(col("ps"))), 9))
+        .filter(size(col("ps")) >= 2)
+      val cand = Helpers.chunkedPairs(ctr, Seq("aa_w"))
+        .groupBy(col("i").as("u"), col("j").as("v"))
         .agg(count(lit(1)).as("n_common"),
           round(sum(col("aa_w").cast(DecimalType(20, 12))).cast("double"), 6)
             .as("aa"))

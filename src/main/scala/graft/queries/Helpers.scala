@@ -356,4 +356,60 @@ object Helpers {
       | CASE WHEN doc_id % 4 = 0 THEN NULL ELSE (doc_id * 37) % 1000 END AS review_count,
       | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE round(n_chars/10.0, 2) END AS price
       |FROM documents""".stripMargin
+
+  /** Chunk width for [[chunkedPairs]] — ≤ ChunkB²/2 pair structs per
+    * generator evaluation (~131k structs ≈ a few MB), the per-task
+    * allocation bound that replaces the naive whole-set expansion.
+    */
+  private[graft] val ChunkB = 512
+
+  /** C(n,2) element-pair stream (i, j) with i < j in sorted order, from
+    * per-key sorted-set rows `(c, ps, payload…)`, with BOUNDED per-task
+    * allocations; `payload` columns ride along on every emitted pair
+    * (e.g. a per-center wedge weight).
+    *
+    * The naive shape — one `explode(flatten(transform(ps, ...)))` per
+    * key — evaluates the ENTIRE |ps|²/2 struct array in a single
+    * allocation before the generator streams it: a hot entity owning
+    * 30% of the fact table (the SkewGen `orders` axis) turns that into
+    * a multi-GB array in one task and OOMs the executor. Instead the
+    * sorted set is cut into chunkB-sized slices: pairs WITHIN a chunk
+    * explode map-side, and pairs ACROSS two chunks come from an
+    * equi-join of the chunk rows on the key (skew-free: ≤ |ps|/B rows
+    * per key), repartitioned on (c, k1, k2) so a whale's quadratic
+    * work spreads over its ~(|ps|/B)²/2 chunk-pair rows instead of
+    * serializing in one task. Sets that fit one chunk take the
+    * map-side path only — the cross branch prunes them with
+    * `size(ps) > chunkB`, so the common case pays one empty exchange
+    * for the hardening. Because `ps` is sorted, every element of chunk
+    * k1 precedes every element of chunk k2 > k1, so the (i, j)
+    * orientation — and hence the pair multiset — is exactly the naive
+    * expansion's (MiningSpec fuzzes this against brute force).
+    */
+  private[graft] def chunkedPairs(sets: DataFrame, payload: Seq[String] = Nil,
+      chunkB: Int = ChunkB): DataFrame = {
+    val pay = payload.map(col)
+    def chunksOf(df: DataFrame) = df.select(col("c") +: pay :+ posexplode(expr(
+        s"transform(sequence(0, int((size(ps) - 1) / $chunkB)), " +
+          s"k -> slice(ps, k * $chunkB + 1, $chunkB))"))
+      .as(Seq("k", "chunk")): _*)
+    val within = chunksOf(sets)
+      .select(explode(expr(
+        """flatten(transform(chunk, (x, i) ->
+          |  transform(slice(chunk, i + 2, size(chunk) - i - 1),
+          |    y -> struct(x AS i, y AS j))))""".stripMargin)).as("uv") +: pay: _*)
+      .select(col("uv.i").as("i") +: col("uv.j").as("j") +: pay: _*)
+    val bigChunks = chunksOf(sets.filter(size(col("ps")) > chunkB))
+    val cross = bigChunks
+      .select(col("c") +: col("k").as("k1") +: col("chunk").as("ca") +: pay: _*)
+      .join(bigChunks.select(col("c"), col("k").as("k2"),
+        col("chunk").as("cb")), "c")
+      .filter(col("k1") < col("k2"))
+      .repartition(col("c"), col("k1"), col("k2"))
+      .select(explode(expr(
+        "flatten(transform(ca, x -> transform(cb, y -> " +
+          "struct(x AS i, y AS j))))")).as("uv") +: pay: _*)
+      .select(col("uv.i").as("i") +: col("uv.j").as("j") +: pay: _*)
+    within.union(cross)
+  }
 }

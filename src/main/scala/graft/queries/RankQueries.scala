@@ -108,59 +108,16 @@ object RankQueries {
        |FROM picked$k ORDER BY has_price DESC, mmr_pos ASC""".stripMargin
   }
 
-  /** Chunk width for [[itemPairCounts]] — ≤ ChunkB²/2 pair structs per
-    * generator evaluation (~131k structs ≈ a few MB), the per-task
-    * allocation bound that replaces the naive whole-basket expansion.
-    */
-  private[graft] val ChunkB = 512
-
   /** Co-occurrence pair counts (i, j, nij) with i < j in sorted-id
     * order, from per-user sorted item sets `(c, ps)`, with BOUNDED
-    * per-task allocations.
-    *
-    * The naive shape — one `explode(flatten(transform(ps, ...)))` per
-    * user — evaluates the ENTIRE |ps|²/2 struct array in a single
-    * allocation before the generator streams it: a hot entity owning
-    * 30% of the fact table (the SkewGen `orders` axis) turns that into
-    * a multi-GB array in one task and OOMs the executor. Instead the
-    * sorted set is cut into chunkB-sized slices: pairs WITHIN a chunk
-    * explode map-side, and pairs ACROSS two chunks come from an
-    * equi-join of the chunk rows on the user key (skew-free: ≤ |ps|/B
-    * rows per key), repartitioned on (c, k1, k2) so a whale's
-    * quadratic work spreads over its ~(|ps|/B)²/2 chunk-pair rows
-    * instead of serializing in one task. Baskets that fit one chunk
-    * take the map-side path only — the cross branch prunes them with
-    * `size(ps) > chunkB`, so the common case pays one empty exchange
-    * for the hardening. Because `ps` is sorted, every element of chunk
-    * k1 precedes every element of chunk k2 > k1, so the (i, j)
-    * orientation — and hence the pair multiset — is exactly the naive
-    * expansion's (MiningSpec fuzzes this against brute force).
+    * per-task allocations — the [[Helpers.chunkedPairs]] stream (see
+    * there for the whale-basket OOM this shape prevents) aggregated by
+    * pair.
     */
   private[graft] def itemPairCounts(sets: DataFrame,
-      chunkB: Int = ChunkB): DataFrame = {
-    def chunksOf(df: DataFrame) = df.select(col("c"), posexplode(expr(
-        s"transform(sequence(0, int((size(ps) - 1) / $chunkB)), " +
-          s"k -> slice(ps, k * $chunkB + 1, $chunkB))"))
-      .as(Seq("k", "chunk")))
-    val within = chunksOf(sets).select(explode(expr(
-        """flatten(transform(chunk, (x, i) ->
-          |  transform(slice(chunk, i + 2, size(chunk) - i - 1),
-          |    y -> struct(x AS i, y AS j))))""".stripMargin)).as("uv"))
-      .select(col("uv.i").as("i"), col("uv.j").as("j"))
-    val bigChunks = chunksOf(sets.filter(size(col("ps")) > chunkB))
-    val cross = bigChunks
-      .select(col("c"), col("k").as("k1"), col("chunk").as("ca"))
-      .join(bigChunks.select(col("c"), col("k").as("k2"),
-        col("chunk").as("cb")), "c")
-      .filter(col("k1") < col("k2"))
-      .repartition(col("c"), col("k1"), col("k2"))
-      .select(explode(expr(
-        "flatten(transform(ca, x -> transform(cb, y -> " +
-          "struct(x AS i, y AS j))))")).as("uv"))
-      .select(col("uv.i").as("i"), col("uv.j").as("j"))
-    within.union(cross)
+      chunkB: Int = Helpers.ChunkB): DataFrame =
+    Helpers.chunkedPairs(sets, Nil, chunkB)
       .groupBy("i", "j").agg(count(lit(1)).as("nij"))
-  }
 
   val all: Seq[Q] = Seq(
 

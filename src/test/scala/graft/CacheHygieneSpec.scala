@@ -25,15 +25,23 @@ class CacheHygieneSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.isEmpty
   }
 
-  /** Order-independent isolation: prior suites may legitimately hold
-    * build-once artifact memos (the SA index and the BPE merge table
-    * both keep checkpoint-backed frames alive BY DESIGN); this spec's
-    * contract is about scoped-cache leaks, so drop the memos first.
+  /** Build-once artifact memos (the SA index, the BPE merge table, the
+    * co-purchase edge table) keep checkpoint-backed frames alive BY
+    * DESIGN — they are the artifact, not a leak. This spec's contract
+    * is about SCOPED-cache leaks, so memos are dropped both before a
+    * test (order independence from prior suites) and before the
+    * after-action assertion (a graph query legitimately builds the
+    * edge memo during its action).
     */
-  private def isolate(): Unit = {
-    spark.catalog.clearCache()
+  private def dropArtifactMemos(): Unit = {
     graft.dedup.SuffixArray.clearCache()
     graft.queries.CurationQueries.clearCache()
+    graft.queries.GraphQueries.clearCache()
+  }
+
+  private def isolate(): Unit = {
+    spark.catalog.clearCache()
+    dropArtifactMemos()
   }
 
   // the judge-flagged cache-heavy representatives: triangle count,
@@ -50,6 +58,7 @@ class CacheHygieneSpec extends SparkSpec {
       assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs")
       val rows = SparkEntry.queries(q)(spark, sf).count()
       assert(rows > 0)
+      dropArtifactMemos() // the build-once artifact is not a scoped leak
       assert(awaitNoPersistentRdds(),
         s"$q left persisted RDDs: " +
           spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", "))
@@ -93,12 +102,17 @@ class CacheHygieneSpec extends SparkSpec {
     // the frame persisted by the query body must be cached while the
     // action runs (scopedPersist is persist, not a no-op): check the
     // physical plan contains an InMemoryTableScan
-    val df = SparkEntry.queries("q100_triangle_count")(spark, sf)
+    // var + null-out: the frame's plan holds the edge-memo checkpoint
+    // RDD strongly, and the ContextCleaner can only free those blocks
+    // once the frame is unreachable
+    var df = SparkEntry.queries("q100_triangle_count")(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
     assert(phys.contains("InMemoryTableScan") ||
       phys.contains("TableCacheQueryStage"),
       s"no cache scan in plan:\n$phys")
     df.count()
+    df = null
+    dropArtifactMemos()
     assert(awaitNoPersistentRdds())
   }
 }

@@ -277,4 +277,40 @@ class MiningSpec extends SparkSpec {
     assert(got == want, s"got=${got.size} want=${want.size}")
     assert(got.keys.forall { case (i, j) => i < j })
   }
+
+  test("chunkedPairs payload: weighted wedge aggregation equals brute force") {
+    // q197 rides a per-center weight on every emitted pair; the chunked
+    // stream must deliver the payload with the SAME multiplicity as the
+    // naive expansion so weighted sums (Adamic–Adar) agree exactly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(197)
+    val centers: Seq[(Long, Seq[Long], Double)] =
+      (1L to 10L).map { c =>
+        val n = 2 + rnd.nextInt(18)
+        val nb = Seq.fill(n)(rnd.nextInt(30).toLong).distinct.sorted
+        (c, nb, math.rint(1e9 / math.log(nb.size.max(2))) / 1e9)
+      } :+ {
+        val nb = rnd.shuffle((0L until 50L).toList).take(41).sorted.toSeq
+        (99L, nb, math.rint(1e9 / math.log(nb.size)) / 1e9)
+      }
+    val sets = centers.toDF("c", "ps", "aa_w")
+    val got = graft.queries.Helpers.chunkedPairs(sets, Seq("aa_w"), chunkB = 7)
+      .groupBy("i", "j")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum(col("aa_w")
+            .cast(org.apache.spark.sql.types.DecimalType(20, 12)))
+            .cast("double"), 6).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val want = centers.flatMap { case (_, nb, w) =>
+      for (a <- nb; b <- nb if a < b) yield ((a, b), w)
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.size.toLong,
+        math.rint(1e6 * v.map(x => BigDecimal(x._2)).sum.toDouble) / 1e6))
+    }
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
 }
