@@ -357,4 +357,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(raw.isEmpty,
       s"run-keyed exchange over un-aggregated rows: ${raw.map(_.nodeName)}")
   }
+
+  test("graph family serves edges from the build-once artifact, never rescanning lineitem") {
+    // same contract as the SA annex: once the weighted co-purchase edge
+    // table is checkpoint-materialized, each consumer's own plan reads
+    // the artifact — a lineitem scan in any consumer means the family
+    // regressed to five independent edge builds
+    graft.queries.GraphQueries.clearCache()
+    for (q <- Seq("q100_triangle_count", "q152_kcore", "q182_bfs_layers",
+        "q190_label_propagation", "q197_adamic_adar")) {
+      val scans = fileScans(staticPlan(q))
+      assert(!scans.exists(_.contains("lineitem.parquet")),
+        s"$q reads lineitem outside the edge-artifact build: $scans")
+    }
+  }
 }
