@@ -24,23 +24,32 @@ object GraphQueries {
     * salting is needed at 100 TB.
     */
   /** Per-order C(n,2) pair stream (one (u,v) row per co-purchasing
-    * order) — multiplicity = co-purchase support.
+    * order) — multiplicity = co-purchase support. The expansion rides
+    * [[Helpers.chunkedPairs]]: TPC-H orders are small, but a mega-order
+    * (a scraped session with 10⁵ items) would otherwise evaluate its
+    * whole quadratic pair array in one task allocation — the same OOM
+    * class the chunked stream removes from item-CF and Adamic–Adar.
     */
-  private def coPairs(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      // shuffle BEFORE the heavy map work: per-order grouping gives no
-      // map-side-combine reduction (each order is its own group), so
-      // hash-distributing the raw 16-byte rows first keeps the
-      // collect_set + C(n,2) pair explode parallel regardless of the
-      // input file's split granularity
-      .repartition(col("o"))
-      .groupBy("o").agg(sort_array(collect_set("p")).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps) - i - 1),
-          |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("uv"))
-      .select(col("uv.u").as("u"), col("uv.v").as("v"))
+  private def coPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("c"), col("l_partkey").as("p"))
+    // cheap chunking census (distinct items of the fattest order) via
+    // map-side-combined counts — never re-executes the set build
+    val maxLen = li.groupBy("c", "p").agg(lit(1).as("one"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    Helpers.chunkedPairs(
+      li
+        // shuffle BEFORE the heavy map work: per-order grouping gives no
+        // map-side-combine reduction (each order is its own group), so
+        // hash-distributing the raw 16-byte rows first keeps the
+        // collect_set + C(n,2) pair explode parallel regardless of the
+        // input file's split granularity
+        .repartition(col("c"))
+        .groupBy("c").agg(sort_array(collect_set("p")).as("ps")),
+      maxSetLen = maxLen.min(Int.MaxValue).toInt)
+      .select(col("i").as("u"), col("j").as("v"))
+  }
 
   /** Build-once weighted co-purchase edge table (u < v, `w` = number of
     * co-purchasing orders), checkpoint-materialized and memoized per

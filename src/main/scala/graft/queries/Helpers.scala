@@ -379,15 +379,28 @@ object Helpers {
     * per key), repartitioned on (c, k1, k2) so a whale's quadratic
     * work spreads over its ~(|ps|/B)²/2 chunk-pair rows instead of
     * serializing in one task. Sets that fit one chunk take the
-    * map-side path only — the cross branch prunes them with
-    * `size(ps) > chunkB`, so the common case pays one empty exchange
-    * for the hardening. Because `ps` is sorted, every element of chunk
+    * map-side path only. Because `ps` is sorted, every element of chunk
     * k1 precedes every element of chunk k2 > k1, so the (i, j)
     * orientation — and hence the pair multiset — is exactly the naive
     * expansion's (MiningSpec fuzzes this against brute force).
+    *
+    * ADAPTIVE (the same cheap-census idiom as the LSH
+    * canonicalization): when no set exceeds one chunk the cross branch
+    * is provably empty, and the returned plan is the single within
+    * branch — not for the empty exchange it saves, but because a
+    * self-join's size estimate is the PRODUCT of its children under
+    * Catalyst's fallback heuristic: carried into a checkpointed
+    * artifact's origin stats (the co-purchase edge table) it inflates
+    * the frame ~10⁴× past every broadcast threshold and flips
+    * downstream |E|-joins to sort-merge — re-shuffling the edge set
+    * that the consumers' scale contracts keep exchange-free.
+    * `maxSetLen` < 0 runs the census here (one max-of-size aggregate
+    * over `sets` — free when the caller persists it); callers with a
+    * cheaper census (a map-side-combined count per key instead of the
+    * full set build) pass the value in.
     */
   private[graft] def chunkedPairs(sets: DataFrame, payload: Seq[String] = Nil,
-      chunkB: Int = ChunkB): DataFrame = {
+      chunkB: Int = ChunkB, maxSetLen: Int = -1): DataFrame = {
     val pay = payload.map(col)
     def chunksOf(df: DataFrame) = df.select(col("c") +: pay :+ posexplode(expr(
         s"transform(sequence(0, int((size(ps) - 1) / $chunkB)), " +
@@ -399,6 +412,10 @@ object Helpers {
           |  transform(slice(chunk, i + 2, size(chunk) - i - 1),
           |    y -> struct(x AS i, y AS j))))""".stripMargin)).as("uv") +: pay: _*)
       .select(col("uv.i").as("i") +: col("uv.j").as("j") +: pay: _*)
+    val biggest =
+      if (maxSetLen >= 0) maxSetLen
+      else sets.agg(coalesce(max(size(col("ps"))), lit(0))).head().getInt(0)
+    if (biggest <= chunkB) return within
     val bigChunks = chunksOf(sets.filter(size(col("ps")) > chunkB))
     val cross = bigChunks
       .select(col("c") +: col("k").as("k1") +: col("chunk").as("ca") +: pay: _*)

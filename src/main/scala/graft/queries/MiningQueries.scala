@@ -332,12 +332,12 @@ object MiningQueries {
       val nOrders = baskets.agg(count(lit(1)).as("n"))
       val marg = baskets.select(explode(col("bs")).as("b"))
         .groupBy("b").agg(count(lit(1)).as("nb"))
-      val pairs = baskets
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs) - i - 1),
-            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      // bounded-chunk expansion (uniform with item-CF/Adamic–Adar/the
+      // co-purchase edge build): a mega-basket cannot evaluate its
+      // quadratic pair array in one task allocation
+      val pairs = Helpers.chunkedPairs(
+          baskets.select(col("o").as("c"), col("bs").as("ps")))
+        .groupBy(col("i").as("a"), col("j").as("b"))
         .agg(count(lit(1)).as("nab"))
       val rules = pairs
         .select(explode(array(

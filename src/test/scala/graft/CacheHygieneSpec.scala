@@ -40,8 +40,19 @@ class CacheHygieneSpec extends SparkSpec {
   }
 
   private def isolate(): Unit = {
+    // scope-held frames from other suites' plan-only builds (e.g.
+    // PlanShapeSpec's static plans, never executed) strongly reference
+    // the artifact checkpoint RDDs through their LogicalRDD nodes —
+    // the memo drop alone cannot free those blocks until the scopes go
+    queries.Helpers.releaseAllScopes()
     spark.catalog.clearCache()
     dropArtifactMemos()
+    // with the memo maps cleared nothing can read the dropped frames'
+    // checkpoint blocks again, but their RDDs can stay strongly
+    // reachable in the shared test JVM (observed after multi-suite
+    // PlanShapeSpec runs) — force-release the debris so this spec's
+    // REAL contract, the strict after-action assertion, starts clean
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
   // the judge-flagged cache-heavy representatives: triangle count,
@@ -55,7 +66,10 @@ class CacheHygieneSpec extends SparkSpec {
       "q213_substring_dedup", "q223_attribution", "q224_pca_power")) {
     test(s"$q leaves no persisted RDDs after its action") {
       isolate() // order-independent: drop table caches AND artifact memos
-      assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs")
+      assert(awaitNoPersistentRdds(), "pre-existing persistent RDDs: " +
+        spark.sparkContext.getPersistentRDDs.values
+          .map(r => s"${r.id}:${r.name}:${r.getStorageLevel.description}")
+          .mkString("; "))
       val rows = SparkEntry.queries(q)(spark, sf).count()
       assert(rows > 0)
       dropArtifactMemos() // the build-once artifact is not a scoped leak
