@@ -30,13 +30,14 @@ object Bench {
     // cross-pass min and the total — a fast time-to-exception must never
     // masquerade as a fast query
     def onePass(): Map[String, Double] = {
-      // each pass pays exactly one suffix-array build and one BPE
-      // training loop: reuse WITHIN a pass is the artifact design
-      // (index / trained tokenizer), but a warm second pass hiding a
-      // whole build cost from the min would be dishonest
-      graft.dedup.SuffixArray.clearCache()
-      graft.queries.CurationQueries.clearCache()
-      graft.queries.GraphQueries.clearCache()
+      // each pass pays exactly one suffix-array build, one BPE training
+      // loop, one edge-artifact build: reuse WITHIN a pass is the
+      // artifact design (index / tokenizer / edge table), but a warm
+      // second pass hiding a whole build cost from the min would be
+      // dishonest. One registry-wide clear — every Artifacts.memo is
+      // covered by construction, so a future build-once cache cannot
+      // silently bench warm.
+      graft.Artifacts.clearAll()
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

@@ -66,8 +66,12 @@ object SkewGen {
     docs
       .withColumn("dup", pmod(col("doc_id"), lit(5L)) === 0)
       .withColumn("text", when(col("dup"), lit(sharedText)).otherwise(col("text")))
+      // recompute with Spark length() (code points), not JVM
+      // String.length (UTF-16 units) — they diverge on non-BMP text and
+      // the rest of the pipeline derives n_chars from length()
       .withColumn("n_chars",
-        when(col("dup"), lit(sharedText.length.toLong)).otherwise(col("n_chars")))
+        when(col("dup"), length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
       .drop("dup")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 

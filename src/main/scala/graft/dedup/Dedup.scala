@@ -393,8 +393,8 @@ object Dedup {
       // result's vertex/label join is lazy over the pair pipeline, so an
       // early unpersist would make the caller's action re-derive the full
       // upstream pairs computation
-      val out = connectedComponentsDistributed(skinny.toDF(aCol, bCol), aCol, bCol)
-        .localCheckpoint(true)
+      val out = graft.Artifacts.materialize(
+        connectedComponentsDistributed(skinny.toDF(aCol, bCol), aCol, bCol))
       skinny.unpersist()
       return out
     }
@@ -453,12 +453,11 @@ object Dedup {
       .select(explode(array(col(aCol).cast("long"), col(bCol).cast("long"))).as("id"))
       .distinct()
     // canonical (child > parent) long pairs, self-loops dropped
-    var edges = pairs
+    var edges = graft.Artifacts.materialize(pairs
       .select(greatest(col(aCol), col(bCol)).cast("long").as("c"),
         least(col(aCol), col(bCol)).cast("long").as("p"))
       .filter(col("c") =!= col("p"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
@@ -493,7 +492,7 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = graft.Artifacts.materialize(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       val stable = nextSig == sig
       edges = next

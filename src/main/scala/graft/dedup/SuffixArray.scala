@@ -192,7 +192,7 @@ object SuffixArray {
     // probe pipeline over a SMALL active set) both win; a FULL-frame
     // lead round does not — checkpointing a corpus-sized frame costs
     // more than re-running its single exchange.
-    val input = if (materializeInput) df.localCheckpoint(true) else df
+    val input = if (materializeInput) graft.Artifacts.materialize(df) else df
     val flagged = sortAndFlag(input, keys).persist()
     try {
       val aggs = Seq(
@@ -241,10 +241,9 @@ object SuffixArray {
           .otherwise(b + col("loc1"))
         col("r") + ((b + col("loc")) - p1)
       }
-      val out = flagged
+      val out = graft.Artifacts.materialize(flagged
         .select(col("doc_id"), col("off"), rOut.cast("long").as("r"),
-          (col("cnt") > 1).as("ambig"))
-        .localCheckpoint(true)
+          (col("cnt") > 1).as("ambig")))
       (out, Census(acc, ng, nar, nag))
     } finally flagged.unpersist()
   }
@@ -271,6 +270,29 @@ object SuffixArray {
             maxFanout: Int = 8, extBudgetChars: Long = 64L << 20): DataFrame =
     ranksWithStats(docs, docCol, textCol, initK, maxRounds, maxFanout,
       extBudgetChars)._1
+
+  /** Adaptive-initK census parameters. Sampling is by PREFIX space, not
+    * by row: a suffix is sampled iff xxhash64 of its depth-16 prefix
+    * falls in a 1/[[CensusMod]] slice, so ALL suffixes sharing a
+    * sampled prefix are counted together and the within-sample
+    * collision fraction is the EXACT ambiguity of that slice — an
+    * unbiased estimator of corpus ambiguity at each depth (a uniform
+    * row sample would systematically under-count collisions). The
+    * census is one map-only corpus pass (explode + substr + hash
+    * filter, no shuffle of the full fan-out) feeding a sample-sized
+    * aggregate — measured well under 10% of the base round it sizes,
+    * which pays the same scan PLUS an initK-byte-per-row sort exchange.
+    */
+  private[graft] val CensusMod = 64
+  /** Below this sample size the estimate is noise — fall back to the
+    * conservative initK=64 (test-scale corpora take this path, so their
+    * pinned behavior is unchanged). */
+  private[graft] val CensusMinRows = 20000L
+  /** Choose the smallest depth whose estimated ambiguity keeps the
+    * post-base active set safely inside FROZEN mode (switch fires at
+    * 25%; margin absorbs sampling noise), so escalation after a shallow
+    * base rank touches only the ambiguous minority. */
+  private[graft] val CensusFrozenSafe = 0.20
 
   /** [[ranks]] plus the measured base-rank duplication fraction
     * (ambiguous rows / total after depth-initK — what the annex's band
@@ -301,15 +323,56 @@ object SuffixArray {
     val spread =
       if (nonEmpty.rdd.getNumPartitions < n0) nonEmpty.repartition(n0)
       else nonEmpty
+    // initK <= 0 → size the base-rank key from a pre-census instead of
+    // always paying 64 chars/row through the first exchange (~64× corpus
+    // bytes, the build's honest dominant cost): estimate ambiguity at
+    // depth 16 and 32 on a prefix-space sample (see [[CensusMod]]) and
+    // take the smallest depth that still lands the post-base active set
+    // in FROZEN mode — the existing machinery then escalates only the
+    // ambiguous classes. Ranks are a total order over suffixes, so the
+    // starting depth changes round shape, never output.
+    val (k0, censusAmb32) =
+      if (initK > 0) (initK, None: Option[Double])
+      else timed("initK census") {
+        val g = spread
+          .select(col("text"),
+            explode(sequence(lit(1), length(col("text")))).as("off32"))
+          .select(expr("substr(text, off32, 32)").as("p32"))
+          .filter(pmod(xxhash64(expr("substr(p32, 1, 16)")), lit(CensusMod)) === 0)
+          .groupBy(expr("substr(p32, 1, 16)").as("p16"), col("p32"))
+          .agg(count(lit(1)).as("c"))
+          .persist()
+        try {
+          val r32 = g.agg(coalesce(sum(col("c")), lit(0L)),
+            coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))).head()
+          val (nS, amb32n) = (r32.getLong(0), r32.getLong(1))
+          val r16 = g.groupBy("p16").agg(sum(col("c")).as("c"))
+            .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))).head()
+          val amb16n = r16.getLong(0)
+          val chosen =
+            if (nS < CensusMinRows) 64
+            else if (amb16n <= CensusFrozenSafe * nS) 16
+            else if (amb32n <= CensusFrozenSafe * nS) 32
+            else 64
+          dbg(f"initK census: n=$nS amb16=${amb16n.toDouble / math.max(nS, 1)}%.3f " +
+            f"amb32=${amb32n.toDouble / math.max(nS, 1)}%.3f -> initK=$chosen")
+          // keep the depth-32 ambiguity estimate: when the base rank
+          // runs shallower than FirstBand(32), the annex cascade should
+          // size itself by this, not by the (over-stated) depth-k0
+          // ambiguity the base census measures
+          (chosen,
+            if (nS >= CensusMinRows) Some(amb32n.toDouble / nS) else None)
+        } finally { g.unpersist(); () }
+      }
     val prefixes = spread
       // sequence(1, 0) would DESCEND ([1, 0]) — empty docs must not
       // reach the explode (hence the length filter above)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("off32"))
       .select(col("doc_id"), col("off32").cast("long").as("off"),
-        expr(s"substr(text, off32, $initK)").as("pfx"))
+        expr(s"substr(text, off32, $k0)").as("pfx"))
 
-    val (state0, c0) = timed(s"base rank (initK=$initK)") {
+    val (state0, c0) = timed(s"base rank (initK=$k0)") {
       rankStep(prefixes, Seq("pfx"), refine = false)
     }
     def strip(df: DataFrame): DataFrame =
@@ -319,7 +382,13 @@ object SuffixArray {
     if (c0.nRows == 0L) return (strip(state0), 0.0)
 
     val total = c0.nRows
-    val dupFrac = c0.nAmbigRows.toDouble / total
+    // published duplication fraction (sizes the annex band cascade):
+    // ambiguity at depth ≥ FirstBand. When the adaptive base ran
+    // shallower than FirstBand, the base census over-states it — use
+    // the pre-census's depth-32 estimate instead.
+    val dupFrac =
+      if (k0 < FirstBand) censusAmb32.getOrElse(c0.nAmbigRows.toDouble / total)
+      else c0.nAmbigRows.toDouble / total
     // one tiny job on the skinny frame: longest document (max offset)
     val maxLen = state0.agg(max(col("off"))).head().getLong(0)
 
@@ -344,7 +413,7 @@ object SuffixArray {
     var ambigGroups = c0.nAmbigGroups
     var carried = c0.nGroups
 
-    var k = initK.toLong
+    var k = k0.toLong
     var rounds = 0
     var noRefine = false
     while (!noRefine && nActive > 0 && k < maxLen && rounds < maxRounds) {
@@ -479,8 +548,7 @@ object SuffixArray {
     * one build per suite pass — reuse within a pass is the design,
     * a warm second pass hiding the build cost would not be.
     */
-  private val builds =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val builds = graft.Artifacts.memo[DataFrame]
 
   private def cacheKey(spark: SparkSession, corpusKey: String): String =
     s"${spark.sparkContext.applicationId}|${System.identityHashCode(spark)}|$corpusKey"
@@ -490,16 +558,20 @@ object SuffixArray {
     * whose initK-char prefix collides), keyed like [[builds]]. The
     * annex reads it to size its band cascade.
     */
-  private val dupFracs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private val dupFracs = graft.Artifacts.memo[java.lang.Double]
 
   def build(spark: SparkSession, corpusKey: String, docs: => DataFrame,
-            docCol: String, textCol: String): DataFrame =
-    builds.computeIfAbsent(cacheKey(spark, corpusKey), { k =>
-      val (df, dupFrac) = ranksWithStats(docs, docCol, textCol)
+            docCol: String, textCol: String): DataFrame = {
+    val k = cacheKey(spark, corpusKey)
+    builds.getOrElseUpdate(k) {
+      // initK = 0: the memoized production build sizes its base-rank
+      // key adaptively; the census's fixed 1/CensusMod pass amortizes
+      // over every consumer of the index
+      val (df, dupFrac) = ranksWithStats(docs, docCol, textCol, initK = 0)
       dupFracs.put(k, dupFrac)
       df
-    })
+    }
+  }
 
   // ------------------------------------------------- adjacent-LCP annex
 
@@ -683,7 +755,7 @@ object SuffixArray {
                   docCol: String, textCol: String): DataFrame = {
     val key = cacheKey(spark, s"$corpusKey|adjlcp")
     val cached = builds.get(key)
-    if (cached != null) cached
+    if (cached.isDefined) cached.get
     else {
       // resolve the SA memo OUTSIDE computeIfAbsent: recursive updates
       // of the same ConcurrentHashMap are illegal
@@ -694,18 +766,18 @@ object SuffixArray {
       // majority of pairs and cuts the bulk exchange 8×; on heavily
       // duplicated corpora most pairs cap the first band and would pay
       // both passes, so go straight to HeadBand
-      val dupFrac = Option(dupFracs.get(cacheKey(spark, corpusKey)))
+      val dupFrac = dupFracs.get(cacheKey(spark, corpusKey))
         .fold(0.0)(_.doubleValue())
       val bands =
         if (dupFrac > 0.2) Seq(HeadBand) else Seq(FirstBand, HeadBand)
-      builds.computeIfAbsent(key, _ =>
+      builds.getOrElseUpdate(key)(
         timed(s"adjacent-LCP annex (dupFrac=$dupFrac, bands=$bands)") {
         val sorted = saSorted(sa).persist()
         val tiers = scala.collection.mutable.ArrayBuffer[DataFrame]()
         try {
           val cut = (df: DataFrame) => { val p = df.persist(); tiers += p; p }
-          annexFromPairs(pairScores(sorted), d, docCol, textCol, cut, bands)
-            .localCheckpoint(true)
+          graft.Artifacts.materialize(
+            annexFromPairs(pairScores(sorted), d, docCol, textCol, cut, bands))
         } finally {
           tiers.foreach(_.unpersist())
           sorted.unpersist()

@@ -546,16 +546,16 @@ object CurationQueries {
     * lazy vocabulary-sized chain — consumers re-run it on action; only
     * the K driver-side argmax collects are the amortized cost.
     */
-  private val trained = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame)]()
+  private val trained = graft.Artifacts.memo[
+    (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame)]
 
   def clearCache(): Unit = trained.clear()
 
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) =
-    trained.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|$dir",
-      _ => bpeTrainUncached(s, dir))
+    trained.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|$dir")(
+      bpeTrainUncached(s, dir))
 
   private def bpeTrainUncached(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {

@@ -62,17 +62,15 @@ object GraphQueries {
     * prices exactly one honest build (carried by the first consumer in
     * registry order).
     */
-  private val builds =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val builds = graft.Artifacts.memo[DataFrame]
 
   private[graft] def clearCache(): Unit = builds.clear()
 
   private def coEdgeWeights(s: SparkSession, dir: String): DataFrame = {
     val key = s"${s.sparkContext.applicationId}|" +
       s"${System.identityHashCode(s)}|$dir|copurchase"
-    builds.computeIfAbsent(key, _ =>
-      coPairs(s, dir).groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .localCheckpoint(true))
+    builds.getOrElseUpdate(key)(graft.Artifacts.materialize(
+      coPairs(s, dir).groupBy("u", "v").agg(count(lit(1)).as("w"))))
   }
 
   private def coEdges(s: SparkSession, dir: String): DataFrame =
@@ -389,10 +387,15 @@ object GraphQueries {
       // center's quadratic fan-out would otherwise evaluate in ONE
       // allocation — the q157 whale-basket OOM), with the center's
       // wedge weight riding along as pair payload
+      // persisted: chunkedPairs reads this three times (its default
+      // max-set-size census, the within-chunk expansion, the big-chunk
+      // filter) — unpersisted, the census alone would re-run the whole
+      // adjacency groupBy + collect_set before the real expansion
       val ctr = adj.groupBy(col("a").as("c"))
         .agg(sort_array(collect_set("b")).as("ps"))
         .withColumn("aa_w", round(lit(1.0) / log(size(col("ps"))), 9))
         .filter(size(col("ps")) >= 2)
+        .scopedPersist
       val cand = Helpers.chunkedPairs(ctr, Seq("aa_w"))
         .groupBy(col("i").as("u"), col("j").as("v"))
         .agg(count(lit(1)).as("n_common"),

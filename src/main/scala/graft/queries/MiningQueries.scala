@@ -1423,11 +1423,17 @@ object MiningQueries {
       // every within-24h pair forms in exactly one (user, day) cell
       // (the cell where bkt = pts div day), pair volume is bounded per
       // user-DAY, and the hot key splits across the timeline.
+      // FLOOR-division buckets ((x − pmod(x, d)) div d — exact on
+      // longs): plain `div` truncates toward zero, so a pre-1970
+      // (negative) timestamp's bkt/bkt+1 replication would no longer
+      // bracket the purchase bucket and qualifying pairs would silently
+      // drop
+      val pBkt = s"(pts - pmod(pts, ${dayUs}L)) div ${dayUs}L"
+      val tBkt = s"(tts - pmod(tts, ${dayUs}L)) div ${dayUs}L"
       val paired = purchases
-        .withColumn("bkt", expr(s"pts div ${dayUs}L"))
+        .withColumn("bkt", expr(pBkt))
         .join(touches.withColumn("bkt",
-            explode(array(expr(s"tts div ${dayUs}L"),
-              expr(s"tts div ${dayUs}L") + 1L))),
+            explode(array(expr(tBkt), expr(tBkt) + 1L))),
           Seq("user_id", "bkt"))
         .filter(col("tts") <= col("pts") && col("tts") > col("pts") - dayUs)
         .select(col("pid"), col("channel"),

@@ -299,10 +299,18 @@ object RetrievalQueries {
       if (!worthIt) {
         verifiedPairs(sh, setsOver(sh)).orderBy("da", "db")
       } else {
+        // order-sensitive 128-bit content key: xxhash64 over the SORTED
+        // hash array folds elements through a seeded chain (the
+        // Dedup.contentKey construction), so distinct sets cannot be
+        // engineered into a collision the way a bit_xor aggregate's
+        // GF(2)-linearity allows. The per-doc set array this carries
+        // through the partial aggregate is the same cardinality as `sh`
+        // itself — still one combiner per dup group map-side.
         val keyed = sh.groupBy("doc_id")
-          .agg(expr("bit_xor(xxhash64(h))").as("ck1"),
-            expr("bit_xor(xxhash64(h, 42))").as("ck2"),
+          .agg(sort_array(collect_set(col("h"))).as("hs"),
             count(lit(1)).as("nk"))
+          .select(col("doc_id"), xxhash64(col("hs")).as("ck1"),
+            xxhash64(col("hs"), lit(1)).as("ck2"), col("nk"))
           .scopedPersist
         val reps = keyed.groupBy("ck1", "ck2", "nk")
           .agg(min(col("doc_id")).as("rep"))

@@ -116,15 +116,19 @@ object ScaleQueries {
         .filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
           col("event_ts").as("view_ts"))
+        // floor-division hour buckets (exact on longs): `div` truncates
+        // toward zero, which would mis-bucket pre-1970 timestamps so the
+        // bkt/bkt+1 replication no longer brackets the purchase bucket
         .withColumn("v_bkt", explode(array(
-          expr("unix_micros(view_ts) div 3600000000"),
-          expr("unix_micros(view_ts) div 3600000000") + 1L)))
+          expr("(unix_micros(view_ts) - pmod(unix_micros(view_ts), 3600000000)) div 3600000000"),
+          expr("(unix_micros(view_ts) - pmod(unix_micros(view_ts), 3600000000)) div 3600000000") + 1L)))
         .withWatermark("view_ts", "1 hour")
       val purchases = src
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
           col("event_ts").as("purch_ts"))
-        .withColumn("p_bkt", expr("unix_micros(purch_ts) div 3600000000"))
+        .withColumn("p_bkt", expr(
+          "(unix_micros(purch_ts) - pmod(unix_micros(purch_ts), 3600000000)) div 3600000000"))
         .withWatermark("purch_ts", "1 hour")
       val joined = views.join(purchases,
         col("v_user") === col("p_user") && col("v_bkt") === col("p_bkt") &&
@@ -158,20 +162,43 @@ object ScaleQueries {
     // other: their timestamps are 100 days past any real event) and be
     // dropped after the join by their reserved event_id=0. Nulls
     // surface as -1 (nullable BIGINT degrades in the parquet compare).
+    //
+    // Hot-key state concentration (one user owning 30% of events made
+    // the plain user_id key a measured ×3.8) is fixed by the same
+    // hour-bucket salting as q39, adapted for OUTER semantics: the
+    // PRESERVED side must not be replicated (a view copy that found no
+    // match in ITS bucket would emit a spurious null row, and an
+    // unmatched view would emit one null per copy), so views carry
+    // their single floor(view_ts/1h) bucket and the NON-preserved
+    // purchase side is replicated into (b, b−1). A qualifying pair has
+    // floor(purch_ts/1h) ∈ {b_v, b_v+1}, so exactly ONE purchase copy
+    // lands on the view's bucket — every within-hour pair forms at one
+    // (user, hour) cell, each view emits exactly once (matched or
+    // null-padded at watermark flush), and the hot user's join state
+    // splits across the timeline instead of one state-store key.
     Q("q158_stream_outer_join", (s, dir) => {
       val src = EventsStream.source(s,
         EventsStream.stageWithSentinel(s, s"$dir/events.parquet",
           sentinelBatches = 2, perUser = false))
+      // floor-division buckets (q39's pmod form): exact on longs, and
+      // correct for pre-1970 timestamps where `div` truncation toward
+      // zero would break the (b, b−1) bracketing
+      val vBkt =
+        "(unix_micros(view_ts) - pmod(unix_micros(view_ts), 3600000000)) div 3600000000"
+      val pBkt =
+        "(unix_micros(purch_ts) - pmod(unix_micros(purch_ts), 3600000000)) div 3600000000"
       val views = src.withWatermark("event_ts", "1 hour")
         .filter(col("event_type").isin("view", "sentinel"))
         .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
           col("event_ts").as("view_ts"))
+        .withColumn("v_bkt", expr(vBkt))
       val purchases = src.withWatermark("event_ts", "1 hour")
         .filter(col("event_type").isin("purchase", "sentinel"))
         .select(col("user_id").as("p_user"), col("event_id").as("purch_id"),
           col("event_ts").as("purch_ts"))
+        .withColumn("p_bkt", explode(array(expr(pBkt), expr(pBkt) - 1L)))
       val joined = views.join(purchases,
-          col("v_user") === col("p_user") &&
+          col("v_user") === col("p_user") && col("v_bkt") === col("p_bkt") &&
             col("purch_ts") >= col("view_ts") &&
             col("purch_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
           "left_outer")
