@@ -294,6 +294,47 @@ object SuffixArray {
     * base rank touches only the ambiguous minority. */
   private[graft] val CensusFrozenSafe = 0.20
 
+  /** The adaptive-initK pre-census over `(doc_id, text)` rows: returns
+    * (chosen initK, depth-32 ambiguity estimate when the sample was
+    * large enough). Ambiguity at 16 and 32 chars is measured EXACTLY
+    * for a 1/[[CensusMod]] prefix-space slice; the 16-char survivor
+    * set only computes 32-char keys for sampled rows, so the map cost
+    * is one 16-char substr per suffix.
+    */
+  private[graft] def censusInitK(spread: DataFrame,
+                                 minRows: Long = CensusMinRows): (Int, Option[Double]) = {
+    val g = spread
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("off32"))
+      .select(col("text"), col("off32"),
+        expr("substr(text, off32, 16)").as("p16"))
+      .filter(pmod(xxhash64(col("p16")), lit(CensusMod)) === 0)
+      .select(col("p16"), expr("substr(text, off32, 32)").as("p32"))
+      .groupBy("p16", "p32")
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val r32 = g.agg(coalesce(sum(col("c")), lit(0L)),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))).head()
+      val (nS, amb32n) = (r32.getLong(0), r32.getLong(1))
+      val r16 = g.groupBy("p16").agg(sum(col("c")).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))).head()
+      val amb16n = r16.getLong(0)
+      val chosen =
+        if (nS < minRows) 64
+        else if (amb16n <= CensusFrozenSafe * nS) 16
+        else if (amb32n <= CensusFrozenSafe * nS) 32
+        else 64
+      dbg(f"initK census: n=$nS amb16=${amb16n.toDouble / math.max(nS, 1)}%.3f " +
+        f"amb32=${amb32n.toDouble / math.max(nS, 1)}%.3f -> initK=$chosen")
+      // keep the depth-32 ambiguity estimate: when the base rank runs
+      // shallower than FirstBand(32), the annex cascade should size
+      // itself by this, not by the (over-stated) depth-k0 ambiguity
+      // the base round's own census measures
+      (chosen, if (nS >= minRows) Some(amb32n.toDouble / nS) else None)
+    } finally { g.unpersist(); () }
+  }
+
   /** [[ranks]] plus the measured base-rank duplication fraction
     * (ambiguous rows / total after depth-initK — what the annex's band
     * cascade sizes itself by).
@@ -333,37 +374,7 @@ object SuffixArray {
     // starting depth changes round shape, never output.
     val (k0, censusAmb32) =
       if (initK > 0) (initK, None: Option[Double])
-      else timed("initK census") {
-        val g = spread
-          .select(col("text"),
-            explode(sequence(lit(1), length(col("text")))).as("off32"))
-          .select(expr("substr(text, off32, 32)").as("p32"))
-          .filter(pmod(xxhash64(expr("substr(p32, 1, 16)")), lit(CensusMod)) === 0)
-          .groupBy(expr("substr(p32, 1, 16)").as("p16"), col("p32"))
-          .agg(count(lit(1)).as("c"))
-          .persist()
-        try {
-          val r32 = g.agg(coalesce(sum(col("c")), lit(0L)),
-            coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))).head()
-          val (nS, amb32n) = (r32.getLong(0), r32.getLong(1))
-          val r16 = g.groupBy("p16").agg(sum(col("c")).as("c"))
-            .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))).head()
-          val amb16n = r16.getLong(0)
-          val chosen =
-            if (nS < CensusMinRows) 64
-            else if (amb16n <= CensusFrozenSafe * nS) 16
-            else if (amb32n <= CensusFrozenSafe * nS) 32
-            else 64
-          dbg(f"initK census: n=$nS amb16=${amb16n.toDouble / math.max(nS, 1)}%.3f " +
-            f"amb32=${amb32n.toDouble / math.max(nS, 1)}%.3f -> initK=$chosen")
-          // keep the depth-32 ambiguity estimate: when the base rank
-          // runs shallower than FirstBand(32), the annex cascade should
-          // size itself by this, not by the (over-stated) depth-k0
-          // ambiguity the base census measures
-          (chosen,
-            if (nS >= CensusMinRows) Some(amb32n.toDouble / nS) else None)
-        } finally { g.unpersist(); () }
-      }
+      else timed("initK census")(censusInitK(spread))
     val prefixes = spread
       // sequence(1, 0) would DESCEND ([1, 0]) — empty docs must not
       // reach the explode (hence the length filter above)
@@ -564,10 +575,21 @@ object SuffixArray {
             docCol: String, textCol: String): DataFrame = {
     val k = cacheKey(spark, corpusKey)
     builds.getOrElseUpdate(k) {
-      // initK = 0: the memoized production build sizes its base-rank
-      // key adaptively; the census's fixed 1/CensusMod pass amortizes
-      // over every consumer of the index
-      val (df, dupFrac) = ranksWithStats(docs, docCol, textCol, initK = 0)
+      // Default 64, NOT adaptive — the adaptive census (initK = 0) was
+      // built and A/B-measured (round 8, same box, min-of-two): the
+      // base round's cost is MATERIALIZATION-bound, not key-byte-bound
+      // — sf1 base rank 41.4 s at depth 64 vs 41.9 s at depth 32 for
+      // identical row counts, so the "64× corpus sort bytes" term does
+      // not surface in single-node wall time. q235 end-to-end: sf0.1
+      // 15.65 s (64) vs 15.83 s (32); sf1 187.6 s (64) vs 218.8 s (32)
+      // — a shallower start LOSES whenever duplication is material
+      // (more FULL-mode rounds) and ties elsewhere, while the census
+      // itself costs ~1.7 s/corpus. The census also showed a 16-char
+      // base is never safe on prose (amb16 = 0.72 on the natural docs
+      // corpus). On a network-shuffle cluster where bytes genuinely
+      // bill, set SPARK_GRAFT_SA_INITK=0 to re-enable the census.
+      val forced = sys.env.get("SPARK_GRAFT_SA_INITK").map(_.toInt).getOrElse(64)
+      val (df, dupFrac) = ranksWithStats(docs, docCol, textCol, initK = forced)
       dupFracs.put(k, dupFrac)
       df
     }

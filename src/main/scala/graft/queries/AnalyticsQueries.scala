@@ -582,26 +582,35 @@ object AnalyticsQueries {
         .groupBy(col("o_custkey").as("c"), col("p_brand").as("b"))
         .agg(count(lit(1)).as("w"))
         .scopedPersist
-      def normPico(df: org.apache.spark.sql.DataFrame, key: String,
-                   raw: String): org.apache.spark.sql.DataFrame = {
-        val mx = df.agg(max(col(raw)).as("mx"))
-        df.crossJoin(broadcast(mx))
-          .select(col(key),
-            floor(col(raw).cast("double") / col("mx") * lit(1e12) + lit(0.5))
-              .cast("long").as("p"))
+      // MAX-normalization with a driver-side scalar (the q224/MMR
+      // boundary pattern — a 1-row collect is the bounded kind): the
+      // raw aggregate is persisted so the max job and the normalized
+      // projection share one computation, and the literal replaces the
+      // crossJoin(broadcast(1-row-max)) job pair each half-step
+      // scheduled — the iterative family's cost here is multi-job
+      // scheduling, not data.
+      def normPico(df: org.apache.spark.sql.DataFrame,
+                   keep: String*): org.apache.spark.sql.DataFrame = {
+        val p = df.scopedPersist
+        val r = p.agg(max(col("raw"))).head()
+        val mx = if (r.isNullAt(0)) 1L else r.getLong(0)
+        p.select(keep.map(col) :+
+          floor(col("raw").cast("double") / lit(mx) * lit(1e12) + lit(0.5))
+            .cast("long").as("p"): _*)
       }
       // hub0 ≡ 1: auth1_raw = Σ w per brand
-      val a1 = normPico(
-        w.groupBy("b").agg(sum("w").as("raw")), "b", "raw")
+      val a1 = normPico(w.groupBy("b").agg(sum("w").as("raw")), "b")
       val h1 = normPico(
         w.join(broadcast(a1), "b")
-          .groupBy("c").agg(sum(col("w") * col("p")).as("raw")), "c", "raw")
+          .groupBy("c").agg(sum(col("w") * col("p")).as("raw")), "c")
+      // n_buyers rides a2's aggregate: the w ⋈ h1 inner join is
+      // row-preserving (h1 has exactly one row per distinct c of w), so
+      // count(*) per brand equals the old separate buyers scan
       val a2 = normPico(
         w.join(h1.select(col("c"), col("p").as("hp")), "c")
-          .groupBy("b").agg(sum(col("w") * col("hp")).as("raw")), "b", "raw")
-      val buyers = w.groupBy("b").agg(count(lit(1)).as("n_buyers"))
-      a2.join(broadcast(buyers), "b")
-        .select(col("b").as("brand"), col("n_buyers"),
+          .groupBy("b").agg(sum(col("w") * col("hp")).as("raw"),
+            count(lit(1)).as("n_buyers")), "b", "n_buyers")
+      a2.select(col("b").as("brand"), col("n_buyers"),
           round(col("p") / lit(1e12), 6).as("authority"))
         .orderBy(desc("authority"), asc("brand")).limit(10)
     }, Some(

@@ -402,8 +402,12 @@ object Helpers {
   private[graft] def chunkedPairs(sets: DataFrame, payload: Seq[String] = Nil,
       chunkB: Int = ChunkB, maxSetLen: Int = -1): DataFrame = {
     val pay = payload.map(col)
+    // greatest(..., 0): an EMPTY set at chunkB=1 would otherwise make
+    // the upper bound (0-1)/1 = -1, and sequence(0, -1) DESCENDS — its
+    // k=-1 element feeds slice a start of 0, which throws. Clamped, an
+    // empty set yields one empty chunk → zero pairs.
     def chunksOf(df: DataFrame) = df.select(col("c") +: pay :+ posexplode(expr(
-        s"transform(sequence(0, int((size(ps) - 1) / $chunkB)), " +
+        s"transform(sequence(0, greatest(int((size(ps) - 1) / $chunkB), 0)), " +
           s"k -> slice(ps, k * $chunkB + 1, $chunkB))"))
       .as(Seq("k", "chunk")): _*)
     val within = chunksOf(sets)

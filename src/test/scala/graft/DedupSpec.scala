@@ -510,4 +510,82 @@ class DedupSpec extends SparkSpec {
     for ((id, dup) <- expected)
       assert(got(id) == dup, s"doc $id: got ${got(id)}, expected $dup")
   }
+
+  test("initK census: shallow on distinctive text, deep on duplication, tiny samples fall back") {
+    import graft.dedup.SuffixArray
+    val rnd = new scala.util.Random(64)
+    def doc(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // ~40k suffixes of 26-letter random text: 16-char prefixes are
+    // near-unique → the census may go shallow
+    // minRows lowered to test-corpus scale (the prod default needs a
+    // ≥1.3M-suffix corpus to trust its 1/64 prefix-space sample)
+    val uniq = (1L to 400L).map(i => (i, doc(100))).toDF("doc_id", "text")
+    val (kU, ambU) =
+      SuffixArray.censusInitK(uniq.select(col("doc_id"), col("text")), minRows = 100L)
+    assert(kU == 16, s"distinctive corpus chose $kU")
+    assert(ambU.exists(_ < 0.05), s"amb32 estimate $ambU")
+    // the same text duplicated 400× → every suffix collides at any
+    // fixed depth → conservative 64
+    val shared = doc(100)
+    val dup = (1L to 400L).map(i => (i, shared)).toDF("doc_id", "text")
+    val (kD, ambD) =
+      SuffixArray.censusInitK(dup.select(col("doc_id"), col("text")), minRows = 100L)
+    assert(kD == 64, s"duplicated corpus chose $kD")
+    assert(ambD.exists(_ > 0.95), s"amb32 estimate $ambD")
+    // sub-threshold sample → fixed fallback, no estimate
+    val tiny = (1L to 3L).map(i => (i, doc(50))).toDF("doc_id", "text")
+    val (kT, ambT) = SuffixArray.censusInitK(tiny.select(col("doc_id"), col("text")))
+    assert(kT == 64 && ambT.isEmpty)
+    // the adaptive path must produce exactly the fixed path's ranks
+    val small = (1L to 30L).map(i => (i, doc(40) + shared.take(20))).toDF("doc_id", "text")
+    val fixed = SuffixArray.ranks(small, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val adaptive = SuffixArray.ranks(small, "doc_id", "text", initK = 0)
+      .collect().map(_.toSeq).toSet
+    assert(adaptive == fixed)
+  }
+
+  test("annex cascade: every band set yields identical (lcp, head) output") {
+    // round-7 advice hardening: the staged cascade must be a pure
+    // performance decision — FirstBand-only (everything ≥32 escalates
+    // to full text), HeadBand-only (one wide pass), and the production
+    // two-stage cascade have to agree row-for-row on an adversarial
+    // duplication corpus that exercises every tier: >HeadBand-char
+    // shared prefixes (final escalation), mid-length repeats (FirstBand
+    // cap → HeadBand exact), a strict prefix-of pair, and small-alphabet
+    // noise (dense short repeats).
+    import graft.dedup.SuffixArray
+    val rnd = new scala.util.Random(8)
+    def randStr(n: Int) =
+      Seq.fill(n)(('a' + rnd.nextInt(3)).toChar).mkString
+    val longShared = randStr(300)
+    val midShared = randStr(120)
+    val docs = Seq(
+      1L -> (longShared + randStr(40)),
+      2L -> (longShared + randStr(40)),
+      3L -> (midShared + randStr(30)),
+      4L -> (midShared + randStr(30)),
+      5L -> randStr(80),
+      6L -> randStr(80),
+      7L -> longShared,
+      8L -> "xyz").toDF("doc_id", "text")
+    val sorted = SuffixArray.saSorted(
+      SuffixArray.ranks(docs, "doc_id", "text")).persist()
+    val pairs = SuffixArray.pairScores(sorted).persist()
+    val outs = Seq(Seq(SuffixArray.FirstBand), Seq(SuffixArray.HeadBand),
+      Seq(SuffixArray.FirstBand, SuffixArray.HeadBand)).map { bands =>
+      bands -> SuffixArray
+        .annexFromPairs(pairs, docs, "doc_id", "text", identity, bands)
+        .select("r_a", "doc_a", "off_a", "doc_b", "off_b", "lcp", "head")
+        .collect().map(_.toSeq).toSet
+    }
+    val (refBands, ref) = outs.head
+    assert(ref.nonEmpty && ref.exists(_(5).asInstanceOf[Long] > 256L),
+      "corpus must exercise the post-HeadBand escalation tier")
+    for ((bands, got) <- outs.tail)
+      assert(got == ref,
+        s"bands=$bands diverges from bands=$refBands: " +
+          s"${(got diff ref).take(3)} vs ${(ref diff got).take(3)}")
+    pairs.unpersist(); sorted.unpersist()
+  }
 }

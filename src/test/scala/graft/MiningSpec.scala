@@ -313,4 +313,39 @@ class MiningSpec extends SparkSpec {
     }
     assert(got == want, s"got=${got.size} want=${want.size}")
   }
+
+  test("chunkedPairs equals naive expansion for every chunk size 1-9") {
+    // widened fuzz (round-7 advice): the chunk boundary cases live at
+    // tiny chunkB — chunkB=1 routes EVERY pair through the cross-chunk
+    // join, set sizes straddling k·chunkB exercise the last-slice
+    // padding, and the payload must ride with naive multiplicity
+    // through both the within-chunk and cross-chunk branches.
+    import spark.implicits._
+    val rnd = new scala.util.Random(8)
+    val centers: Seq[(Long, Seq[Long], Double)] =
+      (1L to 12L).map { c =>
+        val n = rnd.nextInt(23) // includes empty and size-1 sets
+        val nb = Seq.fill(n)(rnd.nextInt(40).toLong).distinct.sorted
+        (c, nb, math.rint(1e9 * rnd.nextDouble()) / 1e9)
+      }
+    val want = centers.flatMap { case (_, nb, w) =>
+      for (a <- nb; b <- nb if a < b) yield ((a, b), w)
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.size.toLong,
+        math.rint(1e6 * v.map(x => BigDecimal(x._2)).sum.toDouble) / 1e6))
+    }
+    val sets = centers.toDF("c", "ps", "w")
+    for (chunkB <- 1 to 9) {
+      val got = graft.queries.Helpers.chunkedPairs(sets, Seq("w"), chunkB = chunkB)
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("w").cast(
+            org.apache.spark.sql.types.DecimalType(20, 12))).cast("double"), 6)
+            .as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got == want, s"chunkB=$chunkB: got=${got.size} want=${want.size}")
+    }
+  }
 }
