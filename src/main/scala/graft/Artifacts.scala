@@ -1,8 +1,10 @@
 package graft
 
+import java.lang.ref.WeakReference
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** The one materialization + memoization seam for build-once artifacts
   * (suffix-array index, adjacent-LCP annex, co-purchase edge table, BPE
@@ -41,8 +43,12 @@ import org.apache.spark.sql.DataFrame
   */
 object Artifacts {
 
+  // Weak refs: a memo created outside object-level init (tests build
+  // several per run) must be collectable once unreachable — a strong
+  // clearer closure would pin the memo, its map, and any cached
+  // DataFrames forever. clearAll skips and prunes cleared refs.
   private val clearers =
-    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+    new java.util.concurrent.CopyOnWriteArrayList[WeakReference[Memo[_]]]()
 
   /** A build-once artifact cache. Constructing one registers its clear
     * with [[clearAll]] — a memo cannot exist outside the per-pass clear.
@@ -52,7 +58,7 @@ object Artifacts {
     */
   final class Memo[V] private[Artifacts] () {
     private val m = new ConcurrentHashMap[String, V]()
-    clearers.add(() => m.clear())
+    clearers.add(new WeakReference[Memo[_]](this))
     /** Atomic compute-if-absent: one build per key per clear epoch. */
     def getOrElseUpdate(key: String)(build: => V): V =
       m.computeIfAbsent(key, _ => build)
@@ -66,12 +72,23 @@ object Artifacts {
 
   /** Drop every registered memo (all sessions, all corpora). Bench calls
     * this once per pass so each pass prices one honest build per
-    * artifact; tests call it to isolate builds.
+    * artifact; tests call it to isolate builds. GC'd memos are pruned
+    * here so the registry itself stays bounded.
     */
-  def clearAll(): Unit = clearers.forEach(f => f())
+  def clearAll(): Unit = {
+    clearers.forEach { ref =>
+      val memo = ref.get()
+      if (memo != null) memo.clear()
+    }
+    clearers.removeIf(ref => ref.get() == null)
+  }
 
-  /** Number of registered memos — exposed for the registry unit test. */
-  private[graft] def registeredMemoCount: Int = clearers.size
+  /** Number of live registered memos — exposed for the registry test. */
+  private[graft] def registeredMemoCount: Int = {
+    var n = 0
+    clearers.forEach(ref => if (ref.get() != null) n += 1)
+    n
+  }
 
   /** Eagerly materialize a build-once artifact / iterative round with
     * the deployment-appropriate primitive (see object doc). All graft
@@ -102,7 +119,14 @@ object Artifacts {
               "the only copy of this artifact on executor loss.)")
         }
       }
-      df.checkpoint(eager = true)
+      // checkpoint(eager) on an unpersisted frame computes the plan
+      // TWICE: once for the eager action, again when the
+      // ReliableCheckpointRDD write job re-pulls the lineage. Persist
+      // first so the write job reads the cached blocks, then drop the
+      // cache — the checkpoint files are the durable copy.
+      val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+      try persisted.checkpoint(eager = true)
+      finally { persisted.unpersist(); () }
     }
   }
 }

@@ -341,7 +341,8 @@ object SuffixArray {
     */
   private[graft] def ranksWithStats(docs: DataFrame, docCol: String, textCol: String,
             initK: Int = 64, maxRounds: Int = 40,
-            maxFanout: Int = 8, extBudgetChars: Long = 64L << 20): (DataFrame, Double) = {
+            maxFanout: Int = 8, extBudgetChars: Long = 64L << 20,
+            censusMinRows: Long = CensusMinRows): (DataFrame, Double) = {
     val base = docs.select(col(docCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
 
@@ -372,9 +373,18 @@ object SuffixArray {
     // in FROZEN mode — the existing machinery then escalates only the
     // ambiguous classes. Ranks are a total order over suffixes, so the
     // starting depth changes round shape, never output.
+    // A census runs whenever the base rank will be SHALLOWER than
+    // FirstBand — even for a caller-forced initK (SPARK_GRAFT_SA_INITK
+    // =16): without it the published dupFrac would be the over-stated
+    // depth-k0 ambiguity, which can flip the annex cascade to
+    // HeadBand-only and forfeit the FirstBand pre-pass saving. The
+    // forced k0 is honored; only the ambiguity estimate is measured.
     val (k0, censusAmb32) =
-      if (initK > 0) (initK, None: Option[Double])
-      else timed("initK census")(censusInitK(spread))
+      if (initK >= FirstBand) (initK, None: Option[Double])
+      else if (initK > 0)
+        (initK, timed("initK census (forced shallow base)")(
+          censusInitK(spread, censusMinRows))._2)
+      else timed("initK census")(censusInitK(spread, censusMinRows))
     val prefixes = spread
       // sequence(1, 0) would DESCEND ([1, 0]) — empty docs must not
       // reach the explode (hence the length filter above)

@@ -24,18 +24,57 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Run `f` with a reduced shuffle-partition count: each stateful
-    * streaming operator materializes one state store per shuffle
-    * partition per micro-batch, so at local event volumes 32 partitions
-    * are pure commit overhead. The partition count is captured when the
-    * streaming query STARTS, so the override must wrap `start()`.
-    * (At cluster scale the right number is sized to state volume, not
-    * core count — this helper is where that policy lives.)
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** State-store backend seam, mirroring `spark.graft.materialize`:
+    * `spark.graft.stateStore` = `auto` (default: local master → Spark's
+    * default HDFS-backed in-memory provider, else RocksDB) | `hdfs` |
+    * `rocksdb`. The default provider keeps EVERY key's state on the
+    * executor heap between commits — at 100 TB event volume (billions of
+    * session/join keys) that OOMs executors; RocksDB spills state to
+    * local disk with a bounded block cache and only uploads changelogs
+    * at commit, which is the documented large-state deployment. Locally
+    * the default provider stays: zero native-lib dependency in the hot
+    * test path, and state volumes are tiny. Returns the provider class
+    * to pin at query start, or None to leave Spark's default.
+    */
+  private[graft] def stateStoreProvider(spark: SparkSession): Option[String] = {
+    val mode = spark.conf.getOption("spark.graft.stateStore").getOrElse("auto")
+    val rocks = mode match {
+      case "hdfs"    => false
+      case "rocksdb" => true
+      case "auto"    => !spark.sparkContext.isLocal
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.stateStore must be auto|hdfs|rocksdb, got '$other'")
+    }
+    if (rocks) Some(RocksDbProvider) else None
+  }
+
+  /** Run `f` with streaming-shaped session conf: a reduced
+    * shuffle-partition count (each stateful operator materializes one
+    * state store per shuffle partition per micro-batch, so at local
+    * event volumes 32 partitions are pure commit overhead) and the
+    * deployment-appropriate state-store provider (see
+    * [[stateStoreProvider]]). Both are captured when the streaming query
+    * STARTS, so the override must wrap `start()`. (At cluster scale the
+    * right partition number is sized to state volume, not core count —
+    * this helper is where that policy lives.)
     */
   def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val PartsKey = "spark.sql.shuffle.partitions"
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = spark.conf.get(PartsKey)
+    val prevProvider = spark.conf.getOption(ProviderKey)
+    spark.conf.set(PartsKey, n.toString)
+    stateStoreProvider(spark).foreach(spark.conf.set(ProviderKey, _))
+    try f finally {
+      spark.conf.set(PartsKey, prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set(ProviderKey, p)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
   }
 
   /** readStream over a directory of events parquet. */

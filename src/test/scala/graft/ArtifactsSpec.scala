@@ -32,6 +32,29 @@ class ArtifactsSpec extends SparkSpec {
     assert(a.size == 0 && b.size == 0)
   }
 
+  test("an unreachable memo is not retained by the registry") {
+    // the registry holds WeakReferences: a memo created outside
+    // object-level init (exactly what these tests do) must be
+    // collectable once dropped, or every test run leaks maps + cached
+    // DataFrames into the global list
+    val before = Artifacts.registeredMemoCount
+    var m: Artifacts.Memo[Int] = Artifacts.memo[Int]
+    m.getOrElseUpdate("k")(1)
+    assert(Artifacts.registeredMemoCount == before + 1)
+    m = null // drop the only strong ref
+    // best-effort GC: weak refs clear promptly once unreachable, but
+    // give the collector a few rounds before judging
+    // earlier tests' locally-scoped memos may be collected too, so the
+    // count can fall BELOW `before` — the property is only that the
+    // dropped memo stops being counted
+    var tries = 0
+    while (Artifacts.registeredMemoCount > before && tries < 20) {
+      System.gc(); Thread.sleep(50); Artifacts.clearAll(); tries += 1
+    }
+    assert(Artifacts.registeredMemoCount <= before,
+      "a dropped memo must be pruned from the registry after GC")
+  }
+
   test("materialize preserves rows and truncates lineage locally") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
       .filter(col("id") > 1)
@@ -46,22 +69,35 @@ class ArtifactsSpec extends SparkSpec {
 
   test("reliable mode fails fast without a checkpoint dir, works with one") {
     val df = Seq(1L, 2L).toDF("id")
+    // SparkContext.setCheckpointDir(null) maps through Option(null) →
+    // None, so the shared context can be RESTORED to unset — no
+    // test-order coupling on whether some earlier test set a dir, and
+    // no permanent pollution for later tests that expect it unset.
+    val savedDir = spark.sparkContext.getCheckpointDir
+    var tmpDir: java.nio.file.Path = null
     spark.conf.set("spark.graft.materialize", "reliable")
     try {
+      spark.sparkContext.setCheckpointDir(null)
       // no checkpoint dir configured → actionable failure, not a silent
       // durability hole
       assert(spark.sparkContext.getCheckpointDir.isEmpty)
       val e = intercept[IllegalStateException](Artifacts.materialize(df))
       assert(e.getMessage.contains("checkpoint"))
       // with a dir, the reliable path materializes to storage
-      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-      spark.conf.set("spark.graft.checkpointDir", dir)
+      tmpDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      spark.conf.set("spark.graft.checkpointDir", tmpDir.toString)
       val cut = Artifacts.materialize(df)
       assert(cut.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
       assert(spark.sparkContext.getCheckpointDir.nonEmpty)
     } finally {
       spark.conf.unset("spark.graft.materialize")
       spark.conf.unset("spark.graft.checkpointDir")
+      spark.sparkContext.setCheckpointDir(savedDir.orNull)
+      if (tmpDir != null) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 }

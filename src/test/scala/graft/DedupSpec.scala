@@ -545,6 +545,35 @@ class DedupSpec extends SparkSpec {
     assert(adaptive == fixed)
   }
 
+  test("forced shallow initK still publishes a depth-≥FirstBand dupFrac") {
+    // round-8 advice: SPARK_GRAFT_SA_INITK=16 (initK > 0, so the
+    // adaptive census used to be skipped) must NOT publish the
+    // over-stated depth-16 ambiguity as dupFrac — that can flip the
+    // annex cascade to HeadBand-only on low-duplication corpora. The
+    // census now runs whenever k0 < FirstBand regardless of how k0 was
+    // chosen. Corpus: a 40-char header shared by every doc + a
+    // distinctive random tail → suffixes in the header are ambiguous at
+    // depth 16 (~25/99 per doc) but mostly resolved at depth 32 (~9/99),
+    // so the two estimates differ by more than 2×.
+    import graft.dedup.SuffixArray
+    val rnd = new scala.util.Random(9)
+    val header = Seq.fill(40)(('a' + rnd.nextInt(26)).toChar).mkString
+    def tail(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (1L to 300L).map(i => (i, header + tail(59)))
+      .toDF("doc_id", "text")
+    val (_, dupShallow) = SuffixArray.ranksWithStats(
+      docs, "doc_id", "text", initK = 16, censusMinRows = 100L)
+    val (_, dupDeep) = SuffixArray.ranksWithStats(
+      docs, "doc_id", "text", initK = 64)
+    // depth-16 raw ambiguity on this corpus is ~0.25; the census's
+    // depth-32 estimate and the depth-64 base census both land ~0.09.
+    // The forced-shallow run must publish the deep-ish number.
+    assert(dupShallow < 0.15,
+      s"forced initK=16 published over-stated dupFrac $dupShallow")
+    assert(math.abs(dupShallow - dupDeep) < 0.05,
+      s"shallow ($dupShallow) and deep ($dupDeep) dupFrac disagree")
+  }
+
   test("annex cascade: every band set yields identical (lcp, head) output") {
     // round-7 advice hardening: the staged cascade must be a pure
     // performance decision — FirstBand-only (everything ≥32 escalates

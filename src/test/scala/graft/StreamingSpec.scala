@@ -76,6 +76,50 @@ class StreamingSpec extends SparkSpec {
       s"emitted not subset: ${emitted.filterNot(batchSet.contains).take(3).mkString(",")}")
   }
 
+  test("sessionization under the RocksDB state store matches the default provider") {
+    // the 100 TB state backend (spark.graft.stateStore=rocksdb): same
+    // stateful query, same sentinel staging, state held in RocksDB
+    // instead of the executor-heap default — output must be identical.
+    val staged = EventsStream.stageWithSentinel(
+      spark, "/root/testdata/sf0.001/events.parquet")
+    val ckpt = Files.createTempDirectory("graft-rocksdb-ckpt")
+    spark.conf.set("spark.graft.stateStore", "rocksdb")
+    try {
+      EventsStream.withStreamShufflePartitions(spark) {
+        // the seam must actually pin the provider at start
+        assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+          .contains("RocksDBStateStoreProvider"))
+        val q = EventsStream.sessionize(EventsStream.source(spark, staged))
+          .writeStream.outputMode("append").format("memory")
+          .option("checkpointLocation", ckpt.toString)
+          .queryName("t_sessions_rocksdb").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      // conf restored after the wrapper: back to the HDFS default
+      // (the key always resolves — SQLConf supplies the default value)
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("HDFSBackedStateStoreProvider"))
+      val emitted = spark.table("t_sessions_rocksdb").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(emitted == batchSessionSet)
+      // structural proof RocksDB ran: its state checkpoint uploads
+      // versioned snapshot/changelog artifacts the default provider
+      // never writes (the default writes bare <version>.delta files)
+      import scala.jdk.CollectionConverters._
+      val stateFiles = Files.walk(ckpt.resolve("state")).iterator().asScala
+        .map(_.getFileName.toString).toSet
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"no RocksDB snapshot/changelog artifacts under $ckpt: $stateFiles")
+    } finally {
+      spark.conf.unset("spark.graft.stateStore")
+      import scala.jdk.CollectionConverters._
+      Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("watermarked hourly window agg matches batch totals") {
     val dir = Files.createTempDirectory("events-stream").toString
     Files.copy(
