@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,6 +21,23 @@ object Bench {
     // eats a multi-second GC/JIT storm on one arbitrary query; min-of-two
     // reports steady-state per-query cost (what a warmed executor does).
     // optional comma-separated filter for targeted timing runs
+    // Timed action. `count` is the driver's committed methodology, but
+    // Catalyst prunes computed columns nothing references (a heavy
+    // decimal column can cost ~0 under count — the q218 class).
+    // `checksum` forces EVERY output column through an aggregate
+    // (bit_xor of xxhash64 over the whole row struct — xor, not sum:
+    // summing 2^63-scale hashes overflows under ANSI mode), so the
+    // timed number is the full cost of producing the advertised output
+    // — the honest absolute, used for the committed checksum baseline.
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+    require(action == "count" || action == "checksum",
+      s"SPARK_GRAFT_BENCH_ACTION must be count|checksum, got '$action'")
+    def timedAction(df: DataFrame): Unit = action match {
+      case "count" => df.count(); ()
+      case "checksum" =>
+        import org.apache.spark.sql.functions.{bit_xor, xxhash64, struct, col}
+        df.agg(bit_xor(xxhash64(struct(col("*"))))).head(); ()
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -46,7 +63,7 @@ object Bench {
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          try { timedAction(fn(spark, sfDir)); true } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
@@ -69,7 +86,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a bounded stdout TAIL (a full suite truncates
     // mid-JSON there), so the complete artifact is also written to disk

@@ -105,37 +105,44 @@ object CurationQueries {
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Repetition screens (Gopher-style): duplicate-2-gram fraction and
-    // the character share of the single most frequent 2-gram. The
-    // distinct-count side is per-row array math (map-only); the top-gram
-    // side is one groupBy + max(struct) partial agg — both scale linearly
-    // and neither moves document text through a shuffle.
+    // the character share of the single most frequent 2-gram. Bigrams
+    // are built ONCE, on the explode side only — every per-doc statistic
+    // falls out of the (doc, gram) counts (n_grams = Σcnt, n_distinct =
+    // #groups, top = max(struct)), so there is no per-row
+    // array_distinct and no second grams pass riding a self-join. (The
+    // previous form computed the grams array on BOTH sides of the join
+    // and paid an interpreted array_distinct per row: 40 s at sf0.1
+    // under the checksum action vs ~3 s for this shape — count-mode
+    // pruning had hidden the entire cost.) Document text still never
+    // crosses a shuffle; only (doc_id, gram) rows do.
     Q("q82_repetition", (s, dir) => {
-      val base = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.cleanText(col("text")).as("clean"))
-        .withColumn("toks", TextOps.tokens(col("clean")))
-        .withColumn("grams", when(size(col("toks")) >= 2,
-            transform(sequence(lit(1), size(col("toks")) - 1),
-              i => concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1))))
-          .otherwise(array().cast("array<string>")))
-        .select(col("doc_id"), col("clean"),
-          size(col("grams")).cast("long").as("n_grams"),
-          size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
-          col("grams"))
-      val top = base.select(col("doc_id"), explode(col("grams")).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(max(struct(col("cnt"), col("gram"))).as("t"))
-        .select(col("doc_id"), col("t.gram").as("top_gram"),
-          col("t.cnt").as("top_n"))
-      base.join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
+        .select(col("doc_id"),
+          greatest(length(col("clean")), lit(1)).as("clen"),
+          TextOps.tokens(col("clean")).as("toks"))
+      val grams = docs
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("gram"))
+      val per = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(struct(col("cnt"), col("gram"))).as("t"))
+      docs.join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
           round(when(col("n_grams") > 0,
             (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
             .otherwise(0.0), 6).as("dup_frac"),
-          coalesce(col("top_gram"), lit("")).as("top_gram"),
-          coalesce(col("top_n"), lit(0L)).as("top_n"),
-          round(coalesce(col("top_n").cast("double") * length(col("top_gram"))
-            / greatest(length(col("clean")), lit(1)), lit(0.0)), 6).as("top_char_frac"))
+          coalesce(col("t.gram"), lit("")).as("top_gram"),
+          coalesce(col("t.cnt"), lit(0L)).as("top_n"),
+          round(coalesce(col("t.cnt").cast("double") * length(col("t.gram"))
+            / col("clen"), lit(0.0)), 6).as("top_char_frac"))
         .orderBy("doc_id")
     }, Some(
       s"""WITH d AS (SELECT doc_id, ${cleanTextSql("text")} AS clean FROM documents),
