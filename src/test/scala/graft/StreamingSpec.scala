@@ -120,6 +120,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionization survives a mid-stream kill + restart from checkpoint") {
+    // The 100 TB operational property: a stateful query killed between
+    // micro-batches and restarted from its checkpoint must produce
+    // EXACTLY the batch result — no lost sessions (state + source
+    // offsets recover) and no duplicates (the parquet sink's metadata
+    // log commits files atomically per batch; readers see only
+    // committed files). Memory sinks can't test this (they reset on
+    // restart), so this is the one parquet-sink streaming spec.
+    // two sentinel batches (identical far-future rows — the second
+    // joins the same open sentinel session, emitting nothing new) give
+    // the restart leg guaranteed remaining work even if run 1 races
+    // past the first real batch before the kill lands
+    val staged = EventsStream.stageWithSentinel(
+      spark, "/root/testdata/sf0.001/events.parquet", sentinelBatches = 2)
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    def start() = EventsStream.withStreamShufflePartitions(spark) {
+      EventsStream.sessionize(EventsStream.source(spark, staged))
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .start()
+    }
+    // run until at least one micro-batch commits, then kill
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(q1.recentProgress.nonEmpty, "first run never committed a batch")
+    q1.stop()
+    // restart from the same checkpoint; drain the rest
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(q2.recentProgress.nonEmpty, "restart processed nothing — the " +
+      "kill landed after all batches; fixture must leave work for run 2")
+    val emitted = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start"), r.getAs[Long]("n_events"))).toSet
+    assert(emitted == batchSessionSet,
+      s"stream-batch= ${(emitted -- batchSessionSet).take(3)} " +
+        s"batch-stream= ${(batchSessionSet -- emitted).take(3)}")
+  }
+
   test("watermarked hourly window agg matches batch totals") {
     val dir = Files.createTempDirectory("events-stream").toString
     Files.copy(
