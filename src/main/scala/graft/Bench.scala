@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // state-backend override, mirroring Verify: times the streaming
+    // family under RocksDB instead of the local default
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(spark.conf.set("spark.graft.stateStore", _))
     // Two passes, min per query: a single shared-JVM pass occasionally
     // eats a multi-second GC/JIT storm on one arbitrary query; min-of-two
     // reports steady-state per-query cost (what a warmed executor does).

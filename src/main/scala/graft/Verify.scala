@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // state-backend override for deployment-shaped runs (e.g.
+    // SPARK_GRAFT_STATE_STORE=rocksdb oracle-verifies the streaming
+    // family under the 100 TB backend; default: auto → hdfs locally)
+    sys.env.get("SPARK_GRAFT_STATE_STORE")
+      .foreach(spark.conf.set("spark.graft.stateStore", _))
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for targeted runs (same contract
     // as Bench: names trimmed and validated against the registry)
