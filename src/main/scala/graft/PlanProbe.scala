@@ -100,8 +100,22 @@ object PlanProbe {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // listener bus is async — give it a beat to drain before reading
-      Thread.sleep(3000)
+      // The listener bus is async and, at sf10, AQE plan-update events
+      // carry multi-MB plan strings — a fixed sleep can read the census
+      // before the final replan/task events land (under-counting a real
+      // join flip). Poll for quiescence instead: two identical
+      // snapshots 500 ms apart, bounded at 30 s.
+      def snapshot(): (Int, Long, Long) =
+        (plans.size, m.tasks.get, m.runMs.get)
+      var prev = snapshot()
+      var settled = false
+      val drainDeadline = System.currentTimeMillis() + 30000
+      while (!settled && System.currentTimeMillis() < drainDeadline) {
+        Thread.sleep(500)
+        val cur = snapshot()
+        settled = cur == prev
+        prev = cur
+      }
       val allPlans = {
         import scala.jdk.CollectionConverters._
         plans.asScala.toSeq.sortBy(_._1)

@@ -64,10 +64,16 @@ object EventsStream {
   def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
     val PartsKey = "spark.sql.shuffle.partitions"
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    // resolve BEFORE mutating any conf: stateStoreProvider throws on a
+    // bad spark.graft.stateStore value, and a throw between set and the
+    // try/finally below would leak the partition override into the
+    // shared session (Bench/Verify catch per query and keep going — the
+    // rest of the run would silently time at n partitions)
+    val provider = stateStoreProvider(spark)
     val prevParts = spark.conf.get(PartsKey)
     val prevProvider = spark.conf.getOption(ProviderKey)
     spark.conf.set(PartsKey, n.toString)
-    stateStoreProvider(spark).foreach(spark.conf.set(ProviderKey, _))
+    provider.foreach(spark.conf.set(ProviderKey, _))
     try f finally {
       spark.conf.set(PartsKey, prevParts)
       prevProvider match {

@@ -37,17 +37,26 @@ class ArtifactsSpec extends SparkSpec {
     // object-level init (exactly what these tests do) must be
     // collectable once dropped, or every test run leaks maps + cached
     // DataFrames into the global list
-    val before = Artifacts.registeredMemoCount
+    // stabilize the registry first: earlier tests' locally-scoped memos
+    // are unreachable, and a GC landing between the `before` capture
+    // and the +1 assert would shrink the count out from under an exact
+    // equality — prune until two consecutive readings agree (what
+    // remains is strongly held: object-level vals)
+    def prunedCount(): Int = {
+      System.gc(); Thread.sleep(50); Artifacts.clearAll()
+      Artifacts.registeredMemoCount
+    }
+    var before = prunedCount()
+    var tries = 0
+    var next = prunedCount()
+    while (next != before && tries < 20) { before = next; next = prunedCount(); tries += 1 }
     var m: Artifacts.Memo[Int] = Artifacts.memo[Int]
     m.getOrElseUpdate("k")(1)
     assert(Artifacts.registeredMemoCount == before + 1)
     m = null // drop the only strong ref
     // best-effort GC: weak refs clear promptly once unreachable, but
     // give the collector a few rounds before judging
-    // earlier tests' locally-scoped memos may be collected too, so the
-    // count can fall BELOW `before` — the property is only that the
-    // dropped memo stops being counted
-    var tries = 0
+    tries = 0
     while (Artifacts.registeredMemoCount > before && tries < 20) {
       System.gc(); Thread.sleep(50); Artifacts.clearAll(); tries += 1
     }
@@ -93,11 +102,7 @@ class ArtifactsSpec extends SparkSpec {
       spark.conf.unset("spark.graft.materialize")
       spark.conf.unset("spark.graft.checkpointDir")
       spark.sparkContext.setCheckpointDir(savedDir.orNull)
-      if (tmpDir != null) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      deleteRecursively(tmpDir)
     }
   }
 }

@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   * join's output against its UNBUCKETED formulation on the same rows —
   * the bucketing must be a pure physical optimization.
   */
-class PreEpochSpec extends SparkSpec {
+class PreEpochSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  override def afterAll(): Unit = {
+    if (fixtureBuilt != null) deleteRecursively(fixtureBuilt)
+    super.afterAll()
+  }
+
+  private var fixtureBuilt: java.nio.file.Path = null
 
   /** Events from 1969-12-30 to 1970-01-02: per user, a deterministic
     * spread of views/clicks/purchases at offsets chosen to hit exact
@@ -37,6 +45,7 @@ class PreEpochSpec extends SparkSpec {
     } yield (u * 1000L + i, off + u * 60L * 1000000L, u,
       types(((i + u).toInt) % 3), (i + u).toDouble / 7.0)
     val dir = java.nio.file.Files.createTempDirectory("graft-preepoch")
+    fixtureBuilt = dir
     rows.toDF("event_id", "us", "user_id", "event_type", "value")
       .select(col("event_id"),
         expr("timestampadd(MICROSECOND, us, TIMESTAMP_NTZ '1970-01-01 00:00:00')")

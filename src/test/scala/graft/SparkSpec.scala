@@ -6,6 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for specs — one per suite via lazy val. */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Recursive temp-fixture delete (children before parents); missing
+    * paths are fine. The one cleanup idiom for every spec that stages
+    * parquet/checkpoint dirs under /tmp.
+    */
+  def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (dir != null && java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
 }
 
 object SparkSpec {

@@ -114,9 +114,7 @@ class StreamingSpec extends SparkSpec {
         s"no RocksDB snapshot/changelog artifacts under $ckpt: $stateFiles")
     } finally {
       spark.conf.unset("spark.graft.stateStore")
-      import scala.jdk.CollectionConverters._
-      Files.walk(ckpt).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+      deleteRecursively(ckpt)
     }
   }
 
@@ -128,40 +126,46 @@ class StreamingSpec extends SparkSpec {
     // log commits files atomically per batch; readers see only
     // committed files). Memory sinks can't test this (they reset on
     // restart), so this is the one parquet-sink streaming spec.
-    // two sentinel batches (identical far-future rows — the second
-    // joins the same open sentinel session, emitting nothing new) give
-    // the restart leg guaranteed remaining work even if run 1 races
-    // past the first real batch before the kill lands
+    // four sentinel batches (identical far-future rows — each joins the
+    // same open sentinel session, emitting nothing new) give the
+    // restart leg guaranteed remaining work: the kill lands right after
+    // the FIRST committed batch, a graceful stop can finish at most the
+    // one batch already in flight, and three more staged files remain
     val staged = EventsStream.stageWithSentinel(
-      spark, "/root/testdata/sf0.001/events.parquet", sentinelBatches = 2)
-    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
-    val out = Files.createTempDirectory("graft-restart-out").toString
-    def start() = EventsStream.withStreamShufflePartitions(spark) {
-      EventsStream.sessionize(EventsStream.source(spark, staged))
-        .writeStream.outputMode("append").format("parquet")
-        .option("checkpointLocation", ckpt)
-        .option("path", out)
-        .start()
+      spark, "/root/testdata/sf0.001/events.parquet", sentinelBatches = 4)
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt")
+    val out = Files.createTempDirectory("graft-restart-out")
+    try {
+      def start() = EventsStream.withStreamShufflePartitions(spark) {
+        EventsStream.sessionize(EventsStream.source(spark, staged))
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt.toString)
+          .option("path", out.toString)
+          .start()
+      }
+      // run until at least one micro-batch commits, then kill
+      val q1 = start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (q1.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(q1.recentProgress.nonEmpty, "first run never committed a batch")
+      q1.stop()
+      // restart from the same checkpoint; drain the rest
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(q2.recentProgress.nonEmpty, "restart processed nothing — the " +
+        "kill landed after all batches; fixture must leave work for run 2")
+      val emitted = spark.read.parquet(out.toString)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("session_start"), r.getAs[Long]("n_events"))).toSet
+      assert(emitted == batchSessionSet,
+        s"stream-batch= ${(emitted -- batchSessionSet).take(3)} " +
+          s"batch-stream= ${(batchSessionSet -- emitted).take(3)}")
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(out)
     }
-    // run until at least one micro-batch commits, then kill
-    val q1 = start()
-    val deadline = System.currentTimeMillis() + 60000
-    while (q1.recentProgress.isEmpty && System.currentTimeMillis() < deadline)
-      Thread.sleep(50)
-    assert(q1.recentProgress.nonEmpty, "first run never committed a batch")
-    q1.stop()
-    // restart from the same checkpoint; drain the rest
-    val q2 = start()
-    q2.processAllAvailable()
-    q2.stop()
-    assert(q2.recentProgress.nonEmpty, "restart processed nothing — the " +
-      "kill landed after all batches; fixture must leave work for run 2")
-    val emitted = spark.read.parquet(out)
-      .collect().map(r => (r.getAs[Long]("user_id"),
-        r.getAs[Long]("session_start"), r.getAs[Long]("n_events"))).toSet
-    assert(emitted == batchSessionSet,
-      s"stream-batch= ${(emitted -- batchSessionSet).take(3)} " +
-        s"batch-stream= ${(batchSessionSet -- emitted).take(3)}")
   }
 
   test("watermarked hourly window agg matches batch totals") {
