@@ -76,6 +76,34 @@ class ArtifactsSpec extends SparkSpec {
       s"expected a lineage-truncated scan, got:\n$plan")
   }
 
+  test("reliable mode computes the plan ONCE (persist feeds the checkpoint write)") {
+    // round-8 advice: checkpoint(eager) on an unpersisted frame ran the
+    // plan twice — the eager action, then the ReliableCheckpointRDD
+    // write job re-pulling the lineage. Pin the fix with a side-effect
+    // counter: rows evaluated must equal row count, not 2×.
+    val evals = spark.sparkContext.longAccumulator("graft-test-evals")
+    val countingUdf = org.apache.spark.sql.functions.udf { (x: Long) =>
+      evals.add(1L); x
+    }
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-ckpt-once")
+    spark.conf.set("spark.graft.materialize", "reliable")
+    spark.conf.set("spark.graft.checkpointDir", tmpDir.toString)
+    val savedDir = spark.sparkContext.getCheckpointDir
+    try {
+      val df = spark.range(1000).toDF("id")
+        .select(countingUdf(col("id")).as("id"))
+      val cut = Artifacts.materialize(df)
+      assert(cut.count() == 1000L)
+      assert(evals.value == 1000L,
+        s"reliable materialize evaluated the plan ${evals.value / 1000.0}×")
+    } finally {
+      spark.conf.unset("spark.graft.materialize")
+      spark.conf.unset("spark.graft.checkpointDir")
+      spark.sparkContext.setCheckpointDir(savedDir.orNull)
+      deleteRecursively(tmpDir)
+    }
+  }
+
   test("reliable mode fails fast without a checkpoint dir, works with one") {
     val df = Seq(1L, 2L).toDF("id")
     // SparkContext.setCheckpointDir(null) maps through Option(null) →
