@@ -21,6 +21,11 @@ object Bench {
     // family under RocksDB instead of the local default
     sys.env.get("SPARK_GRAFT_STATE_STORE")
       .foreach(spark.conf.set("spark.graft.stateStore", _))
+    // materialization-mode override, mirroring Verify
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(spark.conf.set("spark.graft.materialize", _))
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.conf.set("spark.graft.checkpointDir", _))
     // Two passes, min per query: a single shared-JVM pass occasionally
     // eats a multi-second GC/JIT storm on one arbitrary query; min-of-two
     // reports steady-state per-query cost (what a warmed executor does).

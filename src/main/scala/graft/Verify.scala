@@ -20,6 +20,13 @@ object Verify {
     // family under the 100 TB backend; default: auto → hdfs locally)
     sys.env.get("SPARK_GRAFT_STATE_STORE")
       .foreach(spark.conf.set("spark.graft.stateStore", _))
+    // materialization-mode override (SPARK_GRAFT_MATERIALIZE=reliable
+    // with SPARK_GRAFT_CHECKPOINT_DIR=<dir> oracle-verifies the
+    // build-once artifact families under the cluster deployment path)
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(spark.conf.set("spark.graft.materialize", _))
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.conf.set("spark.graft.checkpointDir", _))
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for targeted runs (same contract
     // as Bench: names trimmed and validated against the registry)
