@@ -123,10 +123,14 @@ object Artifacts {
       // TWICE: once for the eager action, again when the
       // ReliableCheckpointRDD write job re-pulls the lineage. Persist
       // first so the write job reads the cached blocks, then drop the
-      // cache — the checkpoint files are the durable copy.
-      val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+      // cache — the checkpoint files are the durable copy. A frame the
+      // CALLER already persisted keeps its cache: unpersisting it here
+      // would silently evict state the caller still depends on.
+      val callerPersisted = df.storageLevel != StorageLevel.NONE
+      val persisted =
+        if (callerPersisted) df else df.persist(StorageLevel.MEMORY_AND_DISK)
       try persisted.checkpoint(eager = true)
-      finally { persisted.unpersist(); () }
+      finally { if (!callerPersisted) { persisted.unpersist(); () } }
     }
   }
 }
