@@ -62,6 +62,11 @@ object PlanProbe {
     // executionId → latest physical plan description (AQE updates
     // overwrite; the last one per execution is the final plan)
     val plans = new ConcurrentHashMap[Long, String]()
+    // Counts every plan-event arrival, including AQE updates that
+    // OVERWRITE an existing executionId entry — those change neither
+    // plans.size nor the task metrics, so the quiescence snapshot
+    // needs this to notice a final-plan replan landing late.
+    val planEvents = new AtomicLong
     val m = new Metrics
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -79,9 +84,11 @@ object PlanProbe {
       }
       override def onOtherEvent(e: SparkListenerEvent): Unit = e match {
         case u: SparkListenerSQLAdaptiveExecutionUpdate =>
-          plans.put(u.executionId, u.physicalPlanDescription); ()
+          plans.put(u.executionId, u.physicalPlanDescription)
+          planEvents.incrementAndGet(); ()
         case s: SparkListenerSQLExecutionStart =>
-          plans.putIfAbsent(s.executionId, s.physicalPlanDescription); ()
+          plans.putIfAbsent(s.executionId, s.physicalPlanDescription)
+          planEvents.incrementAndGet(); ()
         case _ =>
       }
     })
@@ -105,8 +112,8 @@ object PlanProbe {
       // before the final replan/task events land (under-counting a real
       // join flip). Poll for quiescence instead: two identical
       // snapshots 500 ms apart, bounded at 30 s.
-      def snapshot(): (Int, Long, Long) =
-        (plans.size, m.tasks.get, m.runMs.get)
+      def snapshot(): (Int, Long, Long, Long) =
+        (plans.size, planEvents.get, m.tasks.get, m.runMs.get)
       var prev = snapshot()
       var settled = false
       val drainDeadline = System.currentTimeMillis() + 30000

@@ -71,7 +71,13 @@ object EventsStream {
     // rest of the run would silently time at n partitions)
     val provider = stateStoreProvider(spark)
     val prevParts = spark.conf.get(PartsKey)
-    val prevProvider = spark.conf.getOption(ProviderKey)
+    // conf.getOption would return the SQLConf DEFAULT
+    // (HDFSBackedStateStoreProvider) even when the key was never set,
+    // making the unset-restore branch dead and leaving the session
+    // pinned to the resolved default after the first wrapper use.
+    // conf.getAll contains only explicitly-set entries, so this
+    // restores a truly-unset key to unset.
+    val prevProvider = spark.conf.getAll.get(ProviderKey)
     spark.conf.set(PartsKey, n.toString)
     provider.foreach(spark.conf.set(ProviderKey, _))
     try f finally {
@@ -83,14 +89,77 @@ object EventsStream {
     }
   }
 
+  /** Spark initializes every event-time watermark to 0 ms = the epoch,
+    * so ANY stateful streaming operator silently drops pre-1970 rows as
+    * late in their very first micro-batch (pinned in PreEpochSpec). A
+    * pipeline replaying historical/synthetic corpora would lose rows
+    * with zero diagnostics — this guard makes the loss loud.
+    * `spark.graft.preEpochGuard` = `warn` (default: per-batch observed
+    * metric + WARN log with the dropped-row count) | `fail` (abort the
+    * query on the first pre-epoch row) | `off`.
+    */
+  private val PreEpochGuardKey = "spark.graft.preEpochGuard"
+  private[graft] val PreEpochMetric = "graft_pre_epoch"
+
+  // sessions whose StreamingQueryListener is already registered; weak so
+  // a static set never pins stopped test sessions
+  private val warnRegistered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private def registerPreEpochWarnListener(spark: SparkSession): Unit =
+    if (warnRegistered.add(spark)) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
+      spark.streams.addListener(new StreamingQueryListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.PreEpochGuard")
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val m = e.progress.observedMetrics.get(PreEpochMetric)
+          if (m != null && !m.isNullAt(0) && m.getAs[Long]("pre_epoch_rows") > 0L)
+            log.warn(s"[GRAFT_PRE_EPOCH] query=${e.progress.name} " +
+              s"batch=${e.progress.batchId}: " +
+              s"${m.getAs[Long]("pre_epoch_rows")} pre-1970 rows entered a " +
+              "watermarked stream — stateful operators DROP these as late " +
+              "(Spark's watermark floor is the epoch). Shift the corpus " +
+              s"epoch, or set $PreEpochGuardKey=fail to abort / =off to silence.")
+        }
+      })
+    }
+
+  private def guardPreEpoch(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.conf.getOption(PreEpochGuardKey).getOrElse("warn") match {
+      case "off" => df
+      case "fail" =>
+        // wrap the canonical nanos column itself: event_ts derives from
+        // it, so column pruning can never project the guard away in any
+        // consumer that touches event time
+        df.withColumn("ts", when(col("ts") >= 0L, col("ts")).otherwise(
+          raise_error(concat(
+            lit("[GRAFT_PRE_EPOCH] pre-1970 event timestamp (ns="),
+            col("ts").cast("string"),
+            lit(") in a watermarked stream: stateful operators would drop " +
+              s"it silently. Shift the corpus epoch or set $PreEpochGuardKey" +
+              "=warn|off.")))))
+      case "warn" =>
+        registerPreEpochWarnListener(spark)
+        df.observe(PreEpochMetric,
+          count(when(col("ts") < 0L, 1)).as("pre_epoch_rows"))
+      case other => throw new IllegalArgumentException(
+        s"$PreEpochGuardKey must be warn|fail|off, got '$other'")
+    }
+
   /** readStream over a directory of events parquet. */
   def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      // canonical bigint nanos for downstream integer bucketing (exact ×1000)
-      .withColumn("ts", expr(graft.sources.Tables.TsToNanos))
+    guardPreEpoch(spark,
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        // canonical bigint nanos for downstream integer bucketing (exact ×1000)
+        .withColumn("ts", expr(graft.sources.Tables.TsToNanos)))
       // proper instant (UTC semantics) for watermarks/windows — exact
       // integer micros, same shape the batch twin q30 buckets on
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))

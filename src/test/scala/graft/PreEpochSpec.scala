@@ -159,6 +159,45 @@ class PreEpochSpec extends SparkSpec
       "fixture must actually exercise the watermark floor")
   }
 
+  test("pre-epoch guard (warn, default): observed metric counts the at-risk rows") {
+    // the round-10 guard: a watermarked stream fed pre-1970 rows must
+    // surface the loss — in warn mode as a per-batch observed metric
+    // (graft_pre_epoch / pre_epoch_rows) summing to the exact count
+    import graft.streaming.EventsStream
+    val preEpochRows = ev.filter(col("ts") < 0L).count()
+    assert(preEpochRows > 0L, "fixture must carry pre-epoch rows")
+    val staged = EventsStream.stageWithSentinel(spark, s"$fixtureDir/events.parquet")
+    val q = EventsStream.sessionize(EventsStream.source(spark, staged))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_preepoch_warn").start()
+    q.processAllAvailable()
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(EventsStream.PreEpochMetric)))
+      .map(_.getAs[Long]("pre_epoch_rows")).sum
+    q.stop()
+    assert(observed == preEpochRows,
+      s"guard observed $observed, fixture has $preEpochRows pre-epoch rows")
+  }
+
+  test("pre-epoch guard (fail): the query aborts loudly instead of dropping rows") {
+    import graft.streaming.EventsStream
+    val staged = EventsStream.stageWithSentinel(spark, s"$fixtureDir/events.parquet")
+    spark.conf.set("spark.graft.preEpochGuard", "fail")
+    try {
+      val q = EventsStream.sessionize(EventsStream.source(spark, staged))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_preepoch_fail").start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("GRAFT_PRE_EPOCH")),
+        s"expected the guard's marker in: ${messages(ex).mkString(" | ")}")
+    } finally spark.conf.unset("spark.graft.preEpochGuard")
+  }
+
   test("q223 day-bucketed attribution pairing is exact on pre-epoch timestamps") {
     // pin the REGISTERED (day-bucketed) query against the same
     // aggregation over a plain unbucketed user_id pairing
