@@ -26,6 +26,14 @@ object Bench {
       .foreach(spark.conf.set("spark.graft.materialize", _))
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
       .foreach(spark.conf.set("spark.graft.checkpointDir", _))
+    // generic conf passthrough for targeted probes, e.g.
+    // SPARK_GRAFT_CONF="spark.graft.hardNegatives.exactMax=0"
+    // (semicolon-separated key=value pairs)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // Two passes, min per query: a single shared-JVM pass occasionally
     // eats a multi-second GC/JIT storm on one arbitrary query; min-of-two
     // reports steady-state per-query cost (what a warmed executor does).

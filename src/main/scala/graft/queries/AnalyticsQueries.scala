@@ -380,24 +380,46 @@ object AnalyticsQueries {
     // broadcast of the (small) vector table; the top-1 reduces via
     // max(struct) with map-side partial aggregation, so the n² scored
     // pairs never cross the shuffle (vs a row_number window, which ships
-    // them all). The ANN paths (q25/q26) are the scale route when n²
-    // stops being affordable.
+    // them all). Above `spark.graft.hardNegatives.exactMax` vectors
+    // (default 5000 — the measured exact/ANN checksum crossover sits at
+    // ≈2.6k vectors, see BASELINE.md round-10 addendum) the query
+    // auto-delegates to the IVF cell-join ANN path (Ivf.hardNegatives),
+    // mirroring connectedComponents' 50M-pair auto-delegation: exact
+    // stays the small-corpus default, so the sf0.01 oracle entry and
+    // the sf0.1 committed bench plan are byte-identical.
     Q("q69_hard_negatives", (s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           graft.vector.VectorOps.asDouble(col("embedding")).as("vec"))
-      val nb = emb.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
-        col("vec").as("nb_vec"))
-      emb.crossJoin(broadcast(nb))
-        .filter(col("nb_label") =!= col("label"))
-        .select(col("vec_id"), col("nb_id"),
-          round(graft.vector.VectorOps.cosine(col("vec"), col("nb_vec")), 6).as("sim"))
-        // max of (sim, -nb_id) = highest sim, ties to the LOWEST nb_id
-        .groupBy("vec_id")
-        .agg(max(struct(col("sim"), (-col("nb_id")).as("neg_nb"))).as("m"))
-        .select(col("vec_id"), (-col("m.neg_nb")).as("hard_negative"),
-          col("m.sim").as("sim"))
-        .orderBy("vec_id")
+      val exactMax =
+        s.conf.get("spark.graft.hardNegatives.exactMax", "5000").toLong
+      val n = Tables.embeddings(s, dir).count()
+      val top = if (n > exactMax) {
+        // cell count balancing Lloyd training (3·n·k) against the probe
+        // join (nprobe·n²/k): k = √(n·nprobe/3), clamped so tiny corpora
+        // keep enough cells and the trainer's driver-side seed sample
+        // (k·50 rows) stays bounded. A fixed k would quietly re-enter
+        // the n²/k regime as the corpus grows (measured: sf3 ANN ran
+        // 5.6× sf1 with k floored at 64).
+        val nprobe = 8
+        val k = math.max(64L, math.min(4096L,
+          math.round(math.sqrt(n.toDouble * nprobe / 3)))).toInt
+        graft.similarity.Ivf.hardNegatives(emb, "vec_id", "label", "vec",
+          k = k, nprobe = nprobe)
+      } else {
+        val nb = emb.select(col("vec_id").as("nb_id"),
+          col("label").as("nb_label"), col("vec").as("nb_vec"))
+        emb.crossJoin(broadcast(nb))
+          .filter(col("nb_label") =!= col("label"))
+          .select(col("vec_id"), col("nb_id"),
+            round(graft.vector.VectorOps.cosine(col("vec"), col("nb_vec")), 6).as("sim"))
+          // max of (sim, -nb_id) = highest sim, ties to the LOWEST nb_id
+          .groupBy("vec_id")
+          .agg(max(struct(col("sim"), (-col("nb_id")).as("neg_nb"))).as("m"))
+          .select(col("vec_id"), (-col("m.neg_nb")).as("hard_negative"),
+            col("m.sim").as("sim"))
+      }
+      top.orderBy("vec_id")
     }, Some(
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
          |           FROM embeddings),

@@ -121,6 +121,62 @@ object Ivf {
       .toDF("id", "cell")
   }
 
+  /** Hard-negative mining at corpus scale: for every vector, the
+    * most-similar vector with a DIFFERENT label, searched through IVF
+    * cells instead of the exact n² cross product. Every vector is
+    * INDEXED in its single nearest cell; as a QUERY it probes its
+    * `nprobe` nearest cells; candidates meet on the cell key (a plain
+    * hash join co-partitioned by cell), so pair volume is
+    * ≈ n·nprobe·(n/k) spread across cells — with k grown ∝ n the work
+    * stays linear in corpus size, vs the exact path's n² that can never
+    * broadcast past a few 10⁴ vectors. Approximate in the standard ANN
+    * sense: the true hardest negative is missed iff it lives outside
+    * the query's nprobe cells; a query whose probed cells hold only
+    * same-label vectors drops out of the result (measured and pinned in
+    * IvfSpec on the test corpus).
+    *
+    * Output schema matches the exact path: (idCol, hard_negative, sim),
+    * ties broken to the lowest neighbor id at equal similarity.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, k: Int = 64, nprobe: Int = 8,
+                    roundScale: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("label"), col(vecCol).as("vec"))
+      .as[(Long, Long, Seq[Double])]
+      // read once: the trainer re-scans per Lloyd iteration and the
+      // index/query legs below both re-scan the assignment input
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = train(base.toDF("id", "label", "vec"), "id", "vec", k = k)
+      val bc = spark.sparkContext.broadcast(model)
+      val indexed = base
+        .map { case (id, l, v) => (bc.value.nearestCell(v), id, l, v) }
+        .toDF("cell", "nb_id", "nb_label", "nb_vec")
+      val queries = base
+        .flatMap { case (id, l, v) =>
+          bc.value.nearestCells(v, nprobe).map(c => (c, id, l, v)) }
+        .toDF("cell", "id", "label", "vec")
+      queries.join(indexed, "cell")
+        .filter(col("nb_label") =!= col("label"))
+        .select(col("id"), col("nb_id"),
+          round(graft.vector.VectorOps.cosine(col("vec"), col("nb_vec")),
+            roundScale).as("sim"))
+        // a query probing cells that share its own indexed cell meets
+        // itself only at equal label — already excluded by the filter
+        .groupBy("id")
+        .agg(max(struct(col("sim"), (-col("nb_id")).as("neg_nb"))).as("m"))
+        .select(col("id").as(idCol), (-col("m.neg_nb")).as("hard_negative"),
+          col("m.sim").as("sim"))
+        // sever the lineage from the persisted input before unpersist:
+        // the caller's action must not silently recompute the scan
+        // (materialize = localCheckpoint locally, reliable on a cluster)
+        .transform(graft.Artifacts.materialize)
+    } finally { base.unpersist(); () }
+  }
+
   /** ANN top-k: probe the `nprobe` nearest cells, exact cosine rerank. */
   def topK(vecs: DataFrame, idCol: String, vecCol: String, model: Model,
            query: Array[Double], k: Int, nprobe: Int = 4,

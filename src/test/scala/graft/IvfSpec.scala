@@ -29,6 +29,74 @@ class IvfSpec extends SparkSpec {
     assert(ann.count(brute.contains) >= 3, s"overlap too low: $ann")
   }
 
+  private def embLabeled = graft.sources.Tables
+    .embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id"), col("label"),
+      VectorOps.asDouble(col("embedding")).as("vec"))
+
+  /** Exact n² hard negatives (the q69 small-corpus formula), in-test. */
+  private def exactHardNegatives: Map[Long, (Long, Double)] = {
+    val e = embLabeled
+    val nb = e.select(col("vec_id").as("nb_id"), col("label").as("nb_label"),
+      col("vec").as("nb_vec"))
+    e.crossJoin(broadcast(nb))
+      .filter(col("nb_label") =!= col("label"))
+      .select(col("vec_id"), col("nb_id"),
+        round(VectorOps.cosine(col("vec"), col("nb_vec")), 6).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("nb_id")).as("neg_nb"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_nb")).as("hard_negative"),
+        col("m.sim").as("sim"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+  }
+
+  test("hardNegatives with nprobe=k degenerates to the exact n² result") {
+    // probing every cell makes the candidate set ALL different-label
+    // pairs — the ANN machinery must then reproduce the exact top-1
+    // including the lowest-nb_id tie-break
+    val got = Ivf.hardNegatives(embLabeled, "vec_id", "label", "vec",
+        k = 8, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == exactHardNegatives)
+  }
+
+  test("hardNegatives ANN path: valid pairs, sim bounded by exact, high recall") {
+    val exact = exactHardNegatives
+    val labels = embLabeled.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ivf.hardNegatives(embLabeled, "vec_id", "label", "vec",
+        k = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every pair crosses labels; the probed top-1 can never beat exact
+    assert(got.forall { case (id, nb, _) => labels(id) != labels(nb) })
+    assert(got.forall { case (id, _, sim) => sim <= exact(id)._2 + 1e-9 })
+    // coverage: a query drops out only if its probed cells are all
+    // same-label — with 10 labels that should be (deterministically) rare
+    assert(got.length >= (exact.size * 95) / 100,
+      s"coverage ${got.length}/${exact.size}")
+    // recall@1 on sim value (id ties aside): deterministic floor
+    val hit = got.count { case (id, _, sim) => sim == exact(id)._2 }
+    assert(hit >= (got.length * 60) / 100,
+      s"recall@1 too low: $hit/${got.length}")
+  }
+
+  test("q69 auto-delegates above spark.graft.hardNegatives.exactMax") {
+    val q = SparkEntry.queries("q69_hard_negatives")
+    // default gate (50k): 500 vectors stay on the exact broadcast-n² plan
+    val exactPlan = q(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("Join"), s"exact path lost its join:\n$exactPlan")
+    spark.conf.set("spark.graft.hardNegatives.exactMax", "0")
+    try {
+      val delegated = q(spark, "/root/testdata/sf0.001")
+      // the ANN result is materialized (lineage cut): no n² join survives
+      val plan = delegated.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Join"), s"delegated path still joins:\n$plan")
+      assert(delegated.columns.toSeq == Seq("vec_id", "hard_negative", "sim"))
+      assert(delegated.count() > 0)
+    } finally spark.conf.unset("spark.graft.hardNegatives.exactMax")
+  }
+
   test("nprobe=k degenerates to exact brute-force ranking") {
     val qv = emb.filter(col("vec_id") === 7).head().getSeq[Double](1).toArray
     val model = Ivf.train(emb, "vec_id", "vec", k = 4, iters = 1)
