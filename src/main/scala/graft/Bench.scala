@@ -55,6 +55,33 @@ object Bench {
         import org.apache.spark.sql.functions.{bit_xor, xxhash64, struct, col}
         df.agg(bit_xor(xxhash64(struct(col("*"))))).head(); ()
     }
+    // CPU-steal instrumentation: this box is a VM, and host-level steal
+    // arrives in windows that can inflate identical-plan wall times by
+    // an order of magnitude (round-10 adjudication: the same isolated
+    // q69 invocation measured 188.1 s and 17.2 s thirty minutes apart;
+    // q157 ran 530/57/137 s back-to-back in ONE JVM on identical final
+    // plans). Recording the stolen fraction per query turns that
+    // adjudication from a rerun ritual into a field in the artifact:
+    // a slow entry with high steal is the host's noise, not a plan
+    // regression. Fraction = Δsteal / Δtotal ticks across all cpus
+    // (USER_HZ cancels); -1 when /proc/stat is unavailable.
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu "))
+        line.map { l =>
+          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+          (if (f.length > 7) f(7) else 0L, f.sum)
+        }
+      } catch { case _: Throwable => None }
+    def stealFrac(before: Option[(Long, Long)],
+                  after: Option[(Long, Long)]): Double =
+      (before, after) match {
+        case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+          (s1 - s0).toDouble / (t1 - t0)
+        case _ => -1.0
+      }
+
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -68,7 +95,7 @@ object Bench {
     // artifact itself, not just a stderr line) and excluded from the
     // cross-pass min and the total — a fast time-to-exception must never
     // masquerade as a fast query
-    def onePass(): Map[String, Double] = {
+    def onePass(): Map[String, (Double, Double)] = {
       // each pass pays exactly one suffix-array build, one BPE training
       // loop, one edge-artifact build: reuse WITHIN a pass is the
       // artifact design (index / tokenizer / edge table), but a warm
@@ -78,6 +105,7 @@ object Bench {
       // silently bench warm.
       graft.Artifacts.clearAll()
       selected.map { case (name, fn) =>
+        val s0 = cpuTicks()
         val t0 = System.nanoTime()
         val ok =
           try { timedAction(fn(spark, sfDir)); true } catch { case e: Throwable =>
@@ -85,25 +113,33 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val steal = stealFrac(s0, cpuTicks())
         // drop per-query persisted state so one query's cache cannot
         // pressure the next (single-JVM bench hygiene; outside the timing)
         spark.catalog.clearCache()
-        name -> (if (ok) elapsed else -elapsed)
+        name -> ((if (ok) elapsed else -elapsed, steal))
       }
     }
+    val runTicks0 = cpuTicks()
     val p1 = onePass()
     val p2 = onePass()
-    val results = p1.map { case (k, v) =>
-      val both = Seq(v, p2.getOrElse(k, v))
-      val good = both.filter(_ >= 0)
+    val runSteal = stealFrac(runTicks0, cpuTicks())
+    // min elapsed across passes; the reported steal is the one measured
+    // DURING the winning pass (the annotation travels with the number)
+    val results = p1.map { case (k, v1) =>
+      val v2 = p2.getOrElse(k, v1)
+      val both = Seq(v1, v2)
+      val good = both.filter(_._1 >= 0)
       // both passes failed → keep the (negative) slower sentinel
-      k -> (if (good.nonEmpty) good.min else both.min)
+      k -> (if (good.nonEmpty) good.minBy(_._1) else both.minBy(_._1))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val st = results.map { case (k, v) => s"\"" + k + "\":" + f"${v._2}%.4f" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir","stealFrac":${f"$runSteal%.4f"},"steal":$st}"""
     println(line)
     // the driver captures a bounded stdout TAIL (a full suite truncates
     // mid-JSON there), so the complete artifact is also written to disk

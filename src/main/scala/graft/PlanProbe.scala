@@ -99,13 +99,28 @@ object PlanProbe {
         "Exchange hashpartitioning")
         .map(op => op -> op.r.findAllMatchIn(text).size).toMap
 
+    // Timed action mirrors Bench: `count` is the committed methodology,
+    // `checksum` prices every advertised output column. Probing BOTH
+    // modes is how a count-only plan pathology (column pruning shifting
+    // AQE's estimates into a worse join strategy) is told apart from an
+    // unpriced-column defect (the q82 class).
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+    require(action == "count" || action == "checksum",
+      s"SPARK_GRAFT_BENCH_ACTION must be count|checksum, got '$action'")
+    def timedAction(df: org.apache.spark.sql.DataFrame): Unit = action match {
+      case "count" => df.count(); ()
+      case "checksum" =>
+        import org.apache.spark.sql.functions.{bit_xor, xxhash64, struct, col}
+        df.agg(bit_xor(xxhash64(struct(col("*"))))).head(); ()
+    }
+
     args.foreach { name =>
       plans.clear()
       m.reset()
       Artifacts.clearAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      timedAction(SparkEntry.queries(name)(spark, sfDir))
       val elapsed = (System.nanoTime() - t0) / 1e9
       // The listener bus is async and, at sf10, AQE plan-update events
       // carry multi-MB plan strings — a fixed sleep can read the census
@@ -129,10 +144,14 @@ object PlanProbe {
           .map { case (id, p) => s"===== executionId=$id =====\n$p" }
           .mkString("\n\n")
       }
-      java.nio.file.Files.writeString(outDir.resolve(s"$name.plan.txt"), allPlans)
+      // count-mode keeps the historical filename so round-over-round
+      // plan diffs keep working; checksum dumps sit alongside
+      val planFile =
+        if (action == "count") s"$name.plan.txt" else s"$name.$action.plan.txt"
+      java.nio.file.Files.writeString(outDir.resolve(planFile), allPlans)
       val c = census(allPlans)
       val gcFrac = if (m.runMs.get > 0) m.gcMs.get.toDouble / m.runMs.get else 0.0
-      println(f"[probe] $name sf=$sfDir elapsed=$elapsed%.1fs " +
+      println(f"[probe] $name sf=$sfDir action=$action elapsed=$elapsed%.1fs " +
         f"gc=${m.gcMs.get / 1000.0}%.1fs run=${m.runMs.get / 1000.0}%.1fs " +
         f"gcFrac=$gcFrac%.3f " +
         s"spillMem=${m.spillMem.get} spillDisk=${m.spillDisk.get} " +

@@ -205,7 +205,15 @@ object PruneQueries {
         .select(col("source"),
           explode(graft.text.TextOps.tokens(
             graft.text.TextOps.cleanText(col("text")))).as("term"))
+      // persisted: feeds the totals aggregate AND the entropy join.
+      // Unpersisted, exchange reuse holds only while both consumers
+      // need identical columns — under a count() action, pruning drops
+      // `cnt` from the join side, the subtrees diverge, and the whole
+      // scan+explode+aggregate runs TWICE (caught by the round-10 sf1
+      // count-vs-checksum sweep: 11.0 s counted vs 3.4 s honest).
+      // The cache is vocabulary-sized — bounded at any corpus scale.
       val counts = occ.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .scopedPersist
       val totals = counts.groupBy("source")
         .agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
       counts.join(broadcast(totals), "source")
