@@ -55,32 +55,10 @@ object Bench {
         import org.apache.spark.sql.functions.{bit_xor, xxhash64, struct, col}
         df.agg(bit_xor(xxhash64(struct(col("*"))))).head(); ()
     }
-    // CPU-steal instrumentation: this box is a VM, and host-level steal
-    // arrives in windows that can inflate identical-plan wall times by
-    // an order of magnitude (round-10 adjudication: the same isolated
-    // q69 invocation measured 188.1 s and 17.2 s thirty minutes apart;
-    // q157 ran 530/57/137 s back-to-back in ONE JVM on identical final
-    // plans). Recording the stolen fraction per query turns that
-    // adjudication from a rerun ritual into a field in the artifact:
-    // a slow entry with high steal is the host's noise, not a plan
-    // regression. Fraction = Δsteal / Δtotal ticks across all cpus
-    // (USER_HZ cancels); -1 when /proc/stat is unavailable.
-    def cpuTicks(): Option[(Long, Long)] =
-      try {
-        val line = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu "))
-        line.map { l =>
-          val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-          (if (f.length > 7) f(7) else 0L, f.sum)
-        }
-      } catch { case _: Throwable => None }
-    def stealFrac(before: Option[(Long, Long)],
-                  after: Option[(Long, Long)]): Double =
-      (before, after) match {
-        case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
-          (s1 - s0).toDouble / (t1 - t0)
-        case _ => -1.0
-      }
+    // CPU-steal instrumentation (see StealMeter): per-query and per-run
+    // stolen fractions ride in the artifact so a slow entry carries its
+    // own environmental adjudication.
+    import StealMeter.{cpuTicks, stealFrac}
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
