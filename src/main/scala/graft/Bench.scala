@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Parse the SPARK_GRAFT_CONF passthrough — semicolon-separated
+    * key=value pairs — failing LOUDLY on a pair without '=' (the
+    * previous inline destructure died in an anonymous MatchError,
+    * which is a miserable way to learn you typed a comma). */
+  private[graft] def parseConf(raw: String): Seq[(String, String)] =
+    raw.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0,
+        s"SPARK_GRAFT_CONF entry '$kv' is not key=value (semicolon-separated pairs)")
+      (kv.substring(0, i), kv.substring(i + 1))
+    }
+
+  /** Locale-independent fixed-point formatting: the f interpolator uses
+    * the JVM default locale, which under e.g. de_DE emits a decimal
+    * comma — invalid JSON. */
+  private[graft] def num4(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,10 +48,7 @@ object Bench {
     // SPARK_GRAFT_CONF="spark.graft.hardNegatives.exactMax=0"
     // (semicolon-separated key=value pairs)
     sys.env.get("SPARK_GRAFT_CONF").foreach(
-      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-      })
+      parseConf(_).foreach { case (k, v) => spark.conf.set(k, v) })
     // Two passes, min per query: a single shared-JVM pass occasionally
     // eats a multi-second GC/JIT storm on one arbitrary query; min-of-two
     // reports steady-state per-query cost (what a warmed executor does).
@@ -113,11 +128,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val st = results.map { case (k, v) => s"\"" + k + "\":" + f"${v._2}%.4f" }
+    val st = results.map { case (k, v) => s"\"" + k + "\":" + num4(v._2) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir","stealFrac":${f"$runSteal%.4f"},"steal":$st}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir","stealFrac":${num4(runSteal)},"steal":$st}"""
     println(line)
     // the driver captures a bounded stdout TAIL (a full suite truncates
     // mid-JSON there), so the complete artifact is also written to disk

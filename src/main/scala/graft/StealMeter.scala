@@ -22,9 +22,11 @@ object StealMeter {
     * fields are user nice system idle iowait irq softirq steal ... and
     * steal exists since Linux 2.6.11; absent → 0. */
   def cpuTicks(): Option[(Long, Long)] = ticksFrom(
-    try Some(scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")))
-    catch { case _: Throwable => None })
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try Some(src.getLines().find(_.startsWith("cpu ")))
+      finally src.close()
+    } catch { case _: Throwable => None })
 
   /** Pure parse seam for the spec: the aggregate cpu line → (steal,
     * total). */
@@ -33,7 +35,11 @@ object StealMeter {
       try {
         val f = l.trim.split("\\s+").drop(1).map(_.toLong)
         if (f.isEmpty) None
-        else Some((if (f.length > 7) f(7) else 0L, f.sum))
+        // total = fields 0-7 only: the kernel already counts guest /
+        // guest_nice (fields 8-9) inside user/nice, so summing them too
+        // would double-count guest time and understate the fraction on
+        // a hypervisor host (this guest VM reports them as 0)
+        else Some((if (f.length > 7) f(7) else 0L, f.take(8).sum))
       } catch { case _: Throwable => None }
     }
 

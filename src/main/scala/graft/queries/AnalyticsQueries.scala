@@ -382,7 +382,7 @@ object AnalyticsQueries {
     // pairs never cross the shuffle (vs a row_number window, which ships
     // them all). Above `spark.graft.hardNegatives.exactMax` vectors
     // (default 5000 — the measured exact/ANN checksum crossover sits at
-    // ≈2.6k vectors, see BASELINE.md round-10 addendum) the query
+    // ≈4.4k vectors, see BASELINE.md round-10 addendum) the query
     // auto-delegates to the IVF cell-join ANN path (Ivf.hardNegatives),
     // mirroring connectedComponents' 50M-pair auto-delegation: exact
     // stays the small-corpus default, so the sf0.01 oracle entry and

@@ -82,7 +82,7 @@ class IvfSpec extends SparkSpec {
 
   test("q69 auto-delegates above spark.graft.hardNegatives.exactMax") {
     val q = SparkEntry.queries("q69_hard_negatives")
-    // default gate (50k): 500 vectors stay on the exact broadcast-n² plan
+    // default gate (5000): 500 vectors stay on the exact broadcast-n² plan
     val exactPlan = q(spark, "/root/testdata/sf0.001")
       .queryExecution.optimizedPlan.toString
     assert(exactPlan.contains("Join"), s"exact path lost its join:\n$exactPlan")

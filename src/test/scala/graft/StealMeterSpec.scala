@@ -8,10 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class StealMeterSpec extends AnyFunSuite {
 
-  // user nice system idle iowait irq softirq steal guest guest_nice
-  private val line = "cpu  100 0 50 800 10 0 5 35 0 0"
+  // user nice system idle iowait irq softirq steal guest guest_nice —
+  // the guest fields (40, 2) are already inside user/nice per the
+  // kernel's accounting, so the total must stop at steal (fields 0-7)
+  private val line = "cpu  100 0 50 800 10 0 5 35 40 2"
 
-  test("aggregate cpu line parses to (steal, total)") {
+  test("aggregate cpu line parses to (steal, total), excluding guest") {
     assert(StealMeter.ticksFrom(Some(Some(line))) === Some((35L, 1000L)))
   }
 
