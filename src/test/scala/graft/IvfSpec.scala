@@ -97,6 +97,34 @@ class IvfSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.hardNegatives.exactMax")
   }
 
+  test("hardNegatives at PRODUCTION parameters holds the measured quality floor") {
+    // Mirrors graft.RecallProbe: the exact n² plan grades the SHIPPED
+    // q69 delegation (k = √(n·nprobe/3) clamped [64,4096], nprobe = 8 —
+    // the formula in AnalyticsQueries) on the 500-vector corpus. Ivf has
+    // no RNG, so the measured values are exact for this corpus —
+    // recall@1 = 0.686, dropout = 0, mean sim-gap = 0.0131, max = 0.199
+    // (BASELINE.md round-11 recall table); the floors carry slack so a
+    // benign quantizer tweak doesn't flap the suite, but a recall
+    // regression past them is a real quality break for exactMax buyers.
+    val q = SparkEntry.queries("q69_hard_negatives")
+    val exact = exactHardNegatives
+    spark.conf.set("spark.graft.hardNegatives.exactMax", "0")
+    try {
+      val ann = q(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(ann.size == exact.size,
+        s"dropout at production parameters: ${exact.size - ann.size}")
+      val hits = exact.count { case (id, (_, sim)) => ann.get(id).exists(_._2 == sim) }
+      assert(hits >= (exact.size * 65) / 100,
+        s"recall@1 below floor: $hits/${exact.size}")
+      val gaps = exact.toSeq.map { case (id, (_, sim)) => sim - ann(id)._2 }
+      // ANN candidates are a subset of exact's: the gap is never negative
+      assert(gaps.forall(_ >= -1e-9))
+      assert(gaps.sum / gaps.size <= 0.02,
+        s"mean sim-gap above floor: ${gaps.sum / gaps.size}")
+    } finally spark.conf.unset("spark.graft.hardNegatives.exactMax")
+  }
+
   test("nprobe=k degenerates to exact brute-force ranking") {
     val qv = emb.filter(col("vec_id") === 7).head().getSeq[Double](1).toArray
     val model = Ivf.train(emb, "vec_id", "vec", k = 4, iters = 1)
