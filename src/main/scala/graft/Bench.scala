@@ -113,10 +113,16 @@ object Bench {
         name -> ((if (ok) elapsed else -elapsed, steal))
       }
     }
+    // absolute box-speed canary (see BoxCanary): steal can be ~0 while
+    // the host runs 20%+ slow, so every artifact carries a fixed-work
+    // timing at run start and end — two artifacts compare window speed
+    // by these fields alone
+    val canary0 = BoxCanary.sample()
     val runTicks0 = cpuTicks()
     val p1 = onePass()
     val p2 = onePass()
     val runSteal = stealFrac(runTicks0, cpuTicks())
+    val canary1 = BoxCanary.sample()
     // min elapsed across passes; the reported steal is the one measured
     // DURING the winning pass (the annotation travels with the number)
     val results = p1.map { case (k, v1) =>
@@ -131,8 +137,10 @@ object Bench {
     val st = results.map { case (k, v) => s"\"" + k + "\":" + num4(v._2) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    val canary =
+      s"""{"oneCore":[${num4(canary0._1)},${num4(canary1._1)}],"allCores":[${num4(canary0._2)},${num4(canary1._2)}]}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir","stealFrac":${num4(runSteal)},"steal":$st}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir","stealFrac":${num4(runSteal)},"steal":$st,"canarySec":$canary}"""
     println(line)
     // the driver captures a bounded stdout TAIL (a full suite truncates
     // mid-JSON there), so the complete artifact is also written to disk
