@@ -15,7 +15,8 @@ package graft
   */
 object BoxCanary {
 
-  /** ~0.25 s/core at 2.7 GHz — cheap enough to sample twice per run. */
+  /** ~1.05 s one-core on this 2.7 GHz box (round-11 reference window,
+    * BASELINE.md) — cheap enough to sample twice per run. */
   private val Iters = 500_000_000L
 
   /** xorshift64 spin: (checksum, seconds) for `iters` rounds. The
