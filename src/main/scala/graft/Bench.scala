@@ -15,9 +15,11 @@ object Bench {
 
   /** Locale-independent fixed-point formatting: the f interpolator uses
     * the JVM default locale, which under e.g. de_DE emits a decimal
-    * comma — invalid JSON. */
-  private[graft] def num4(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    * comma — invalid JSON. Shared by every artifact writer in the
+    * package (Bench, RecallProbe). */
+  private[graft] def num(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+  private[graft] def num4(v: Double): String = num(v, 4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,18 +36,25 @@ object BoxCanary {
     (x, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Observably-live sink for every spin's checksum: a discarded
+    * result would leave the loop dead code the JIT may one day
+    * eliminate — which would silently change the unit of canary
+    * seconds while every timing assertion still passed. */
+  @volatile private[graft] var sink = 0L
+
   /** (oneCoreSec, allCoresSec): the same fixed work per thread, first
     * on one thread, then on every available core at once (wall time).
     * One-core reads per-core speed; all-cores reads it under the
     * all-core load a Spark pass actually applies (turbo/frequency
     * behavior differs). A short untimed spin first absorbs JIT. */
   def sample(): (Double, Double) = {
-    spin(1_000_000L)
-    val one = spin(Iters)._2
+    sink ^= spin(1_000_000L)._1
+    val (c1, one) = spin(Iters)
+    sink ^= c1
     val n = math.max(1, Runtime.getRuntime.availableProcessors)
     val t0 = System.nanoTime()
     val ts = (1 to n).map { _ =>
-      val t = new Thread(() => { spin(Iters); () })
+      val t = new Thread(() => { sink ^= spin(Iters)._1 })
       t.start(); t
     }
     ts.foreach(_.join())

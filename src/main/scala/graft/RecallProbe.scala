@@ -67,8 +67,10 @@ object RecallProbe {
     val r = j.agg(
       count(lit(1)).as("n"),
       count(col("ann_nb")).as("covered"),
-      sum(when(col("ann_sim") === col("ex_sim"), 1L).otherwise(0L)).as("hit_sim"),
-      sum(when(col("ann_nb") === col("ex_nb"), 1L).otherwise(0L)).as("hit_id"),
+      coalesce(sum(when(col("ann_sim") === col("ex_sim"), 1L).otherwise(0L)),
+        lit(0L)).as("hit_sim"),
+      coalesce(sum(when(col("ann_nb") === col("ex_nb"), 1L).otherwise(0L)),
+        lit(0L)).as("hit_id"),
       avg(col("ex_sim") - col("ann_sim")).as("gap_mean"),
       expr("percentile(ex_sim - ann_sim, 0.5)").as("gap_p50"),
       expr("percentile(ex_sim - ann_sim, 0.99)").as("gap_p99"),
@@ -78,22 +80,24 @@ object RecallProbe {
 
     val n = r.getLong(0)
     val covered = r.getLong(1)
-    def d4(v: Double) =
-      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    def d6(v: Double) = Bench.num(v, 6)
+    // total dropout leaves every gap aggregate SQL NULL — the probe
+    // must still emit the artifact (the dropout count IS the finding)
+    def gap(i: Int) = if (r.isNullAt(i)) "null" else d6(r.getDouble(i))
     val line = Seq(
       s""""sf":"$sfDir"""",
       s""""n":$n""",
       s""""covered":$covered""",
       s""""dropout":${n - covered}""",
-      s""""recall_at1_sim":${d4(r.getLong(2).toDouble / n)}""",
-      s""""recall_at1_id":${d4(r.getLong(3).toDouble / n)}""",
-      s""""gap_mean":${d4(r.getDouble(4))}""",
-      s""""gap_p50":${d4(r.getDouble(5))}""",
-      s""""gap_p99":${d4(r.getDouble(6))}""",
-      s""""gap_max":${d4(r.getDouble(7))}""",
-      s""""gap_min":${d4(r.getDouble(8))}""",
-      s""""exact_sec":${d4(exactSec)}""",
-      s""""ann_sec":${d4(annSec)}"""
+      s""""recall_at1_sim":${d6(r.getLong(2).toDouble / n)}""",
+      s""""recall_at1_id":${d6(r.getLong(3).toDouble / n)}""",
+      s""""gap_mean":${gap(4)}""",
+      s""""gap_p50":${gap(5)}""",
+      s""""gap_p99":${gap(6)}""",
+      s""""gap_max":${gap(7)}""",
+      s""""gap_min":${gap(8)}""",
+      s""""exact_sec":${d6(exactSec)}""",
+      s""""ann_sec":${d6(annSec)}"""
     ).mkString("{", ",", "}")
     println(line)
     args.lift(1).foreach { out =>

@@ -14,11 +14,19 @@ class BoxCanarySpec extends AnyFunSuite {
     assert(BoxCanary.spin(0L)._1 === 0x9E3779B97F4A7C15L)
   }
 
-  test("timings are positive and all-core wall is not faster than one core's work") {
+  test("timings reflect real work and all-core wall is not faster than one core's") {
     val (one, all) = BoxCanary.sample()
-    assert(one > 0.0 && all > 0.0)
+    // ABSOLUTE floor, not just > 0: the xorshift chain is serially
+    // dependent (~3 cycles/iteration minimum), so 5e8 iterations cannot
+    // finish in 50 ms on any real CPU — but a JIT that eliminated the
+    // loop would report ~1e-5 s. This is the assertion that actually
+    // pins the unit of canary seconds (measured ~1.05 s on this box).
+    assert(one >= 0.05, s"one-core spin impossibly fast ($one s): loop eliminated?")
+    assert(all >= 0.05, s"all-core spin impossibly fast ($all s): loop eliminated?")
     // n threads each do the one-thread work concurrently: wall can't
     // beat a single thread's time by more than scheduler noise
     assert(all >= one * 0.5, s"one=$one all=$all")
+    // the checksum sink is observably live after sampling
+    assert(BoxCanary.sink != 0L)
   }
 }
