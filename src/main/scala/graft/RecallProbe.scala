@@ -31,6 +31,11 @@ object RecallProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // generic conf passthrough, same contract as Bench — e.g.
+    // SPARK_GRAFT_CONF="spark.graft.hardNegatives.nprobe=16" for the
+    // recall/latency tuning sweeps
+    val conf = sys.env.get("SPARK_GRAFT_CONF")
+    conf.foreach(Bench.parseConf(_).foreach { case (k, v) => spark.conf.set(k, v) })
 
     val q = SparkEntry.queries("q69_hard_negatives")
 
@@ -98,7 +103,8 @@ object RecallProbe {
       s""""gap_min":${gap(8)}""",
       s""""exact_sec":${d6(exactSec)}""",
       s""""ann_sec":${d6(annSec)}"""
-    ).mkString("{", ",", "}")
+    ).++(conf.map(c => s""""conf":"${c.replace("\"", "'")}"""").toSeq)
+      .mkString("{", ",", "}")
     println(line)
     args.lift(1).foreach { out =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

@@ -400,8 +400,12 @@ object AnalyticsQueries {
         // keep enough cells and the trainer's driver-side seed sample
         // (k·50 rows) stays bounded. A fixed k would quietly re-enter
         // the n²/k regime as the corpus grows (measured: sf3 ANN ran
-        // 5.6× sf1 with k floored at 64).
-        val nprobe = 8
+        // 5.6× sf1 with k floored at 64). nprobe is the recall/latency
+        // knob (measured tuning table in BASELINE.md round-11 recall
+        // addendum); k grows with √nprobe so raising it also refines
+        // the cells rather than only widening the probe.
+        val nprobe = math.max(1,
+          s.conf.get("spark.graft.hardNegatives.nprobe", "8").toInt)
         val k = math.max(64L, math.min(4096L,
           math.round(math.sqrt(n.toDouble * nprobe / 3)))).toInt
         graft.similarity.Ivf.hardNegatives(emb, "vec_id", "label", "vec",

@@ -125,6 +125,24 @@ class IvfSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.hardNegatives.exactMax")
   }
 
+  test("the nprobe conf knob reaches the delegated plan and degenerates to exact") {
+    // spark.graft.hardNegatives.nprobe ≥ k makes every query probe all
+    // cells, so the FULL q69 path (conf → k formula → Ivf) must
+    // byte-match the exact plan's result, tie-breaks included — pins
+    // both the knob plumbing and the degenerate-equality contract
+    val q = SparkEntry.queries("q69_hard_negatives")
+    spark.conf.set("spark.graft.hardNegatives.exactMax", "0")
+    spark.conf.set("spark.graft.hardNegatives.nprobe", "4096")
+    try {
+      val got = q(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got == exactHardNegatives)
+    } finally {
+      spark.conf.unset("spark.graft.hardNegatives.exactMax")
+      spark.conf.unset("spark.graft.hardNegatives.nprobe")
+    }
+  }
+
   test("nprobe=k degenerates to exact brute-force ranking") {
     val qv = emb.filter(col("vec_id") === 7).head().getSeq[Double](1).toArray
     val model = Ivf.train(emb, "vec_id", "vec", k = 4, iters = 1)
