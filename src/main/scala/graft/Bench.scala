@@ -21,6 +21,20 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
   private[graft] def num4(v: Double): String = num(v, 4)
 
+  /** Minimal JSON string-content escaper, shared by every artifact
+    * writer that embeds free text (e.g. the SPARK_GRAFT_CONF
+    * passthrough): backslash and quote escaped, control characters
+    * \\u-encoded — a conf value containing any of them must not
+    * produce an invalid artifact. */
+  private[graft] def jsonStr(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' =>
+        String.format(java.util.Locale.ROOT, "\\u%04x", Integer.valueOf(c.toInt))
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -119,20 +133,30 @@ object Bench {
     // the host runs 20%+ slow, so every artifact carries a fixed-work
     // timing at run start and end — two artifacts compare window speed
     // by these fields alone
+    // pass count: 2 (min-of-two) is the committed methodology — a lone
+    // shared-JVM pass occasionally eats a GC/JIT storm — but hour-scale
+    // scale probes (sf10 sweeps) can set 1 to spend the wall budget on
+    // more configs instead of a second pass; the artifact records it
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    require(passes >= 1 && passes <= 4,
+      s"SPARK_GRAFT_PASSES must be 1..4, got $passes")
     val canary0 = BoxCanary.sample()
     val runTicks0 = cpuTicks()
-    val p1 = onePass()
-    val p2 = onePass()
+    val ps = Seq.fill(passes)(onePass())
     val runSteal = stealFrac(runTicks0, cpuTicks())
     val canary1 = BoxCanary.sample()
     // min elapsed across passes; the reported steal is the one measured
-    // DURING the winning pass (the annotation travels with the number)
-    val results = p1.map { case (k, v1) =>
-      val v2 = p2.getOrElse(k, v1)
-      val both = Seq(v1, v2)
-      val good = both.filter(_._1 >= 0)
-      // both passes failed → keep the (negative) slower sentinel
-      k -> (if (good.nonEmpty) good.minBy(_._1) else both.minBy(_._1))
+    // DURING the winning pass (the annotation travels with the number).
+    // Pairwise merge preserves the two-pass semantics: min of the
+    // successful elapseds, or the slower (more negative) sentinel when
+    // every pass failed.
+    val results = ps.reduce { (a, b) =>
+      a.map { case (k, v1) =>
+        val v2 = b.getOrElse(k, v1)
+        val both = Seq(v1, v2)
+        val good = both.filter(_._1 >= 0)
+        k -> (if (good.nonEmpty) good.minBy(_._1) else both.minBy(_._1))
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
@@ -142,7 +166,7 @@ object Bench {
     val canary =
       s"""{"oneCore":[${num4(canary0._1)},${num4(canary1._1)}],"allCores":[${num4(canary0._2)},${num4(canary1._2)}]}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","queries":$qs,"sf":"$sfDir","stealFrac":${num4(runSteal)},"steal":$st,"canarySec":$canary}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","passes":$passes,"queries":$qs,"sf":"$sfDir","stealFrac":${num4(runSteal)},"steal":$st,"canarySec":$canary}"""
     println(line)
     // the driver captures a bounded stdout TAIL (a full suite truncates
     // mid-JSON there), so the complete artifact is also written to disk

@@ -16,8 +16,10 @@ package graft
 object BoxCanary {
 
   /** ~1.05 s one-core on this 2.7 GHz box (round-11 reference window,
-    * BASELINE.md) — cheap enough to sample twice per run. */
-  private val Iters = 500_000_000L
+    * BASELINE.md) — cheap enough to sample twice per run. Mirrored in
+    * the committed CANARY.json (spec-pinned match) so normalization is
+    * mechanical: total × (reference oneCore / run oneCore). */
+  private[graft] val Iters = 500_000_000L
 
   /** xorshift64 spin: (checksum, seconds) for `iters` rounds. The
     * checksum is returned so the loop is not dead code to the JIT, and

@@ -20,6 +20,13 @@ object ClusterGen {
     require(args.length >= 2, "usage: ClusterGen <inSfDir> <outDir> [alpha]")
     val alpha = args.lift(2).map(_.toDouble).getOrElse(0.7)
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    // overwrite-while-lazily-reading would corrupt the source corpus:
+    // the output embeddings.parquet must not be the input one
+    val inP = java.nio.file.Paths.get(args(0)).toAbsolutePath.normalize
+    val outP = java.nio.file.Paths.get(args(1)).toAbsolutePath.normalize
+    require(inP != outP,
+      s"outDir must differ from inSfDir ($inP): mode(overwrite) on the " +
+        "parquet being read can fail mid-job or corrupt the source")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

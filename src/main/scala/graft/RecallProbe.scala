@@ -89,13 +89,16 @@ object RecallProbe {
     // total dropout leaves every gap aggregate SQL NULL — the probe
     // must still emit the artifact (the dropout count IS the finding)
     def gap(i: Int) = if (r.isNullAt(i)) "null" else d6(r.getDouble(i))
+    // an empty corpus must not emit NaN (invalid JSON): the ratios get
+    // the same null treatment as the gap aggregates
+    def ratio(i: Int) = if (n == 0) "null" else d6(r.getLong(i).toDouble / n)
     val line = Seq(
-      s""""sf":"$sfDir"""",
+      s""""sf":"${Bench.jsonStr(sfDir)}"""",
       s""""n":$n""",
       s""""covered":$covered""",
       s""""dropout":${n - covered}""",
-      s""""recall_at1_sim":${d6(r.getLong(2).toDouble / n)}""",
-      s""""recall_at1_id":${d6(r.getLong(3).toDouble / n)}""",
+      s""""recall_at1_sim":${ratio(2)}""",
+      s""""recall_at1_id":${ratio(3)}""",
       s""""gap_mean":${gap(4)}""",
       s""""gap_p50":${gap(5)}""",
       s""""gap_p99":${gap(6)}""",
@@ -103,7 +106,7 @@ object RecallProbe {
       s""""gap_min":${gap(8)}""",
       s""""exact_sec":${d6(exactSec)}""",
       s""""ann_sec":${d6(annSec)}"""
-    ).++(conf.map(c => s""""conf":"${c.replace("\"", "'")}"""").toSeq)
+    ).++(conf.map(c => s""""conf":"${Bench.jsonStr(c)}"""").toSeq)
       .mkString("{", ",", "}")
     println(line)
     args.lift(1).foreach { out =>

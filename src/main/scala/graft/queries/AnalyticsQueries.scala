@@ -403,9 +403,20 @@ object AnalyticsQueries {
         // 5.6× sf1 with k floored at 64). nprobe is the recall/latency
         // knob (measured tuning table in BASELINE.md round-11 recall
         // addendum); k grows with √nprobe so raising it also refines
-        // the cells rather than only widening the probe.
+        // the cells rather than only widening the probe. The default is
+        // size-aware (Ivf.defaultNprobe: 8 ≤5k vectors, 16 above — the
+        // measured sf1 trade is recall@1 0.612 → 0.824 for ~9% wall),
+        // and the delegation logs which value won so an operator learns
+        // the knob exists without reading this comment.
         val nprobe = math.max(1,
-          s.conf.get("spark.graft.hardNegatives.nprobe", "8").toInt)
+          s.conf.getOption("spark.graft.hardNegatives.nprobe")
+            .map(_.toInt)
+            .getOrElse(graft.similarity.Ivf.defaultNprobe(n)))
+        org.slf4j.LoggerFactory.getLogger("graft.q69").warn(
+          s"q69 delegating $n vectors to IVF ANN with nprobe=$nprobe " +
+            "(knob: spark.graft.hardNegatives.nprobe; measured sf1 trade " +
+            "in BASELINE.md round-11 recall addendum: 16 buys recall@1 " +
+            "0.612->0.824 over 8 for ~9% ANN wall)")
         val k = math.max(64L, math.min(4096L,
           math.round(math.sqrt(n.toDouble * nprobe / 3)))).toInt
         graft.similarity.Ivf.hardNegatives(emb, "vec_id", "label", "vec",

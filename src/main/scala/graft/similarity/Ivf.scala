@@ -138,6 +138,17 @@ object Ivf {
     * Output schema matches the exact path: (idCol, hard_negative, sim),
     * ties broken to the lowest neighbor id at equal similarity.
     */
+  /** Size-aware default for the hard-negative `nprobe` knob, applied
+    * by q69's delegation when `spark.graft.hardNegatives.nprobe` is
+    * unset. The round-11 tuning sweep (BASELINE.md recall addendum)
+    * measured nprobe=16 buying recall@1 0.612 → 0.824 at sf1 (20k
+    * vectors) for ~9% more ANN wall; below the ~5k exact/ANN crossover
+    * a delegated corpus is small enough that 8 already probes a large
+    * cell fraction, so the cheaper setting stays. Pinned in IvfSpec —
+    * changing either branch changes shipped quality.
+    */
+  def defaultNprobe(n: Long): Int = if (n > 5000L) 16 else 8
+
   def hardNegatives(emb: DataFrame, idCol: String, labelCol: String,
                     vecCol: String, k: Int = 64, nprobe: Int = 8,
                     roundScale: Int = 6): DataFrame = {

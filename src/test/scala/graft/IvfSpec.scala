@@ -50,6 +50,20 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
   }
 
+  test("the size-aware nprobe default is pinned at the measured 5k boundary") {
+    // round-11 tuning sweep (BASELINE.md recall addendum): nprobe=16
+    // buys recall@1 0.612 → 0.824 at sf1 for ~9% ANN wall, so delegated
+    // corpora above the ~5k exact/ANN crossover default to 16; at or
+    // below it (reachable only by lowering exactMax) the cheap 8 stays.
+    // The production-floor test below exercises the n=500 branch
+    // end-to-end through q69; changing either branch changes shipped
+    // quality and must show up here first.
+    assert(Ivf.defaultNprobe(500L) === 8)
+    assert(Ivf.defaultNprobe(5000L) === 8)
+    assert(Ivf.defaultNprobe(5001L) === 16)
+    assert(Ivf.defaultNprobe(20000L) === 16)
+  }
+
   test("hardNegatives with nprobe=k degenerates to the exact n² result") {
     // probing every cell makes the candidate set ALL different-label
     // pairs — the ANN machinery must then reproduce the exact top-1
@@ -100,7 +114,8 @@ class IvfSpec extends SparkSpec {
   test("hardNegatives at PRODUCTION parameters holds the measured quality floor") {
     // Mirrors graft.RecallProbe: the exact n² plan grades the SHIPPED
     // q69 delegation (k = √(n·nprobe/3) clamped [64,4096], nprobe = 8 —
-    // the formula in AnalyticsQueries) on the 500-vector corpus. Ivf has
+    // the size-aware default at n = 500, see Ivf.defaultNprobe) on the
+    // 500-vector corpus. Ivf has
     // no RNG, so the measured values are exact for this corpus —
     // recall@1 = 0.686, dropout = 0, mean sim-gap = 0.0131, max = 0.199
     // (BASELINE.md round-11 recall table); the floors carry slack so a
