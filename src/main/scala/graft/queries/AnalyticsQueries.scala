@@ -405,7 +405,8 @@ object AnalyticsQueries {
         // addendum); k grows with √nprobe so raising it also refines
         // the cells rather than only widening the probe. The default is
         // size-aware (Ivf.defaultNprobe: 8 ≤5k vectors, 16 above — the
-        // measured sf1 trade is recall@1 0.612 → 0.824 for ~9% wall),
+        // measured sf1 trade on the balanced quantizer is recall@1
+        // 0.534 → 0.700 for ~20% ANN wall, round-12 recall addendum),
         // and the delegation logs which value won so an operator learns
         // the knob exists without reading this comment.
         val nprobe = math.max(1,
@@ -415,8 +416,8 @@ object AnalyticsQueries {
         org.slf4j.LoggerFactory.getLogger("graft.q69").warn(
           s"q69 delegating $n vectors to IVF ANN with nprobe=$nprobe " +
             "(knob: spark.graft.hardNegatives.nprobe; measured sf1 trade " +
-            "in BASELINE.md round-11 recall addendum: 16 buys recall@1 " +
-            "0.612->0.824 over 8 for ~9% ANN wall)")
+            "in BASELINE.md round-12 recall addendum: 16 buys recall@1 " +
+            "0.534->0.700 over 8 for ~20% ANN wall)")
         val k = math.max(64L, math.min(4096L,
           math.round(math.sqrt(n.toDouble * nprobe / 3)))).toInt
         graft.similarity.Ivf.hardNegatives(emb, "vec_id", "label", "vec",

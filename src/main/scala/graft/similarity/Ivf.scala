@@ -127,9 +127,11 @@ object Ivf {
     * INDEXED in its single nearest cell; as a QUERY it probes its
     * `nprobe` nearest cells; candidates meet on the cell key (a plain
     * hash join co-partitioned by cell), so pair volume is
-    * ≈ n·nprobe·(n/k) spread across cells — with k grown ∝ n the work
-    * stays linear in corpus size, vs the exact path's n² that can never
-    * broadcast past a few 10⁴ vectors. Approximate in the standard ANN
+    * ≈ n·nprobe·(n/k). With the caller's k = √(n·nprobe/3) — which
+    * balances training (3·n·k) against the probe join (nprobe·n²/k) —
+    * total work is Θ(n^1.5·√nprobe): superlinear but far below the
+    * exact path's n², and spread evenly across cells so it
+    * parallelizes. Approximate in the standard ANN
     * sense: the true hardest negative is missed iff it lives outside
     * the query's nprobe cells; a query whose probed cells hold only
     * same-label vectors drops out of the result (measured and pinned in
@@ -140,14 +142,27 @@ object Ivf {
     */
   /** Size-aware default for the hard-negative `nprobe` knob, applied
     * by q69's delegation when `spark.graft.hardNegatives.nprobe` is
-    * unset. The round-11 tuning sweep (BASELINE.md recall addendum)
-    * measured nprobe=16 buying recall@1 0.612 → 0.824 at sf1 (20k
-    * vectors) for ~9% more ANN wall; below the ~5k exact/ANN crossover
+    * unset. Measured at sf1 (20k vectors) on the balanced quantizer
+    * (BASELINE.md round-12 recall addendum): nprobe=16 buys recall@1
+    * 0.534 → 0.700 over 8 for ~20% more ANN wall — still ~6× cheaper
+    * than the exact scan; below the ~5k exact/ANN crossover
     * a delegated corpus is small enough that 8 already probes a large
     * cell fraction, so the cheaper setting stays. Pinned in IvfSpec —
     * changing either branch changes shipped quality.
     */
   def defaultNprobe(n: Long): Int = if (n > 5000L) 16 else 8
+
+  /** The quantizer-collapse guard hardNegatives trains through, exposed
+    * package-private so IvfSpec can pin it: dedup to one deterministic
+    * representative (min id) per distinct vector, then train. Kept OUT
+    * of `train` itself — q26/q230's DuckDB oracles unroll that exact
+    * seeding in SQL (Helpers.scala `lloydSql`), so its semantics are
+    * frozen; this wrapper is the ANN-mining policy on top of it.
+    */
+  private[graft] def trainOnDistinct(labeled: DataFrame, k: Int): Model = {
+    val distinctVecs = labeled.groupBy("vec").agg(min(col("id")).as("id"))
+    train(distinctVecs, "id", "vec", k = k)
+  }
 
   def hardNegatives(emb: DataFrame, idCol: String, labelCol: String,
                     vecCol: String, k: Int = 64, nprobe: Int = 8,
@@ -161,16 +176,52 @@ object Ivf {
       // index/query legs below both re-scan the assignment input
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val model = train(base.toDF("id", "label", "vec"), "id", "vec", k = k)
+      // Train on the DISTINCT vector set (deterministic representative:
+      // min id per vector). A duplicate-heavy corpus otherwise collapses
+      // the quantizer: the k·50-row seed prefix holds few distinct
+      // points, duplicated seeds produce identical centroids, nearest-
+      // cell ties all resolve to the first of them, and the effective
+      // cell count falls far below k. Measured on a ×100-copied 200k
+      // corpus (sf10 scale probe, round 12): the collapsed model's probe
+      // join ran 2440 s where the balanced one takes minutes — and
+      // near-duplicate mass is exactly what a real training corpus
+      // carries, so the trainer must not see multiplicity. On an
+      // already-distinct corpus the dedup is a row-level no-op (same
+      // ids, same seed order), so the model — and IvfSpec's pinned
+      // quality floor — is bit-identical.
+      val model = trainOnDistinct(base.toDF("id", "label", "vec"), k)
       val bc = spark.sparkContext.broadcast(model)
       val indexed = base
         .map { case (id, l, v) => (bc.value.nearestCell(v), id, l, v) }
         .toDF("cell", "nb_id", "nb_label", "nb_vec")
+      // Residual skew guard: the probe join partitions by cell — a
+      // low-cardinality key whose per-cell pair volume concentrates
+      // whatever duplicate/cluster mass survives training, and one
+      // overloaded reducer then external-sorts most of the pair stream
+      // alone (the round-12 sf10 probe spent its 2440 s in exactly that
+      // spill-merge). Estimate the worst cell's pair volume from the
+      // indexed-side histogram (probes concentrate near mass, so
+      // q_c ≈ i_c·nprobe) and salt the join key so no single task owns
+      // a whole giant cell: queries carry salt = hash(id) mod R, index
+      // rows replicate R ways. The pair SET is identical for every R —
+      // salting only redistributes it — and the balanced-model common
+      // case computes R = 1, a constant-zero extra join column.
+      val cellCounts = indexed.groupBy("cell").count()
+        .as[(Int, Long)].collect() // ≤ k rows — driver-bounded
+      val autoSalt = cellCounts.foldLeft(1L) { (r, c) =>
+        math.max(r, math.ceil(c._2.toDouble * c._2 * nprobe / 2e7).toLong)
+      }
+      val saltWidth = math.min(64L, math.max(1L,
+        spark.conf.getOption("spark.graft.hardNegatives.saltWidth")
+          .map(_.toLong).getOrElse(autoSalt))).toInt
       val queries = base
         .flatMap { case (id, l, v) =>
           bc.value.nearestCells(v, nprobe).map(c => (c, id, l, v)) }
         .toDF("cell", "id", "label", "vec")
-      queries.join(indexed, "cell")
+        .withColumn("salt", pmod(hash(col("id")), lit(saltWidth)))
+      val indexedSalted = indexed
+        .withColumn("salt", explode(lit((0 until saltWidth).toArray)))
+      queries.join(indexedSalted, Seq("cell", "salt"))
         .filter(col("nb_label") =!= col("label"))
         .select(col("id"), col("nb_id"),
           round(graft.vector.VectorOps.cosine(col("vec"), col("nb_vec")),

@@ -51,8 +51,9 @@ class IvfSpec extends SparkSpec {
   }
 
   test("the size-aware nprobe default is pinned at the measured 5k boundary") {
-    // round-11 tuning sweep (BASELINE.md recall addendum): nprobe=16
-    // buys recall@1 0.612 → 0.824 at sf1 for ~9% ANN wall, so delegated
+    // round-12 recall addendum (BASELINE.md, balanced quantizer):
+    // nprobe=16 buys recall@1 0.534 → 0.700 at sf1 for ~20% ANN wall
+    // (still ~6× under the exact scan), so delegated
     // corpora above the ~5k exact/ANN crossover default to 16; at or
     // below it (reachable only by lowering exactMax) the cheap 8 stays.
     // The production-floor test below exercises the n=500 branch
@@ -166,5 +167,59 @@ class IvfSpec extends SparkSpec {
     val brute = Knn.bruteForceTopK(emb, "vec_id", "vec", qv, k = 15)
       .collect().map(_.getLong(0)).toSeq
     assert(ann == brute)
+  }
+
+  /** 40 distinct vectors × 25 copy-major copies (id = copy·40 + j, the
+    * ScaleGen layout): the evenly-spaced seed positions land on the
+    * same few distinct vectors over and over, so training on the RAW
+    * corpus collapses to a handful of distinct centroids — the round-12
+    * sf10 failure (40-min probe join from an effectively ~40-cell
+    * model). hardNegatives trains through `trainOnDistinct`, which must
+    * keep the full centroid diversity.
+    */
+  private def dupCorpus = {
+    import spark.implicits._
+    val rows = for (copy <- 0 until 25; j <- 0 until 40) yield {
+      val vec = Seq.tabulate(8)(d => math.sin(j * 13 + d * 5) * (j + 1))
+      (copy.toLong * 40 + j, (j % 4).toLong, vec)
+    }
+    rows.toDF("id", "label", "vec")
+  }
+
+  test("trainOnDistinct keeps centroid diversity and balanced cell mass on duplicates") {
+    // Raw training on this corpus seeds only 4 distinct centroids
+    // (positions 0,50,…,750 of the id-ordered prefix all hit vectors
+    // j ∈ {0,10,20,30}); Lloyd's keep-stale-centroid rule then revives
+    // SOME duplicates over the 3 iterations — at toy scale that can
+    // fully re-diversify, but at sf10 scale (k=1033, 40 distinct seed
+    // values) revival adds ≤ ~40 distinct cells per iteration and the
+    // model stays collapsed, which is the measured 2440 s probe-join
+    // blowup. So the pin is on the FIX's guarantees, which hold at
+    // every scale: all k centroids distinct, and no cell hoards the
+    // corpus (bounded mass ⇒ bounded per-cell pair volume).
+    val deduped = Ivf.trainOnDistinct(dupCorpus, k = 16)
+    assert(deduped.centroids.map(_.toSeq).distinct.length == 16,
+      "dedup-train lost centroid diversity")
+    val cells = Ivf.assign(dupCorpus, "id", "vec", deduped)
+      .collect().map(_.getInt(1))
+    val byCell = cells.groupBy(identity).view.mapValues(_.length)
+    val mean = cells.length.toDouble / 16
+    assert(byCell.values.max <= 4 * mean,
+      s"cell mass skew: max=${byCell.values.max}, mean=$mean")
+  }
+
+  test("salting the probe join redistributes but never changes the pair set") {
+    // forced saltWidth values must produce byte-identical hard negatives
+    // (salting replicates index rows across salt keys; every (query, nb)
+    // pair still meets exactly once)
+    def run(): Map[Long, (Long, Double)] =
+      Ivf.hardNegatives(dupCorpus, "id", "label", "vec", k = 16, nprobe = 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val default = run()
+    spark.conf.set("spark.graft.hardNegatives.saltWidth", "8")
+    try {
+      assert(run() == default)
+    } finally spark.conf.unset("spark.graft.hardNegatives.saltWidth")
+    assert(default.nonEmpty)
   }
 }
