@@ -52,12 +52,20 @@ case class CosineSim(left: Expression, right: Expression)
     var na = 0.0
     var nb = 0.0
     val n = x.numElements()
+    // One fused pass: each accumulator still sums in index order, so
+    // every sum is bit-identical to the three-loop (and HOF) form —
+    // FP addition order per accumulator is unchanged, only interleaved
+    // across accumulators. Halves the array reads (2n loads vs 4n; the
+    // per-pair inner loop of the ANN probe join and the retrieval scan).
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
-    i = 0
-    while (i < n) { na += x.getDouble(i) * x.getDouble(i); i += 1 }
-    i = 0
-    while (i < n) { nb += y.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -68,6 +76,10 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      // fused single pass — same bit-exact per-accumulator order as the
+      // three-loop form (see nullSafeEval), half the array loads
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -75,13 +87,11 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $a.getDouble($i) * $b.getDouble($i);
-         |  }
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $na += $a.getDouble($i) * $a.getDouble($i);
-         |  }
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nb += $b.getDouble($i) * $b.getDouble($i);
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
          |  }
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
