@@ -155,7 +155,27 @@ object Bench {
     spark.stop()
     System.gc()
     Thread.sleep(1000)
-    val canary1 = BoxCanary.sample()
+    // Retry-until-stable (round 13): one settled sample is NOT enough
+    // under the sbt harness — the driver's r12 artifact read end oneCore
+    // 1.935 vs start 1.108 after the settle fix, while bare-java legs
+    // read clean; surviving harness/shutdown threads drain on their own
+    // schedule. Sample until two CONSECUTIVE oneCore readings agree
+    // within 5% (the unit's minute-scale noise band), bounded at 5
+    // samples: genuine box slowness repeats and is reported; decaying
+    // self-turmoil is waited out. The artifact says which happened
+    // (endStable) so a never-stable end is visibly untrusted.
+    var prevEnd = BoxCanary.sample()
+    var endSamples = 1
+    var endStable = false
+    while (!endStable && endSamples < 5) {
+      Thread.sleep(2000)
+      val next = BoxCanary.sample()
+      endStable =
+        math.abs(next._1 - prevEnd._1) <= 0.05 * math.min(next._1, prevEnd._1)
+      prevEnd = next
+      endSamples += 1
+    }
+    val canary1 = prevEnd
     // min elapsed across passes; the reported steal is the one measured
     // DURING the winning pass (the annotation travels with the number).
     // Pairwise merge preserves the two-pass semantics: min of the
@@ -174,8 +194,12 @@ object Bench {
     val st = results.map { case (k, v) => s"\"" + k + "\":" + num4(v._2) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    // "mode" tags the end-sample regime INSIDE canarySec so it survives
+    // merge_bench.py's per-leg copy: untagged artifacts predate the
+    // retry-until-stable end sampling and their end samples are only an
+    // upper bound (normalize_bench.py uses their START sample alone)
     val canary =
-      s"""{"oneCore":[${num4(canary0._1)},${num4(canary1._1)}],"allCores":[${num4(canary0._2)},${num4(canary1._2)}]}"""
+      s"""{"oneCore":[${num4(canary0._1)},${num4(canary1._1)}],"allCores":[${num4(canary0._2)},${num4(canary1._2)}],"mode":"post-stop-stable","endStable":$endStable,"endSamples":$endSamples}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","passes":$passes,"queries":$qs,"sf":"$sfDir","stealFrac":${num4(runSteal)},"steal":$st,"canarySec":$canary}"""
     println(line)

@@ -164,6 +164,33 @@ object Ivf {
     train(distinctVecs, "id", "vec", k = k)
   }
 
+  /** Per-reducer pair budget for the probe join: a (cell, salt) task
+    * scoring more pairs than this external-sorts alone (the round-12
+    * sf10 collapse spent 2440 s in exactly that spill-merge). */
+  private[graft] val probePairBudget = 2e7
+
+  /** Per-cell salt widths for the probe join. Cell c's pair volume is
+    * exactly q_c·i_c (query rows × index rows meeting on the cell key);
+    * the width is ⌈max(q_c·i_c, i_c²·nprobe) / budget⌉ clamped [1, 64]
+    * — the exact volume maxed with the index-side estimate
+    * (q_c ≈ i_c·nprobe, probes concentrate near mass), so a cell is
+    * salted whenever EITHER signal fires: the estimate catches a heavy
+    * index cell even if the query histogram under-reads it, and the
+    * exact term catches the converse (modest index mass drawing
+    * disproportionate probe concentration, e.g. a dense query cluster
+    * straddling cell boundaries). Only overloaded cells pay index
+    * replication; cold cells keep width 1.
+    */
+  private[graft] def cellSaltWidths(iCounts: Map[Int, Long],
+                                    qCounts: Map[Int, Long],
+                                    nprobe: Int): Map[Int, Int] =
+    iCounts.map { case (c, ic) =>
+      val exact = qCounts.getOrElse(c, 0L).toDouble * ic
+      val est = ic.toDouble * ic * nprobe
+      c -> math.min(64L, math.max(1L,
+        math.ceil(math.max(exact, est) / probePairBudget).toLong)).toInt
+    }
+
   def hardNegatives(emb: DataFrame, idCol: String, labelCol: String,
                     vecCol: String, k: Int = 64, nprobe: Int = 8,
                     roundScale: Int = 6): DataFrame = {
@@ -175,6 +202,7 @@ object Ivf {
       // read once: the trainer re-scans per Lloyd iteration and the
       // index/query legs below both re-scan the assignment input
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var qCache: Option[DataFrame] = None
     try {
       // Train on the DISTINCT vector set (deterministic representative:
       // min id per vector). A duplicate-heavy corpus otherwise collapses
@@ -199,29 +227,55 @@ object Ivf {
       // whatever duplicate/cluster mass survives training, and one
       // overloaded reducer then external-sorts most of the pair stream
       // alone (the round-12 sf10 probe spent its 2440 s in exactly that
-      // spill-merge). Estimate the worst cell's pair volume from the
-      // indexed-side histogram (probes concentrate near mass, so
-      // q_c ≈ i_c·nprobe) and salt the join key so no single task owns
-      // a whole giant cell: queries carry salt = hash(id) mod R, index
-      // rows replicate R ways. The pair SET is identical for every R —
-      // salting only redistributes it — and the balanced-model common
-      // case computes R = 1, a constant-zero extra join column.
-      val cellCounts = indexed.groupBy("cell").count()
-        .as[(Int, Long)].collect() // ≤ k rows — driver-bounded
-      val autoSalt = cellCounts.foldLeft(1L) { (r, c) =>
-        math.max(r, math.ceil(c._2.toDouble * c._2 * nprobe / 2e7).toLong)
-      }
-      val saltWidth = math.min(64L, math.max(1L,
-        spark.conf.getOption("spark.graft.hardNegatives.saltWidth")
-          .map(_.toLong).getOrElse(autoSalt))).toInt
+      // spill-merge). Salt the join key PER CELL so no single task owns
+      // a whole giant cell: in cell c, queries carry
+      // salt = hash(id) mod R_c and index rows replicate R_c ways — the
+      // pair SET is identical for every width map (each (query, nb) pair
+      // still meets exactly once, on the query's salt), and replication
+      // is paid only where the skew is: a balanced model computes
+      // R_c = 1 everywhere (a constant-zero extra join column), while a
+      // single hot cell replicates ITS rows up to 64× without touching
+      // the cold ones (a global width would inflate the whole index
+      // side by the worst cell's factor).
       val queries = base
         .flatMap { case (id, l, v) =>
           bc.value.nearestCells(v, nprobe).map(c => (c, id, l, v)) }
         .toDF("cell", "id", "label", "vec")
-        .withColumn("salt", pmod(hash(col("id")), lit(saltWidth)))
-      val indexedSalted = indexed
-        .withColumn("salt", explode(lit((0 until saltWidth).toArray)))
-      queries.join(indexedSalted, Seq("cell", "salt"))
+        // the cell histogram below and the probe join both scan this
+        // frame; persist so nearestCells (O(k·d) per vector) runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qCache = Some(queries)
+      val iCounts = indexed.groupBy("cell").count()
+        .as[(Int, Long)].collect().toMap // ≤ k ≤ 4096 rows — driver-bounded
+      val qCounts = queries.groupBy("cell").count()
+        .as[(Int, Long)].collect().toMap // ≤ k ≤ 4096 rows — driver-bounded
+      val confWidth: Option[Int] =
+        spark.conf.getOption("spark.graft.hardNegatives.saltWidth").map { s =>
+          val w =
+            try s.trim.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"spark.graft.hardNegatives.saltWidth must be an integer, got '$s'")
+            }
+          math.min(64L, math.max(1L, w)).toInt
+        }
+      val widths: Map[Int, Int] = confWidth match {
+        case Some(w) => iCounts.map { case (c, _) => c -> w } // forced global
+        case None    => cellSaltWidths(iCounts, qCounts, nprobe)
+      }
+      val hot = widths.filter(_._2 > 1)
+      val (queriesSalted, indexedSalted) =
+        if (hot.isEmpty)
+          (queries.withColumn("salt", lit(0)),
+            indexed.withColumn("salt", lit(0)))
+        else {
+          // width lookup as a tiny map literal (hot cells only; cold
+          // cells — and query probes of index-empty cells — default 1)
+          val wCol = coalesce(element_at(typedLit(hot), col("cell")), lit(1))
+          (queries.withColumn("salt", pmod(hash(col("id")), wCol)),
+            indexed.withColumn("salt", explode(sequence(lit(0), wCol - 1))))
+        }
+      queriesSalted.join(indexedSalted, Seq("cell", "salt"))
         .filter(col("nb_label") =!= col("label"))
         .select(col("id"), col("nb_id"),
           round(graft.vector.VectorOps.cosine(col("vec"), col("nb_vec")),
@@ -236,7 +290,7 @@ object Ivf {
         // the caller's action must not silently recompute the scan
         // (materialize = localCheckpoint locally, reliable on a cluster)
         .transform(graft.Artifacts.materialize)
-    } finally { base.unpersist(); () }
+    } finally { qCache.foreach(_.unpersist()); base.unpersist(); () }
   }
 
   /** ANN top-k: probe the `nprobe` nearest cells, exact cosine rerank. */

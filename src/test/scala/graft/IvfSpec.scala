@@ -208,6 +208,119 @@ class IvfSpec extends SparkSpec {
       s"cell mass skew: max=${byCell.values.max}, mean=$mean")
   }
 
+  test("cellSaltWidths: exact and estimate terms each trigger; clamped at 64") {
+    // index-estimate term (i²·nprobe/2e7): a heavy index cell salts even
+    // when the query histogram under-reads it
+    assert(Ivf.cellSaltWidths(Map(0 -> 3000L), Map(0 -> 100L), 4) == Map(0 -> 2))
+    // exact term (q·i/2e7): probe concentration on a modest index cell —
+    // the skew the index-side estimate alone cannot see
+    assert(Ivf.cellSaltWidths(Map(0 -> 1000L), Map(0 -> 100000L), 1) == Map(0 -> 5))
+    // balanced cells keep width 1 (the common-case no-op)
+    assert(Ivf.cellSaltWidths(Map(0 -> 1000L, 1 -> 900L),
+      Map(0 -> 4000L, 1 -> 3600L), 4) == Map(0 -> 1, 1 -> 1))
+    // width is clamped at 64 however extreme the histogram
+    assert(Ivf.cellSaltWidths(Map(0 -> 10000000L), Map.empty, 8) == Map(0 -> 64))
+  }
+
+  /** One vector duplicated 1800× + 500 distinct: distinct-training keeps
+    * the CENTROIDS balanced, but the duplicate mass still lands in one
+    * cell — the residual-skew shape the per-cell salt exists for.
+    */
+  private def heavyCellCorpus = {
+    import spark.implicits._
+    val heavy = (0 until 1800).map { i =>
+      (i.toLong, (i % 4).toLong,
+        Seq.tabulate(8)(d => math.cos(d * 3).abs + 2.0))
+    }
+    val tail = (0 until 500).map { j =>
+      val vec = Seq.tabulate(8)(d => math.sin(j * 7 + d * 11) * ((j % 9) + 1))
+      (1800L + j, (j % 4).toLong, vec)
+    }
+    (heavy ++ tail).toDF("id", "label", "vec")
+  }
+
+  test("per-cell widths salt ONLY the overloaded cell, pair set unchanged") {
+    // the same histograms hardNegatives measures internally, recomputed
+    // driver-side: this corpus must produce NON-UNIFORM widths (measured:
+    // the duplicate cell gets 2, the 15 cold cells keep 1), or the test
+    // isn't exercising the per-cell path at all
+    import spark.implicits._
+    val model = Ivf.trainOnDistinct(heavyCellCorpus, k = 16)
+    val rows = heavyCellCorpus.select("id", "vec")
+      .as[(Long, Seq[Double])].collect()
+    val iCounts = rows.map(r => model.nearestCell(r._2))
+      .groupBy(identity).map { case (c, a) => c -> a.length.toLong }
+    val qCounts = rows.flatMap(r => model.nearestCells(r._2, 8))
+      .groupBy(identity).map { case (c, a) => c -> a.length.toLong }
+    val widths = Ivf.cellSaltWidths(iCounts, qCounts, 8)
+    assert(widths.values.max >= 2, s"no hot cell salted: $widths")
+    assert(widths.values.count(_ == 1) >= 10,
+      s"cold cells paying replication: $widths")
+    // byte-equality against the UNSALTED join (forced width 1): per-cell
+    // salting replicates hot-cell index rows across salt keys, but every
+    // (query, nb) pair still meets exactly once, on the query's salt
+    def run(): Map[Long, (Long, Double)] =
+      Ivf.hardNegatives(heavyCellCorpus, "id", "label", "vec",
+          k = 16, nprobe = 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val auto = run()
+    spark.conf.set("spark.graft.hardNegatives.saltWidth", "1")
+    try assert(run() == auto)
+    finally spark.conf.unset("spark.graft.hardNegatives.saltWidth")
+    assert(auto.size == 2300) // every query keeps a cross-label negative
+  }
+
+  test("a malformed saltWidth conf fails loudly, naming the knob") {
+    spark.conf.set("spark.graft.hardNegatives.saltWidth", "eight")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Ivf.hardNegatives(dupCorpus, "id", "label", "vec", k = 8, nprobe = 2)
+          .collect()
+      }
+      assert(e.getMessage.contains("spark.graft.hardNegatives.saltWidth"),
+        s"error does not name the conf key: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.hardNegatives.saltWidth")
+  }
+
+  test("duplicated-corpus recall holds the measured floor at shipped q69 parameters") {
+    // The round-12 honesty, regression-proofed: the BALANCED quantizer's
+    // quality on a duplicate-heavy corpus (the shape that subsidized the
+    // collapsed model's 0.824 before the fix). dupCorpus at the shipped
+    // q69 parameter chain for n=1000 — nprobe = defaultNprobe(1000) = 8,
+    // k = max(64, √(n·nprobe/3)) = 64 (40 distinct vectors ⇒ 40 effective
+    // cells). Ivf has no RNG, so measured-exact for this fixture:
+    // dropout = 0, recall@1 = 0.40, mean sim-gap = 0.0341, max = 0.1067.
+    // Floors carry slack for benign tweaks; a drop past them means
+    // seeding, salting, or defaultNprobe changed shipped ANN quality on
+    // duplicate mass and must be re-priced, not absorbed.
+    val nb = dupCorpus.select(col("id").as("nb_id"), col("label").as("nb_label"),
+      col("vec").as("nb_vec"))
+    val exact = dupCorpus.crossJoin(broadcast(nb))
+      .filter(col("nb_label") =!= col("label"))
+      .select(col("id"), col("nb_id"),
+        round(VectorOps.cosine(col("vec"), col("nb_vec")), 6).as("sim"))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("nb_id")).as("neg_nb"))).as("m"))
+      .select(col("id"), (-col("m.neg_nb")).as("hard_negative"),
+        col("m.sim").as("sim"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nprobe = Ivf.defaultNprobe(1000L)
+    val k = math.max(64L, math.min(4096L,
+      math.round(math.sqrt(1000.0 * nprobe / 3)))).toInt
+    val ann = Ivf.hardNegatives(dupCorpus, "id", "label", "vec",
+        k = k, nprobe = nprobe)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ann.size == exact.size,
+      s"dropout on the duplicated corpus: ${exact.size - ann.size}")
+    val hits = exact.count { case (id, (_, sim)) => ann.get(id).exists(_._2 == sim) }
+    assert(hits >= (exact.size * 35) / 100,
+      s"duplicated-corpus recall@1 below floor: $hits/${exact.size}")
+    val gaps = exact.toSeq.map { case (id, (_, sim)) => sim - ann(id)._2 }
+    assert(gaps.forall(_ >= -1e-9)) // ANN candidates ⊆ exact's
+    assert(gaps.sum / gaps.size <= 0.05,
+      s"duplicated-corpus mean sim-gap above floor: ${gaps.sum / gaps.size}")
+  }
+
   test("salting the probe join redistributes but never changes the pair set") {
     // forced saltWidth values must produce byte-identical hard negatives
     // (salting replicates index rows across salt keys; every (query, nb)

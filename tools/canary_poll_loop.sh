@@ -18,10 +18,15 @@ while true; do
     echo "{\"epochMs\":$(date +%s%3N),\"skipped\":\"self-busy\",\"load1\":\"$(cut -d' ' -f1 /proc/loadavg)\"}" >> "$LOG"
   else
     LOAD=$(cut -d' ' -f1 /proc/loadavg)
-    LINE=$(java -cp "$CP" graft.CanaryPoll 2>/dev/null)
-    if [ -n "$LINE" ]; then
-      echo "${LINE%\}},\"load1\":\"$LOAD\"}" >> "$LOG"
-    fi
+    # strip any stray whitespace, then splice load1 in ONLY if the line
+    # really is a '{...}' object — a CanaryPoll format change or partial
+    # write must not append malformed JSON to the log
+    LINE=$(java -cp "$CP" graft.CanaryPoll 2>/dev/null | tr -d '[:space:]')
+    case "$LINE" in
+      {*\}) echo "${LINE%\}},\"load1\":\"$LOAD\"}" >> "$LOG" ;;
+      "") : ;;
+      *) echo "{\"epochMs\":$(date +%s%3N),\"skipped\":\"malformed-canary-line\"}" >> "$LOG" ;;
+    esac
   fi
   sleep "$INTERVAL"
 done

@@ -23,16 +23,27 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def one_core_samples(canary):
-    """Flatten a raw-leg or merged canarySec field to oneCore samples."""
+    """Flatten a raw-leg or merged canarySec field to oneCore samples.
+
+    End samples are trusted only in the round-13 "post-stop-stable"
+    regime (two consecutive post-stop readings agreed): older artifacts'
+    end samples were taken inside the live session or before the
+    retry-until-stable fix and read hot under the sbt harness (r12
+    driver artifact: end 1.935 vs start 1.108) — for those, only the
+    START sample measures the box.
+    """
     if canary is None:
         return []
     if "oneCore" in canary:  # raw leg: {"oneCore": [s, e], "allCores": [...]}
-        return list(canary["oneCore"])
+        ones = list(canary["oneCore"])
+        if canary.get("mode") == "post-stop-stable" and canary.get("endStable"):
+            return ones
+        return ones[:1]
     # merged: {"runA": null, "runD": {"oneCore": [...], ...}, ...}
     out = []
     for leg in canary.values():
         if leg is not None:
-            out.extend(leg.get("oneCore", []))
+            out.extend(one_core_samples(leg))
     return out
 
 
