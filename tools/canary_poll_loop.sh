@@ -14,7 +14,7 @@ LOG="${1:?logfile}"
 INTERVAL="${2:-240}"
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 while true; do
-  if pgrep -f 'graft\.(Bench|Verify|RecallProbe)|sbt-launch|xsbt' >/dev/null 2>&1; then
+  if pgrep -f 'graft\.(Bench|Verify|RecallProbe|SaltProbe|PlanProbe|ScaleGen)|sbt-launch|xsbt' >/dev/null 2>&1; then
     echo "{\"epochMs\":$(date +%s%3N),\"skipped\":\"self-busy\",\"load1\":\"$(cut -d' ' -f1 /proc/loadavg)\"}" >> "$LOG"
   else
     LOAD=$(cut -d' ' -f1 /proc/loadavg)
