@@ -423,50 +423,71 @@ object GraphQueries {
          |ORDER BY aa DESC, u, v LIMIT 20""".stripMargin)),
 
     Q("q152_kcore", (s, dir) => {
+      import s.implicits._
       val k = 3
       val e = coEdges(s, dir).scopedPersist
       // DELTA peel: degrees are aggregated from |E| exactly ONCE; each
       // round then subtracts only the contributions of edges incident to
-      // NEWLY removed nodes (a broadcast-semi-join-sized shuffle that
-      // shrinks to nothing as the peel converges), instead of
-      // re-aggregating the full edge list every round. The edge census
-      // filters the cached edge set map-side against the broadcast
-      // cumulative removed set — |E| never crosses an exchange after
-      // the initial degree build. The |V|-sized degree table is
-      // persisted per round (3 consumers) — it is the peel's whole
-      // working state, exactly what a 1000-executor peel would keep.
+      // NEWLY removed nodes. The |V|-sized degree table is persisted per
+      // round — it is the peel's whole working state, exactly what a
+      // 1000-executor peel would keep. The edge census is INCREMENTAL
+      // (round 13): edges lost in round i are exactly
+      // Σ_{x∈removed_i} deg(x) − |edges with BOTH endpoints removed this
+      // round| (deg at round start is the alive-induced degree, so the
+      // sum counts each lost edge once per removed endpoint) — the first
+      // term is a scalar aggregate over the cached |V|-sized deg table,
+      // the second a map-side count over the cached edge set. The old
+      // census anti-joined e against the CUMULATIVE removed set, which
+      // AQE refuses to broadcast (a filter over a >10 MiB cache reads as
+      // full-size), and at sf10 that SMJ-shuffled the 120-million-row
+      // edge set twice per round — ~20 GB of exchanges doing what these
+      // two scalars do for free. |E| now genuinely never crosses an
+      // exchange after the initial degree build.
       var deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
         .scopedPersist
-      var removedCum: Option[org.apache.spark.sql.DataFrame] = None
+      var edgesAlive = e.count()
       val rounds = (1 to 4).map { i =>
+        // one pass over the cached |V|-sized deg table for all three
+        // round scalars — driver-bounded (3 longs)
+        val stats = deg.agg(
+          sum(when(col("dg") < k, col("dg"))).as("remDeg"),
+          count(when(col("dg") < k, lit(1))).as("removedCnt"),
+          count(when(col("dg") >= k, lit(1))).as("aliveCnt")).head()
+        val remDegSum = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        val removedCnt = stats.getLong(1)
+        val aliveCnt = stats.getLong(2)
         val removed = deg.filter(col("dg") < k).select("x")
         val alive = deg.filter(col("dg") >= k)
-        removedCum = Some(removedCum.fold(removed)(_ unionByName removed))
-        val rc = removedCum.get
-        // rc is the CUMULATIVE removed set — it grows toward |V| over
-        // rounds, so no pinned broadcast (q182's lesson); AQE
-        // broadcasts while it is genuinely small
-        val eAlive = e
-          .join(rc, col("u") === col("x"), "left_anti")
-          .join(rc, col("v") === col("x"), "left_anti")
-        val row = eAlive.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(alive.agg(count(lit(1)).as("n_nodes")))
-          .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
+        // the PER-ROUND removed front shrinks as the peel converges
+        // (unlike the cumulative set, q182's lesson — which no longer
+        // exists here), so broadcasting it is safe under a |V|-scale
+        // gate: degree<k fronts carry ≤ (k−1)·|front| incident edges,
+        // and a front too big to broadcast means the graph is mostly
+        // gone — that one round may pay a shuffled semi-join
+        val rem =
+          if (removedCnt <= 20000000L) broadcast(removed) else removed
+        val both = e.join(rem, col("u") === col("x"), "left_semi")
+          .join(rem.select(col("x").as("xv")), col("v") === col("xv"),
+            "left_semi")
+          .count()
+        edgesAlive -= remDegSum - both
         // degree update: an alive endpoint loses one per edge to a
-        // newly-removed neighbor; both probes broadcast the same build
-        val dV = e.join(removed, col("u") === col("x"), "left_semi")
+        // newly-removed neighbor; both probes broadcast the same front,
+        // so e is scanned map-side and only the (small) incident-edge
+        // endpoint stream crosses the delta shuffle
+        val dV = e.join(rem, col("u") === col("x"), "left_semi")
           .select(col("v").as("x"))
-        val dU = e.join(removed, col("v") === col("x"), "left_semi")
+        val dU = e.join(rem, col("v") === col("x"), "left_semi")
           .select(col("u").as("x"))
         val delta = dV.unionByName(dU).groupBy("x").agg(count(lit(1)).as("d"))
         deg = alive.join(delta, Seq("x"), "left")
           .select(col("x"),
             (col("dg") - coalesce(col("d"), lit(0L))).as("dg"))
           .scopedPersist
-        row
+        (i.toLong, aliveCnt, edgesAlive)
       }
-      rounds.reduce(_ unionByName _).orderBy("round")
+      rounds.toDF("round", "n_nodes", "n_edges").orderBy("round")
     }, Some(kcoreSql(3, 4))),
 
     // Temporal burst clustering: orders of one customer chain into a

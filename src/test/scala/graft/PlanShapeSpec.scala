@@ -98,11 +98,47 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("k-core peel filters edges via broadcast joins, never a theta join") {
-    val plan = executedPlan("q152_kcore")
-    // the per-round census combine is a (1×1) nested-loop cross — benign;
-    // the |E|-touching joins must all be broadcast hash joins
-    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
-    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // The round-13 peel runs EAGERLY (per-round scalars are driver
+    // counts; the census is incremental), so the result frame is a
+    // local 4-row relation and the |E|-touching joins live in the
+    // intermediate executions — captured via a listener. Every edge-set
+    // join must be a broadcast hash join of the per-round removed
+    // front; nothing may plan a cartesian product.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = SparkEntry.queries("q152_kcore")(spark, sf)
+      df.collect()
+      // QueryExecutionListener fires on the (async) listener bus; poll
+      // for the execution count to settle instead of a private flush API
+      var prev = -1
+      var settled = 0
+      while (settled < 2) {
+        Thread.sleep(200)
+        val cur = plans.size
+        if (cur == prev) settled += 1 else settled = 0
+        prev = cur
+      }
+      val resultPlan = df.queryExecution.executedPlan.toString
+      assert(resultPlan.contains("LocalTableScan"),
+        s"peel state leaked into the result lineage:\n${resultPlan.take(2000)}")
+      import scala.jdk.CollectionConverters._
+      val all = plans.asScala.toSeq
+      assert(all.exists(_.contains("BroadcastHashJoin")),
+        s"no broadcast join in any peel execution (${all.size} captured)")
+      all.foreach(p => assert(!p.contains("CartesianProduct"), p.take(4000)))
+      // the edge set must never be SMJ-shuffled against a removed front
+      // at this scale (the sf10 regression this rewrite removed)
+      all.foreach(p => assert(!p.contains("SortMergeJoin LeftSemi"), p.take(4000)))
+    } finally spark.listenerManager.unregister(l)
   }
 
   test("item-item CF broadcasts item counts and keeps the cohort join narrow") {
