@@ -197,20 +197,25 @@ object GraphQueries {
     // with iterate-to-fixpoint as a driver loop over this plan.
     Q("q182_bfs_layers", (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // Adjacency LISTS from the build-once edge artifact: symmetrize
-      // the canonical (u < v) pairs and aggregate per vertex — ONE
-      // shuffle over skinny checkpointed edges (they are already
-      // distinct, so collect_set ≡ collect of the symmetrized stream),
-      // leaving the cache hash-partitioned on the expansion key: the
-      // edge set never re-shuffles across rounds.
-      val adjSets = coEdges(s, dir)
+      // Symmetrized edge PAIRS from the build-once edge artifact,
+      // cached hash-partitioned on the expansion key so the edge set
+      // never re-shuffles across rounds. Round 13: this was an
+      // adjacency-LIST cache (collect_set per vertex, exploded right
+      // back to pairs for the join) — the list arrays bought nothing
+      // the repartitioned pair cache doesn't, and at sf10 the
+      // ObjectHashAggregate building 2M ~120-element arrays spilled
+      // 8.6 GB and drove gcFrac to 0.20 (PlanProbe). A skinny
+      // two-long-column cache is columnar, codegen-friendly, and
+      // allocation-free; the canonical edges are already distinct, so
+      // the count-based degree ≡ the old set size.
+      val adj = coEdges(s, dir)
         .select(explode(array(
           struct(col("u").as("a"), col("v").as("b")),
           struct(col("v").as("a"), col("u").as("b")))).as("p"))
-        .groupBy(col("p.a").as("a")).agg(collect_set(col("p.b")).as("nbrs"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .repartition(col("a"))
         .scopedPersist
-      val adj = adjSets.select(col("a"), explode(col("nbrs")).as("b"))
-      val seed = adjSets.select(col("a"), size(col("nbrs")).as("dg"))
+      val seed = adj.groupBy("a").agg(count(lit(1)).as("dg"))
         .orderBy(desc("dg"), asc("a")).limit(1).select(col("a").as("x"))
       var visited = seed
       var frontier = seed
