@@ -32,11 +32,10 @@ import org.apache.spark.sql.functions._
   * fraction of the corpus (measured ~12% on the synthetic docs corpus,
   * shrinking every round) — so round cost is proportional to the
   * remaining duplication, not the corpus. The one corpus-sized cost per
-  * round is a scan (never a shuffle) of the checkpointed rank map to
-  * look up each active suffix's rank-at-offset+k: the probe side is the
-  * small active set, so AQE broadcasts it and the map is filtered
-  * map-side; if the active set is ever too large to broadcast the join
-  * degrades to a skinny-long shuffle, not a straggler.
+  * round is one doc-keyed exchange + per-doc window over the
+  * checkpointed rank map to look up each active suffix's
+  * rank-at-offset+k as lead(r, k) (offsets are dense per doc) — never a
+  * rank-keyed shuffle, and skew-bounded by document length.
   *
   * The re-rank itself (both the base rank and each refine round):
   *   1. range-sort the frame by its keys (Spark's sample-based range
@@ -70,10 +69,13 @@ import org.apache.spark.sql.functions._
   *     ranks at the current depth, resolving depth m·k in one sort
   *     (classic doubling is m = 2; m is sized to what maxLen still
   *     needs, capped at `maxFanout` so rank keys stay ≤ 8·maxFanout
-  *     bytes). In full mode the extra keys are extra lead()s over the
-  *     same window — free; in frozen mode one corpus map scan serves
-  *     all deltas (probes carry (offset, delta) and fold back through
-  *     an active-sized aggregate). Round count falls to
+  *     bytes — frozen rounds take 2·maxFanout, see below). In both
+  *     modes the extra keys are extra lead()s over a per-doc window
+  *     (offsets are dense per doc, so rank@off+k is lead(r, k)): full
+  *     mode leads over its own frame; frozen mode leads over the
+  *     round-start rank map (one corpus-sized doc-keyed exchange per
+  *     round, skew-bounded by document length) and keeps only the
+  *     active rows. Round count falls to
   *     ⌈log_m(maxLen/initK)⌉ — at m = 8 a 4096-char corpus resolves in
   *     two rounds from initK = 64.
   *   - text extension (frozen mode only) — sort the active set by the
@@ -456,7 +458,16 @@ object SuffixArray {
       // (exchange + windows + checkpoint + census) dominates. m is
       // sized to what maxLen still needs, never past maxFanout; deltas
       // that no document can reach are dropped.
-      val mDoub = math.min(maxFanout.toLong,
+      // frozen rounds take double the fanout cap: their multi-key
+      // lookup is window leads over the round-start map (below), where
+      // an extra delta costs one more lead processor in the SAME window
+      // pass — m is still sized to what maxLen needs, so a wider cap
+      // only fires when it genuinely removes a round (each round pays a
+      // fixed pipeline: corpus window + range sort + windows +
+      // checkpoint + census). Full-mode keys stay ≤ 8·maxFanout bytes
+      // through the re-rank sort as before.
+      val fanCap = if (frozenMode) 2L * maxFanout else maxFanout.toLong
+      val mDoub = math.min(fanCap,
         math.max(2L, (maxLen + k - 1) / k)).toInt
       val deltas = (1 until mDoub).map(_ * k)
         .filter(d => d < maxLen && d <= Int.MaxValue)
@@ -496,24 +507,30 @@ object SuffixArray {
             expr(s"substr(text, $pos, $extAdv)").as("ext"))
         (ext, Seq("r", "ext"))
       } else {
-        // one corpus-sized map scan serves every delta: probes carry
-        // (target offset, delta), the join is filtered map-side (AQE
-        // broadcasts the small exploded probe side), and the ≤
-        // (m−1)·active hits fold back to one row per suffix through an
-        // active-sized aggregate — never a corpus shuffle
-        val mapAll = (parts.toSeq :+ strip(active)).reduce(_ unionByName _)
-        val probes = active.select(col("doc_id"), col("off"),
-            explode(array(deltas.map(lit): _*)).as("delta"))
-          .select(col("doc_id"), (col("off") + col("delta")).as("off"),
-            col("delta"))
-        val hits = mapAll.join(probes, Seq("doc_id", "off"))
-          .select(col("doc_id"), (col("off") - col("delta")).as("off"),
-            col("delta"), col("r").as("rr"))
-        val slots = deltas.zip(rCols).map { case (d, c) =>
-          max(when(col("delta") === d, col("rr"))).as(c)
+        // window-lead lookup over the round-start rank map: offsets are
+        // DENSE per document (every suffix sits in exactly one frozen
+        // part or in the active set), so rank-at-off+d is lead(r, d)
+        // over the per-doc window — ONE corpus-sized hash exchange
+        // (keyed by doc_id, skew-bounded by document length) serves
+        // every delta, and the decorated map collapses back to the
+        // active rows by their tag, map-side. The previous probe-join
+        // shape ("AQE broadcasts the small exploded probe side") only
+        // held while active×(m−1) probe rows stayed under the broadcast
+        // threshold (~4·10⁵ rows); past that AQE fell to SortMergeJoins
+        // that exchanged AND sorted the corpus-sized map PLUS the probe
+        // stream, then paid a wide aggregate and a second (outer) join —
+        // measured at sf0.1 (PlanProbe): 3 exchanges / 4 sorts per
+        // frozen round vs this shape's 1 exchange / 1 window sort.
+        val mapAll = (parts.toSeq.map(_.withColumn("act", lit(false)))
+          :+ strip(active).withColumn("act", lit(true)))
+          .reduce(_ unionByName _)
+        val wdoc = Window.partitionBy("doc_id").orderBy("off")
+        val withLeads = deltas.zip(rCols).foldLeft(mapAll) {
+          case (df, (d, c)) =>
+            df.withColumn(c, lead(col("r"), d.toInt).over(wdoc))
         }
-        val wide = hits.groupBy("doc_id", "off").agg(slots.head, slots.tail: _*)
-        (strip(active).join(wide, Seq("doc_id", "off"), "left")
+        (withLeads.filter(col("act"))
+          .select((Seq("doc_id", "off", "r") ++ rCols).map(col): _*)
           .na.fill(-1L, rCols), "r" +: rCols)
       }
       val mode =
