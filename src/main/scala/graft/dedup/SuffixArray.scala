@@ -135,38 +135,59 @@ object SuffixArray {
       // (the intervening nondeterministic projection also keeps
       // CollapseRepartition from merging the two user exchanges)
       .repartition(n, col("pid"))
-    val wp = Window.partitionBy("pid").orderBy(kc: _*)
+    // every window below orders by the keys PLUS the (doc_id, off)
+    // tie-break — a TOTAL order, so pos/gpos/gpos1 are deterministic
+    // functions of the data, not of physical tie order. That is what
+    // makes the pos − gpos + 1 stitch below exact: loc must be the
+    // group's first position in pos's own numbering, and with a total
+    // order every window exec necessarily numbers the same permutation
+    // (the keys-only ordering left ties to whatever permutation each
+    // WindowExec happened to stream — measured at sf1, 329 of 15M ranks
+    // came out wrong before the tie-break was added). The previous
+    // formulation instead derived loc/chg from OTHER window columns —
+    // max(when(chg…)) over lag-based flags — which was tie-order-proof
+    // but forced a chain of dependent WindowExec passes over the full
+    // frame; running counts are mutually independent, so the plan is
+    // one sort + one buffering pass per distinct partition spec, none
+    // feeding another.
+    val tieC = Seq(col("doc_id"), col("off"))
+    val wp = Window.partitionBy("pid").orderBy(kc ++ tieC: _*)
     // same clustering (pid ⊆ group keys) and sort prefix as wp: the
     // planner serves every window below from ONE exchange + ONE sort
-    val wg = Window.partitionBy(col("pid") +: kc: _*)
-    val anyChanged = keys
-      .map(k => lag(col(k), 1).over(wp) =!= col(k))
-      .reduce(_ || _)
+    val wg = Window.partitionBy(col("pid") +: kc: _*).orderBy(tieC: _*)
     // genuinely 64-bit row positions: row_number() COMPUTES in int (a
     // cast only widens the already-wrapped value), so positions are a
     // long running count over the same window sort — partition-local
     // positions (and the loc/loc1/lgs values derived from them) must
     // not wrap past 2^31 rows in one range partition of a 100 TB corpus
     val wRun = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wgRun = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wgAll = wg.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val flagged = sorted
       .withColumn("pos", count(lit(1)).over(wRun))
-      .withColumn("chg",
-        when(lag(col(keys.head), 1).over(wp).isNull || anyChanged, 1L)
-          .otherwise(0L))
-      // default RANGE frame: key peers share the running max, so equal
-      // keys read the same class-start position
-      .withColumn("loc", max(when(col("chg") === 1, col("pos"))).over(wp))
-      .withColumn("cnt", count(lit(1)).over(wg))
+      // within-group running count: pos and gpos advance in the same
+      // stream order, so pos − gpos + 1 is the group-start position for
+      // every member (equal keys share it, no RANGE-frame peer
+      // semantics needed) and gpos == 1 marks exactly the first row
+      .withColumn("gpos", count(lit(1)).over(wgRun))
+      .withColumn("cnt", count(lit(1)).over(wgAll))
+      .withColumn("chg", when(col("gpos") === 1, 1L).otherwise(0L))
+      .withColumn("loc", col("pos") - col("gpos") + 1)
+      .drop("gpos")
     // key-HEAD group tracking only matters for refine rounds (the
     // r-class of a (r, r2) sort); for a single key it would duplicate
-    // chg/loc — skip the two extra window evaluations
+    // chg/loc — skip the extra window evaluation
     if (keys.size == 1) flagged
     else {
-      val headChanged = lag(col(keys.head), 1).over(wp).isNull ||
-        lag(col(keys.head), 1).over(wp) =!= col(keys.head)
+      val wh = Window.partitionBy(col("pid"), col(keys.head))
+        .orderBy(kc.tail ++ tieC: _*)
+      val whRun = wh.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       flagged
-        .withColumn("chg1", when(headChanged, 1L).otherwise(0L))
-        .withColumn("loc1", max(when(col("chg1") === 1, col("pos"))).over(wp))
+        .withColumn("gpos1", count(lit(1)).over(whRun))
+        .withColumn("chg1", when(col("gpos1") === 1, 1L).otherwise(0L))
+        .withColumn("loc1", col("pos") - col("gpos1") + 1)
+        .drop("gpos1")
     }
   }
 
