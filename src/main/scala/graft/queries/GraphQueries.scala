@@ -433,37 +433,35 @@ object GraphQueries {
       val e = coEdges(s, dir).scopedPersist
       // DELTA peel: degrees are aggregated from |E| exactly ONCE; each
       // round then subtracts only the contributions of edges incident to
-      // NEWLY removed nodes. The |V|-sized degree table is persisted per
-      // round — it is the peel's whole working state, exactly what a
-      // 1000-executor peel would keep. The edge census is INCREMENTAL
-      // (round 13): edges lost in round i are exactly
-      // Σ_{x∈removed_i} deg(x) − |edges with BOTH endpoints removed this
-      // round| (deg at round start is the alive-induced degree, so the
-      // sum counts each lost edge once per removed endpoint) — the first
-      // term is a scalar aggregate over the cached |V|-sized deg table,
-      // the second a map-side count over the cached edge set. The old
-      // census anti-joined e against the CUMULATIVE removed set, which
-      // AQE refuses to broadcast (a filter over a >10 MiB cache reads as
-      // full-size), and at sf10 that SMJ-shuffled the 120-million-row
-      // edge set twice per round — ~20 GB of exchanges doing what these
-      // two scalars do for free. |E| now genuinely never crosses an
-      // exchange after the initial degree build.
+      // NEWLY removed nodes. The |V|-sized degree table is checkpointed
+      // per round — it is the peel's whole working state, exactly what a
+      // 1000-executor peel would keep. The edge census is pure
+      // ARITHMETIC over adjacent rounds' degree sums (the telescope
+      // below): round 13 first replaced the cumulative anti-join census
+      // (SMJ-shuffling 120M edges twice per round at sf10, ~20 GB of
+      // exchanges) with one both-endpoints count per round; the
+      // telescope now removes even that — |E| crosses no exchange and
+      // serves exactly ONE map-side scan per round (the delta build)
+      // after the initial degree aggregation.
       var deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
         .scopedPersist
       var edgesAlive = e.count()
-      val rounds = (1 to 4).map { i =>
-        // one pass over the cached |V|-sized deg table for all three
-        // round scalars — driver-bounded (3 longs)
-        val stats = deg.agg(
+      // one pass over the |V|-sized deg table yields every round scalar:
+      // the front's size/degree mass and the alive degree mass — and by
+      // the degree-sum telescope below, the previous round's edge census
+      def stats(d: DataFrame): (Long, Long, Long, Long) = {
+        val r = d.agg(
           sum(when(col("dg") < k, col("dg"))).as("remDeg"),
           count(when(col("dg") < k, lit(1))).as("removedCnt"),
-          count(when(col("dg") >= k, lit(1))).as("aliveCnt")).head()
-        val remDegSum = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-        val removedCnt = stats.getLong(1)
-        val aliveCnt = stats.getLong(2)
+          count(when(col("dg") >= k, lit(1))).as("aliveCnt"),
+          sum(when(col("dg") >= k, col("dg"))).as("aliveDeg")).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1),
+          r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))
+      }
+      var (remDegSum, removedCnt, aliveCnt, aliveDegSum) = stats(deg)
+      val rounds = (1 to 4).map { i =>
         val removed = deg.filter(col("dg") < k).select("x")
-        val alive = deg.filter(col("dg") >= k)
         // the PER-ROUND removed front shrinks as the peel converges
         // (unlike the cumulative set, q182's lesson — which no longer
         // exists here), so broadcasting it is safe under a |V|-scale
@@ -472,25 +470,42 @@ object GraphQueries {
         // gone — that one round may pay a shuffled semi-join
         val rem =
           if (removedCnt <= 20000000L) broadcast(removed) else removed
-        val both = e.join(rem, col("u") === col("x"), "left_semi")
-          .join(rem.select(col("x").as("xv")), col("v") === col("xv"),
-            "left_semi")
-          .count()
-        edgesAlive -= remDegSum - both
-        // degree update: an alive endpoint loses one per edge to a
-        // newly-removed neighbor; both probes broadcast the same front,
-        // so e is scanned map-side and only the (small) incident-edge
-        // endpoint stream crosses the delta shuffle
-        val dV = e.join(rem, col("u") === col("x"), "left_semi")
-          .select(col("v").as("x"))
-        val dU = e.join(rem, col("v") === col("x"), "left_semi")
-          .select(col("u").as("x"))
-        val delta = dV.unionByName(dU).groupBy("x").agg(count(lit(1)).as("d"))
-        deg = alive.join(delta, Seq("x"), "left")
-          .select(col("x"),
-            (col("dg") - coalesce(col("d"), lit(0L))).as("dg"))
-          .scopedPersist
-        (i.toLong, aliveCnt, edgesAlive)
+        // ONE scan of the cached edge set per round (the previous shape
+        // scanned it three times: a both-endpoints census plus one
+        // semi-join per direction): explode each edge into its two
+        // (endpoint, other) orientations map-side, keep orientations
+        // whose endpoint is in the broadcast front, count per OTHER
+        // vertex — only the (small) incident-orientation stream crosses
+        // the delta shuffle
+        val delta = e.select(explode(array(
+            struct(col("u").as("rx"), col("v").as("other")),
+            struct(col("v").as("rx"), col("u").as("other")))).as("p"))
+          .select(col("p.rx").as("rx"), col("p.other").as("x"))
+          .join(rem.select(col("x").as("rx")), Seq("rx"), "left_semi")
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        // materialize cuts the per-round lineage: without it, each
+        // round's stats/census plans embed every prior round's cached
+        // chain and Catalyst analysis grows with rounds
+        val next = graft.Artifacts.materialize(
+          deg.filter(col("dg") >= k).join(delta, Seq("x"), "left")
+            .select(col("x"),
+              (col("dg") - coalesce(col("d"), lit(0L))).as("dg")))
+        val (remDeg2, removedCnt2, aliveCnt2, aliveDeg2) = stats(next)
+        // degree-sum telescope: with entriesAlive = aliveDeg_i −
+        // degSum_{i+1} (the decrement mass applied to surviving
+        // vertices), edges with BOTH endpoints in this round's front =
+        // (remDeg_i − entriesAlive)/2, so edges lost this round =
+        // remDeg_i − both = (remDeg_i + aliveDeg_i − degSum_{i+1})/2.
+        // Stale orientations (the other endpoint removed in an EARLIER
+        // round) never reach deg rows, so they cancel from every term —
+        // the census needs no edge-set job at all, it falls out of the
+        // two adjacent stats passes
+        edgesAlive -= (remDegSum + aliveDegSum - (remDeg2 + aliveDeg2)) / 2
+        val out = (i.toLong, aliveCnt, edgesAlive)
+        deg = next
+        remDegSum = remDeg2; removedCnt = removedCnt2
+        aliveCnt = aliveCnt2; aliveDegSum = aliveDeg2
+        out
       }
       rounds.toDF("round", "n_nodes", "n_edges").orderBy("round")
     }, Some(kcoreSql(3, 4))),
