@@ -303,6 +303,13 @@ object GraphQueries {
           .select(col("x"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
           .scopedPersist
       }
+      // lineage cut before the census fan-out: lab is referenced FOUR
+      // times below (lu, lv, sizes, and through etab's two consumers),
+      // and each reference re-embeds the whole 2-round propagation
+      // chain into the final plan — measured 3.6 MB of physical-plan
+      // text that Catalyst re-analyzes every pass. Checkpointing the
+      // |V|-sized label table collapses it to a leaf scan.
+      lab = graft.Artifacts.materialize(lab)
       val m = e.agg(count(lit(1)).as("m"))
       val lu = lab.select(col("x").as("u"), col("l").as("lu"))
       val lv = lab.select(col("x").as("v"), col("l").as("lv"))
