@@ -216,8 +216,22 @@ object SuffixArray {
     // lead round does not — checkpointing a corpus-sized frame costs
     // more than re-running its single exchange.
     val input = if (materializeInput) graft.Artifacts.materialize(df) else df
-    val flagged = sortAndFlag(input, keys).persist()
-    try {
+    // ONE materialization per round: the SLIM stitch frame — group/class
+    // columns only, none of the (up to initK-byte) sort-key bytes — is
+    // checkpointed once, and BOTH consumers read it: the census
+    // aggregates below and the returned rank projection (a lazy map
+    // over the checkpoint, re-run trivially by downstream actions).
+    // The previous shape persisted the full key-carrying flagged frame
+    // for the census and then paid a SECOND materialization pass to
+    // checkpoint the projected output.
+    val stitchCols =
+      Seq(col("doc_id"), col("off"), col("pid"), col("chg"), col("loc"),
+        col("cnt")) ++
+        (if (refine) Seq(col(keys.head), col("pos"), col("chg1"),
+          col("loc1")) else Nil)
+    val slim = graft.Artifacts.materialize(
+      sortAndFlag(input, keys).select(stitchCols: _*))
+    locally {
       val aggs = Seq(
         count(lit(1)).as("nr"), sum(col("chg")).as("ng"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nar"),
@@ -226,7 +240,7 @@ object SuffixArray {
         min(col(keys.head)).as("fk"), max(col(keys.head)).as("lk"),
         max(when(col("chg1") === 1, col("pos"))).as("lgs")) else Nil)
       // bounded census: a handful of longs per partition
-      val byPid = flagged.groupBy("pid").agg(aggs.head, aggs.tail: _*)
+      val byPid = slim.groupBy("pid").agg(aggs.head, aggs.tail: _*)
         .collect().map(r => r.getInt(0) -> r).toMap
       val maxPid = if (byPid.isEmpty) -1 else byPid.keys.max
       val bases = new Array[Long](maxPid + 2)
@@ -264,11 +278,11 @@ object SuffixArray {
           .otherwise(b + col("loc1"))
         col("r") + ((b + col("loc")) - p1)
       }
-      val out = graft.Artifacts.materialize(flagged
+      val out = slim
         .select(col("doc_id"), col("off"), rOut.cast("long").as("r"),
-          (col("cnt") > 1).as("ambig")))
+          (col("cnt") > 1).as("ambig"))
       (out, Census(acc, ng, nar, nag))
-    } finally flagged.unpersist()
+    }
   }
 
   private val debug = sys.env.get("SPARK_GRAFT_SA_DEBUG").contains("1")
