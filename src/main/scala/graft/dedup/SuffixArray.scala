@@ -104,98 +104,132 @@ object SuffixArray {
 
   /** Range-sort `df` by `keys` and annotate each row, within its
     * physical partition, with everything the position-rank stitch needs:
-    * `pos` (row position), `chg`/`loc` (full-key group start flag and
-    * start position), `chg1`/`loc1` (key-HEAD group start flag and start
-    * position — the refine round's r-class), and `cnt` (full-key group
-    * size, for the ambiguity flag). Exposed so PlanShapeSpec can hold it
-    * to its scale claim (the only exchanges are the range sort itself
-    * and pid-clustering for the windows; a hash exchange on the skewed
-    * key pair never appears). The stitch that follows ([[rankStep]]) is
-    * a pure projection over this frame plus a partition-count-sized
+    * `chg`/`loc` (full-key group start flag and start position),
+    * `ambig` (full-key group has ≥ 2 members), and for refine rounds
+    * `pos` (row position), `chg1`/`loc1` (key-HEAD group start flag and
+    * start position — the r-class). Exposed so PlanShapeSpec can hold
+    * it to its scale claim (the ONLY exchange is the range sort itself;
+    * a hash exchange on the skewed key pair never appears — and since
+    * round 14, neither does the pid-clustering re-exchange the window
+    * formulation needed). The stitch that follows ([[rankStep]]) is a
+    * pure projection over this frame plus a partition-count-sized
     * census — it can add no further exchange.
     */
   private[graft] def sortAndFlag(df: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
     // EXPLICIT partition counts: AQE's partition coalescing treats a
-    // bare repartitionByRange/window exchange as fair game and at small
-    // data collapses the sort into one or two partitions — which turns
-    // the per-partition windows below into single-task stragglers (the
-    // exact pathology this design exists to avoid). A user-specified
-    // count is exempt from coalescing, keeping the round's parallelism
-    // pinned to the configured shuffle width at every data size.
+    // bare repartitionByRange exchange as fair game and at small data
+    // collapses the sort into one or two partitions — which turns the
+    // per-partition stitch below into single-task stragglers (the exact
+    // pathology this design exists to avoid). A user-specified count is
+    // exempt from coalescing, keeping the round's parallelism pinned to
+    // the configured shuffle width at every data size.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df
-      // range ROUTING only (no local sort yet): pid depends on the
-      // partition, not the row order, and the windows below sort by
-      // (pid, keys) anyway — one local sort per round, not two
-      .repartitionByRange(n, kc: _*)
-      .withColumn("pid", spark_partition_id())
-      // explicit pid-clustering the windows below reuse — whole,
-      // size-balanced physical partitions, immune to key-value skew
-      // (the intervening nondeterministic projection also keeps
-      // CollapseRepartition from merging the two user exchanges)
-      .repartition(n, col("pid"))
-    // every window below orders by the keys PLUS the (doc_id, off)
-    // tie-break — a TOTAL order, so pos/gpos/gpos1 are deterministic
-    // functions of the data, not of physical tie order. That is what
-    // makes the pos − gpos + 1 stitch below exact: loc must be the
-    // group's first position in pos's own numbering, and with a total
-    // order every window exec necessarily numbers the same permutation
-    // (the keys-only ordering left ties to whatever permutation each
-    // WindowExec happened to stream — measured at sf1, 329 of 15M ranks
-    // came out wrong before the tie-break was added). The previous
-    // formulation instead derived loc/chg from OTHER window columns —
-    // max(when(chg…)) over lag-based flags — which was tie-order-proof
-    // but forced a chain of dependent WindowExec passes over the full
-    // frame; running counts are mutually independent, so the plan is
-    // one sort + one buffering pass per distinct partition spec, none
-    // feeding another.
+    // ONE exchange and ONE local sort per round: range-route by the
+    // keys (equal keys land in one partition — the partitioner is a
+    // pure function of the key), then sort each partition by the keys
+    // PLUS the (doc_id, off) tie-break — a TOTAL order, so the stream
+    // positions below are deterministic functions of the data, not of
+    // physical tie order (the keys-only ordering left ties to whatever
+    // permutation the sort happened to stream — measured at sf1, 329 of
+    // 15M ranks came out wrong before the tie-break was added).
+    //
+    // The flags themselves (pos/chg/loc/ambig and the refine round's
+    // chg1/loc1) are all running values of the sorted stream, computed
+    // by ONE streaming pass per partition with a single row of
+    // lookahead (`ambig` for a group-first row needs to know whether
+    // the next row shares its key). The previous shape computed them as
+    // window functions partitioned by spark_partition_id(), which
+    // forced a SECOND full exchange (hash on pid — the planner cannot
+    // see that range partitioning already clusters by partition) plus
+    // three to four WindowExec passes, one of them buffering whole key
+    // groups; per rank round that re-shuffled the entire key-carrying
+    // frame (≈ initK × corpus bytes in the base round) to compute what
+    // a per-partition scan can. Guide §2.4: remove shuffles outright.
+    // The stitch closure leaves whole-stage codegen for exactly one
+    // narrow operator — the priced alternative was an extra corpuswide
+    // exchange, and the windows it replaces were never codegen either.
     val tieC = Seq(col("doc_id"), col("off"))
-    val wp = Window.partitionBy("pid").orderBy(kc ++ tieC: _*)
-    // same clustering (pid ⊆ group keys) and sort prefix as wp: the
-    // planner serves every window below from ONE exchange + ONE sort
-    val wg = Window.partitionBy(col("pid") +: kc: _*).orderBy(tieC: _*)
-    // genuinely 64-bit row positions: row_number() COMPUTES in int (a
-    // cast only widens the already-wrapped value), so positions are a
-    // long running count over the same window sort — partition-local
-    // positions (and the loc/loc1/lgs values derived from them) must
-    // not wrap past 2^31 rows in one range partition of a 100 TB corpus
-    val wRun = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wgRun = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wgAll = wg.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val flagged = sorted
-      .withColumn("pos", count(lit(1)).over(wRun))
-      // within-group running count: pos and gpos advance in the same
-      // stream order, so pos − gpos + 1 is the group-start position for
-      // every member (equal keys share it, no RANGE-frame peer
-      // semantics needed) and gpos == 1 marks exactly the first row
-      .withColumn("gpos", count(lit(1)).over(wgRun))
-      .withColumn("cnt", count(lit(1)).over(wgAll))
-      .withColumn("chg", when(col("gpos") === 1, 1L).otherwise(0L))
-      .withColumn("loc", col("pos") - col("gpos") + 1)
-      .drop("gpos")
-    // key-HEAD group tracking only matters for refine rounds (the
-    // r-class of a (r, r2) sort); for a single key it would duplicate
-    // chg/loc — skip the extra window evaluation
-    if (keys.size == 1) flagged
-    else {
-      val wh = Window.partitionBy(col("pid"), col(keys.head))
-        .orderBy(kc.tail ++ tieC: _*)
-      val whRun = wh.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      flagged
-        .withColumn("gpos1", count(lit(1)).over(whRun))
-        .withColumn("chg1", when(col("gpos1") === 1, 1L).otherwise(0L))
-        .withColumn("loc1", col("pos") - col("gpos1") + 1)
-        .drop("gpos1")
+    val sorted = df
+      .repartitionByRange(n, kc: _*)
+      .sortWithinPartitions(kc ++ tieC: _*)
+      .withColumn("pid", spark_partition_id())
+    val refine = keys.size > 1
+    val inSchema = sorted.schema
+    val docIdIx = inSchema.fieldIndex("doc_id")
+    val offIx = inSchema.fieldIndex("off")
+    val pidIx = inSchema.fieldIndex("pid")
+    val keyIx = keys.map(inSchema.fieldIndex).toArray
+    val headIx = keyIx.head
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("off", LongType),
+        StructField("pid", IntegerType), StructField("chg", LongType),
+        StructField("loc", LongType), StructField("ambig", BooleanType)) ++
+        (if (refine) Seq(StructField(keys.head, LongType),
+          StructField("pos", LongType), StructField("chg1", LongType),
+          StructField("loc1", LongType)) else Nil))
+    def sameKeysRow(a: Array[Any], row: org.apache.spark.sql.Row): Boolean = {
+      var i = 0
+      while (i < keyIx.length) {
+        if (!java.util.Objects.equals(a(i), row.get(keyIx(i)))) return false
+        i += 1
+      }
+      true
     }
+    def sameKeysArr(a: Array[Any], b: Array[Any]): Boolean = {
+      var i = 0
+      while (i < keyIx.length) {
+        if (!java.util.Objects.equals(a(i), b(i))) return false
+        i += 1
+      }
+      true
+    }
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      // genuinely 64-bit positions: partition-local positions (and the
+      // loc/loc1/lgs values derived from them) must not wrap past 2^31
+      // rows in one range partition of a 100 TB corpus
+      var pos = 0L
+      var loc = 0L
+      var loc1 = 0L
+      var prev: Array[Any] = null
+      var prevHead: Any = null
+      buf.map { row =>
+        pos += 1
+        val cur = new Array[Any](keyIx.length)
+        var i = 0
+        while (i < keyIx.length) { cur(i) = row.get(keyIx(i)); i += 1 }
+        val chg = prev == null || !sameKeysArr(cur, prev)
+        if (chg) loc = pos
+        // a row is ambiguous iff its full-key group has ≥ 2 members:
+        // any non-first member, or a first member whose successor
+        // matches — one row of lookahead, no group buffering
+        val ambig = !chg || (buf.hasNext && sameKeysRow(cur, buf.head))
+        prev = cur
+        if (!refine)
+          org.apache.spark.sql.Row(row.getLong(docIdIx), row.getLong(offIx),
+            row.getInt(pidIx), if (chg) 1L else 0L, loc, ambig)
+        else {
+          val head = row.get(headIx)
+          val chg1 = pos == 1L || !java.util.Objects.equals(prevHead, head)
+          if (chg1) loc1 = pos
+          prevHead = head
+          org.apache.spark.sql.Row(row.getLong(docIdIx), row.getLong(offIx),
+            row.getInt(pidIx), if (chg) 1L else 0L, loc, ambig,
+            head.asInstanceOf[Long], pos, if (chg1) 1L else 0L, loc1)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
 
   /** Everything one sort round learns, read from the same bounded
     * census that stitches the partition offsets — no extra job.
     */
   private case class Census(nRows: Long, nGroups: Long,
-                            nAmbigRows: Long, nAmbigGroups: Long)
+                            nAmbigRows: Long, nAmbigGroups: Long,
+                            maxOff: Long)
 
   /** One rank round: sort by `keys`, stitch global position ranks,
     * flag ambiguity. `refine = false` ranks from scratch (base round,
@@ -215,7 +249,10 @@ object SuffixArray {
     // probe pipeline over a SMALL active set) both win; a FULL-frame
     // lead round does not — checkpointing a corpus-sized frame costs
     // more than re-running its single exchange.
-    val input = if (materializeInput) graft.Artifacts.materialize(df) else df
+    val input =
+      if (materializeInput) timed("  rankStep: input materialize")(
+        graft.Artifacts.materialize(df))
+      else df
     // ONE materialization per round: the SLIM stitch frame — group/class
     // columns only, none of the (up to initK-byte) sort-key bytes — is
     // checkpointed once, and BOTH consumers read it: the census
@@ -226,17 +263,21 @@ object SuffixArray {
     // checkpoint the projected output.
     val stitchCols =
       Seq(col("doc_id"), col("off"), col("pid"), col("chg"), col("loc"),
-        col("cnt")) ++
+        col("ambig")) ++
         (if (refine) Seq(col(keys.head), col("pos"), col("chg1"),
           col("loc1")) else Nil)
-    val slim = graft.Artifacts.materialize(
-      sortAndFlag(input, keys).select(stitchCols: _*))
-    locally {
+    val slim = timed("  rankStep: sort+flag+slim materialize")(
+      graft.Artifacts.materialize(
+        sortAndFlag(input, keys).select(stitchCols: _*)))
+    timed("  rankStep: census+stitch") {
       val aggs = Seq(
         count(lit(1)).as("nr"), sum(col("chg")).as("ng"),
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nar"),
-        sum(when(col("cnt") > 1 && col("chg") === 1, 1L).otherwise(0L))
-          .as("nag")) ++ (if (refine) Seq(
+        sum(when(col("ambig"), 1L).otherwise(0L)).as("nar"),
+        sum(when(col("ambig") && col("chg") === 1, 1L).otherwise(0L))
+          .as("nag"),
+        // rides along so ranksWithStats' maxLen needs no extra
+        // corpus-scan job after the base round
+        max(col("off")).as("mo")) ++ (if (refine) Seq(
         min(col(keys.head)).as("fk"), max(col(keys.head)).as("lk"),
         max(when(col("chg1") === 1, col("pos"))).as("lgs")) else Nil)
       // bounded census: a handful of longs per partition
@@ -247,6 +288,7 @@ object SuffixArray {
       val span = Array.fill[Long](maxPid + 2)(-1L)
       var acc = 0L
       var (ng, nar, nag) = (0L, 0L, 0L)
+      var maxOff = 0L
       // the r-class open at the current partition boundary, for chaining
       // spanning class starts (refine only)
       var openR = 0L
@@ -268,6 +310,8 @@ object SuffixArray {
         ng += r.getLong(r.fieldIndex("ng"))
         nar += r.getLong(r.fieldIndex("nar"))
         nag += r.getLong(r.fieldIndex("nag"))
+        val mo = r.fieldIndex("mo")
+        if (!r.isNullAt(mo)) maxOff = math.max(maxOff, r.getLong(mo))
       }
       val b: Column = element_at(typedlit(bases.toSeq), col("pid") + 1)
       val rOut: Column = if (!refine) b + col("loc") else {
@@ -280,8 +324,8 @@ object SuffixArray {
       }
       val out = slim
         .select(col("doc_id"), col("off"), rOut.cast("long").as("r"),
-          (col("cnt") > 1).as("ambig"))
-      (out, Census(acc, ng, nar, nag))
+          col("ambig"))
+      (out, Census(acc, ng, nar, nag, maxOff))
     }
   }
 
@@ -431,7 +475,8 @@ object SuffixArray {
         expr(s"substr(text, off32, $k0)").as("pfx"))
 
     val (state0, c0) = timed(s"base rank (initK=$k0)") {
-      rankStep(prefixes, Seq("pfx"), refine = false)
+      rankStep(prefixes, Seq("pfx"), refine = false,
+        materializeInput = false)
     }
     def strip(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("off"), col("r"))
@@ -447,8 +492,8 @@ object SuffixArray {
     val dupFrac =
       if (k0 < FirstBand) censusAmb32.getOrElse(c0.nAmbigRows.toDouble / total)
       else c0.nAmbigRows.toDouble / total
-    // one tiny job on the skinny frame: longest document (max offset)
-    val maxLen = state0.agg(max(col("off"))).head().getLong(0)
+    // longest document (max offset) — rides the base census, no extra job
+    val maxLen = c0.maxOff
 
     // Two refinement modes, chosen by the measured ambiguity each round:
     //  - FULL: while most suffixes are still ambiguous (heavily
@@ -685,35 +730,52 @@ object SuffixArray {
   private[graft] val HeadPreview = 24
 
   /** SA entries routed into SA order, SKINNY (doc_id, off, r): range
-    * partition by (r, doc_id, off) with the same explicit-count /
-    * pid-clustering pinning as [[sortAndFlag]] (AQE must not collapse
-    * the adjacency windows into one task). Skinny matters twice: the
-    * range exchange's sampling pass re-executes its child, which here
-    * is just the index checkpoint scan (nothing to materialize), and
-    * the two routing exchanges move 24 B/suffix, not band-width rows.
+    * partition by (r, doc_id, off) with the same explicit-count pinning
+    * as [[sortAndFlag]] (AQE must not collapse the adjacency pass into
+    * one task), locally sorted. Skinny matters: the range exchange's
+    * sampling pass re-executes its child, which here is just the index
+    * checkpoint scan (nothing to materialize), and the one routing
+    * exchange moves 24 B/suffix, not band-width rows. (The former
+    * second exchange — pid-clustering so a WINDOW could run
+    * per-partition — is gone: [[pairScores]] now streams each
+    * partition directly, same as the rank stitch.)
     */
   private[graft] def saSorted(sa: DataFrame): DataFrame = {
     val n = sa.sparkSession.sessionState.conf.numShufflePartitions
     sa.repartitionByRange(n, col("r"), col("doc_id"), col("off"))
+      .sortWithinPartitions("r", "doc_id", "off")
       .withColumn("pid", spark_partition_id())
-      .repartition(n, col("pid"))
   }
 
   /** Adjacent SKINNY pairs in SA order — (r_a, doc_a, off_a, doc_b,
-    * off_b), no text. Adjacency without a corpus-wide window:
-    * per-partition lead() for within-partition neighbors, plus the
-    * ≤|partitions| boundary pairs stitched from a partition-count-sized
-    * census (the tiny window over it is bounded by the partition count,
-    * not the data).
+    * off_b), no text. Adjacency without a corpus-wide window OR a
+    * pid re-exchange: one streaming pass with a row of lookahead emits
+    * within-partition neighbors, plus the ≤|partitions| boundary pairs
+    * stitched from a partition-count-sized census (the tiny window over
+    * it is bounded by the partition count, not the data).
     */
   private[graft] def pairScores(sorted: DataFrame): DataFrame = {
-    val w = Window.partitionBy("pid").orderBy("r", "doc_id", "off")
-    val within = sorted
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
-      .withColumn("off_b", lead(col("off"), 1).over(w))
-      .filter(col("doc_b").isNotNull)
-      .select(col("r").as("r_a"), col("doc_id").as("doc_a"),
-        col("off").as("off_a"), col("doc_b"), col("off_b"))
+    import org.apache.spark.sql.types._
+    val sch = sorted.schema
+    val rIx = sch.fieldIndex("r")
+    val dIx = sch.fieldIndex("doc_id")
+    val oIx = sch.fieldIndex("off")
+    val outSchema = StructType(Seq(
+      StructField("r_a", LongType), StructField("doc_a", LongType),
+      StructField("off_a", LongType), StructField("doc_b", LongType),
+      StructField("off_b", LongType)))
+    val within = sorted.mapPartitions { it =>
+      val buf = it.buffered
+      buf.flatMap { row =>
+        if (!buf.hasNext) Iterator.empty
+        else {
+          val nx = buf.head
+          Iterator.single(org.apache.spark.sql.Row(
+            row.getLong(rIx), row.getLong(dIx), row.getLong(oIx),
+            nx.getLong(dIx), nx.getLong(oIx)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     val perPart = sorted.groupBy("pid").agg(
       min(struct(col("r"), col("doc_id"), col("off"))).as("first"),
       max(struct(col("r"), col("doc_id"), col("off"))).as("last"))

@@ -694,21 +694,43 @@ object DedupQueries {
         .select(col("r_a"), col("doc_a"), col("off_a"),
           col("doc_b"), col("off_b"), col("lcp"))
       // same explicit-count pinning as the SA build: AQE must not
-      // coalesce the range sort below the per-partition run windows
+      // coalesce the range sort below the per-partition run flagging
       val nParts = s.sessionState.conf.numShufflePartitions
-      val wp = Window.partitionBy("pid").orderBy("r_a", "doc_a", "off_a")
-      val flagged = qual
+      // run flags as ONE streaming pass per range partition (the SA
+      // stitch pattern since r14): a pair extends the current run iff
+      // its LEFT row is the previous qualifying pair's RIGHT row —
+      // (doc, off) identifies an SA row uniquely, so equality ⇔
+      // SA-consecutive. The former shape hash re-exchanged the pairs on
+      // spark_partition_id so lag/sum windows could run per-partition;
+      // the scan computes the same running values with no second
+      // exchange and no WindowExec.
+      val routed = qual
         .repartitionByRange(nParts, col("r_a"), col("doc_a"), col("off_a"))
+        .sortWithinPartitions("r_a", "doc_a", "off_a")
         .withColumn("pid", spark_partition_id())
-        .repartition(nParts, col("pid"))
-        // a pair extends the current run iff its LEFT row is the
-        // previous qualifying pair's RIGHT row — (doc, off) identifies
-        // an SA row uniquely, so equality ⇔ SA-consecutive
-        .withColumn("nr", when(
-          lag(struct(col("doc_b"), col("off_b")), 1).over(wp) ===
-            struct(col("doc_a"), col("off_a")), 0L).otherwise(1L))
-        .withColumn("lrun", sum(col("nr")).over(
-          wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val rSch = routed.schema
+      val ix = Seq("r_a", "doc_a", "off_a", "doc_b", "off_b", "lcp", "pid")
+        .map(rSch.fieldIndex)
+      val outSchema = org.apache.spark.sql.types.StructType(rSch.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("nr",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lrun",
+          org.apache.spark.sql.types.LongType)))
+      val flagged = routed.mapPartitions { it =>
+        var lrun = 0L
+        var prevB = -1L
+        var prevOffB = -1L
+        var first = true
+        it.map { row =>
+          val contin = !first && prevB == row.getLong(ix(1)) &&
+            prevOffB == row.getLong(ix(2))
+          val nr = if (contin) 0L else 1L
+          lrun += nr
+          first = false
+          prevB = row.getLong(ix(3)); prevOffB = row.getLong(ix(4))
+          org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(nr, lrun))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
         .scopedPersist
       // partition-count-sized census → driver chains runs that span
       // partition boundaries (transitively, like the SA rank stitch)
