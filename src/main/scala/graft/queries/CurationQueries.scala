@@ -447,11 +447,9 @@ object CurationQueries {
       val enc = finalSyms.select(
         regexp_replace(col("sym"), " ", "").as("word"),
         size(split(col("sym"), "  ")).cast("long").as("ntok"))
-      val docw = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("word"))
-        .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      // the shared build-once census — the corpus is NOT re-tokenized
+      // here (see docWordCensus: training already paid the one pass)
+      val docw = docWordCensus(s, dir)
       docw.join(enc, "word")
         .groupBy("doc_id").agg(
           sum(col("n")).as("n_words"),
@@ -556,7 +554,32 @@ object CurationQueries {
   private val trained = graft.Artifacts.memo[
     (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame)]
 
-  def clearCache(): Unit = trained.clear()
+  /** Build-once per-(doc, word) census of census-eligible words (length
+    * ≥ 2, [a-z0-9]+ — the training filter). The corpus-side cost of the
+    * whole BPE family is the regex-heavy tokenization pass
+    * (cleanText's replace chain + split + rlike); before this memo the
+    * pass ran TWICE per bench pass — once for training's word-TYPE
+    * census, once for q233's per-doc census. Now the corpus is
+    * tokenized exactly once: q233 reads this frame directly and
+    * training folds it to type frequencies with a vocabulary-sized
+    * re-aggregate (sum of per-doc counts ≡ the direct occurrence
+    * count). Materialized like every build-once artifact; cleared per
+    * bench pass via the Artifacts registry.
+    */
+  private val docCensus = graft.Artifacts.memo[org.apache.spark.sql.DataFrame]
+
+  private def docWordCensus(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    docCensus.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|${System.identityHashCode(s)}|$dir")(
+      graft.Artifacts.materialize(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(TextOps.cleanText(col("text")))).as("word"))
+          .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))))
+
+  def clearCache(): Unit = { trained.clear(); docCensus.clear() }
 
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) =
@@ -567,11 +590,11 @@ object CurationQueries {
   private def bpeTrainUncached(s: org.apache.spark.sql.SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     val cached = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
-    val words = Tables.documents(s, dir)
-      .select(explode(TextOps.tokens(TextOps.cleanText(col("text"))))
-        .as("word"))
-      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // type frequencies from the shared per-doc census (one corpus
+    // tokenization serves training AND q233's encode): summing per-doc
+    // counts per word is exactly the occurrence count
+    val words = docWordCensus(s, dir)
+      .groupBy("word").agg(sum(col("n")).as("freq"))
     var syms = words.select(
       rtrim(regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
       col("freq")).persist()
