@@ -471,12 +471,22 @@ object GraphQueries {
         val removed = deg.filter(col("dg") < k).select("x")
         // the PER-ROUND removed front shrinks as the peel converges
         // (unlike the cumulative set, q182's lesson — which no longer
-        // exists here), so broadcasting it is safe under a |V|-scale
-        // gate: degree<k fronts carry ≤ (k−1)·|front| incident edges,
-        // and a front too big to broadcast means the graph is mostly
-        // gone — that one round may pay a shuffled semi-join
+        // exists here), so broadcasting it is safe under a SIZE gate:
+        // degree<k fronts carry ≤ (k−1)·|front| incident edges, and a
+        // front too big to broadcast means the graph is mostly gone —
+        // that one round pays the shuffled semi-join instead. The gate
+        // is bytes (8 B/vertex id), capped by conf rather than a raw
+        // row literal: spark.graft.broadcastFrontMaxBytes defaults to
+        // 160 MB — deliberately ABOVE autoBroadcastJoinThreshold's
+        // 10 MB, because this relation is a long-keyed semi-join build
+        // side rebuilt once per round, not a planner estimate; size it
+        // to executor memory on a real cluster
+        val frontCapBytes = s.conf
+          .getOption("spark.graft.broadcastFrontMaxBytes")
+          .map(_.toLong).getOrElse(160L << 20)
         val rem =
-          if (removedCnt <= 20000000L) broadcast(removed) else removed
+          if (removedCnt * 8L <= frontCapBytes) broadcast(removed)
+          else removed
         // ONE scan of the cached edge set per round (the previous shape
         // scanned it three times: a both-endpoints census plus one
         // semi-join per direction): explode each edge into its two
