@@ -200,8 +200,17 @@ object Bench {
     // upper bound (normalize_bench.py uses their START sample alone)
     val canary =
       s"""{"oneCore":[${num4(canary0._1)},${num4(canary1._1)}],"allCores":[${num4(canary0._2)},${num4(canary1._2)}],"mode":"post-stop-stable","endStable":$endStable,"endSamples":$endSamples}"""
+    // Field ORDER is chosen for truncation robustness (r13 verdict item
+    // 5/7): the driver captures a bounded stdout TAIL, which keeps the
+    // END of this line. With the two ~10 KB per-query maps first and
+    // every summary scalar (metric/value/unit/sf/...) last, a tail that
+    // cuts the line mid-queries still carries the whole summary —
+    // regex-recoverable even though the clipped prefix is not JSON.
+    // Same fields as every prior round (JSON object order is not
+    // semantic), so round-over-round comparison tooling is unaffected;
+    // the complete line is also written to disk below.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"$action","passes":$passes,"queries":$qs,"sf":"$sfDir","stealFrac":${num4(runSteal)},"steal":$st,"canarySec":$canary}"""
+      s"""{"queries":$qs,"steal":$st,"canarySec":$canary,"metric":"total","value":$total,"unit":"sec","action":"$action","passes":$passes,"sf":"$sfDir","stealFrac":${num4(runSteal)}}"""
     println(line)
     // the driver captures a bounded stdout TAIL (a full suite truncates
     // mid-JSON there), so the complete artifact is also written to disk
