@@ -250,6 +250,15 @@ object RetrievalQueries {
             col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
+        // Join strategy for the verify joins: left to AQE. An r14
+        // experiment forced a bytes-gated SHUFFLE_HASH build on the
+        // sets side (guide §3.1) after an sf10 probe showed 60 GB of
+        // spill around the verify stage — measured back-to-back it was
+        // WORSE (312 → 420 s; the spill actually lives in the
+        // prefix-candidate self-join + distinct, and the eager size
+        // census pinned the array cache into the heap), so the
+        // planner's choice stands. Full adjudication with both probe
+        // censuses in OPTIMIZATION_r14.md.
         cand
           .join(sets.select(col("doc_id").as("da"), col("set").as("sa"),
             col("n").as("n_a")), "da")
